@@ -1,0 +1,133 @@
+"""ReadSet: the ingested, barcode-sorted read store.
+
+TPU-native analogue of the reference's fastb/qualp/bci file triple
+(10X/ParseBarcodedFastqs.cc:174-234): flat base codes + CSR offsets replace
+feudal vecbvec, flat quals replace VecPQVec, and `bci` is the same CSR
+barcode index: bci[b] = first read of barcode b, with barcode 0 = the
+unbarcoded block (bci[1] = end of unbarcoded block; DF.cc:858).
+
+Reads are stored as consecutive pairs (2i, 2i+1 = mates), preserved by the
+barcode sort — same invariant as the reference's barcode-sorted FASTH.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..core.ragged import lengths_to_offsets
+
+
+@dataclass
+class ReadSet:
+    codes: np.ndarray  # flat uint8 base codes
+    offsets: np.ndarray  # int64 (n_reads+1,)
+    quals: np.ndarray  # flat uint8 phred scores, same offsets
+    bc: np.ndarray  # int32 (n_reads,) barcode id; 0 = unbarcoded/invalid
+    bci: np.ndarray  # int64 (n_barcodes+2,) read-range CSR per barcode id
+    barcoded: bool = True  # False => dataset has no barcodes (bc all 0)
+
+    @property
+    def n_reads(self) -> int:
+        return len(self.offsets) - 1
+
+    @property
+    def n_pairs(self) -> int:
+        return self.n_reads // 2
+
+    @property
+    def n_barcodes(self) -> int:
+        return len(self.bci) - 2
+
+    def read(self, i: int) -> np.ndarray:
+        return self.codes[self.offsets[i] : self.offsets[i + 1]]
+
+    def qual(self, i: int) -> np.ndarray:
+        return self.quals[self.offsets[i] : self.offsets[i + 1]]
+
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    def barcode_reads(self, b: int) -> range:
+        return range(int(self.bci[b]), int(self.bci[b + 1]))
+
+    def validate(self):
+        assert self.offsets[0] == 0 and self.offsets[-1] == len(self.codes)
+        assert len(self.quals) == len(self.codes)
+        assert len(self.bc) == self.n_reads
+        assert self.n_reads % 2 == 0, "reads must be paired"
+        # barcode-sorted invariant
+        assert np.all(np.diff(self.bc) >= 0), "reads must be barcode-sorted"
+        assert self.bci[0] == 0 and self.bci[-1] == self.n_reads
+
+    def save(self, path: str | Path):
+        np.savez_compressed(
+            path,
+            codes=self.codes,
+            offsets=self.offsets,
+            quals=self.quals,
+            bc=self.bc,
+            bci=self.bci,
+            barcoded=np.array(self.barcoded),
+        )
+
+    @staticmethod
+    def load(path: str | Path) -> "ReadSet":
+        z = np.load(path)
+        return ReadSet(
+            codes=z["codes"],
+            offsets=z["offsets"],
+            quals=z["quals"],
+            bc=z["bc"],
+            bci=z["bci"],
+            barcoded=bool(z["barcoded"]),
+        )
+
+
+def build_readset(
+    reads: list[np.ndarray],
+    quals: list[np.ndarray],
+    bc_ids: np.ndarray,
+    n_barcodes: Optional[int] = None,
+    barcoded: bool = True,
+) -> ReadSet:
+    """Assemble + barcode-sort a ReadSet from per-read arrays.
+
+    bc_ids is per-READ-PAIR or per-read (len == n_reads): barcode id, 0 for
+    invalid.  The stable sort keys on (bc, original pair index), keeping
+    mates adjacent — the reference's bucket/sort-fastq contract
+    (lib/tada/src/cmd_sort_fastq.rs:354-470).
+    """
+    n_reads = len(reads)
+    assert n_reads % 2 == 0
+    bc_ids = np.asarray(bc_ids, dtype=np.int32)
+    if len(bc_ids) == n_reads // 2:  # per-pair -> per-read
+        bc_ids = np.repeat(bc_ids, 2)
+    assert len(bc_ids) == n_reads
+
+    pair_ids = np.arange(n_reads, dtype=np.int64) // 2
+    order = np.lexsort((np.arange(n_reads), pair_ids, bc_ids))
+    reads = [reads[i] for i in order]
+    quals = [quals[i] for i in order]
+    bc_sorted = bc_ids[order]
+
+    lens = np.array([len(r) for r in reads], dtype=np.int64)
+    offsets = lengths_to_offsets(lens)
+    codes = (
+        np.concatenate(reads).astype(np.uint8) if reads else np.zeros(0, np.uint8)
+    )
+    qvals = (
+        np.concatenate(quals).astype(np.uint8) if quals else np.zeros(0, np.uint8)
+    )
+
+    if n_barcodes is None:
+        n_barcodes = int(bc_sorted.max()) if n_reads else 0
+    # bci[b] = first read with barcode id b (searchsorted on the sorted bc col)
+    bci = np.searchsorted(bc_sorted, np.arange(n_barcodes + 2), side="left").astype(
+        np.int64
+    )
+    rs = ReadSet(codes, offsets, qvals, bc_sorted, bci, barcoded)
+    rs.validate()
+    return rs

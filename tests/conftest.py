@@ -1,0 +1,19 @@
+"""Test harness: run everything on CPU with 8 virtual devices so that the
+multi-chip sharding paths are exercised without TPU hardware (the driver's
+dryrun does the same via xla_force_host_platform_device_count)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
