@@ -1,0 +1,79 @@
+"""Benchmark: 48-mer counting throughput on the real device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The north-star metric (BASELINE.json) is k-mers/s/chip.  vs_baseline is
+measured against the reference's MSP stage envelope: 4 threads per 8-GB
+chunk scanning ~8 fastq files (lib/tada/src/cmd_msp.rs:31,264-280); public
+MSPKmerCounter-class CPU counters sustain ~10-20M kmers/s on such a budget —
+we use 20M kmers/s as the reference-per-node figure (generous to the
+reference).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_KMERS_PER_SEC = 20e6
+
+
+def main():
+    import jax
+
+    from supernova_tpu.kmer.count import count_kmers, good_lengths
+
+    rng = np.random.default_rng(0)
+    read_len = 150
+    # ~48M bases => ~33M kmer positions per iteration
+    n_reads = 320_000
+    nb = n_reads * read_len
+    from supernova_tpu.core.kmer_codec import K
+
+    # reads tile a 1 Mb genome at ~48x so the filter keeps realistic tables
+    genome = rng.integers(0, 4, 1_000_000)
+    starts = rng.integers(0, len(genome) - read_len, n_reads)
+    flat = genome[np.add.outer(starts, np.arange(read_len))].reshape(-1)
+    codes_ext = np.zeros(nb + K, dtype=np.int32)
+    codes_ext[:nb] = flat
+    offsets = np.arange(n_reads + 1, dtype=np.int32) * read_len
+    pos_read = np.repeat(np.arange(n_reads, dtype=np.int32), read_len)
+    quals = np.full(nb, 37, dtype=np.int32)
+    read_bc = rng.integers(1, 1_000_000, n_reads).astype(np.int32)
+
+    args = tuple(
+        map(jax.numpy.asarray, (codes_ext, offsets, pos_read, quals, read_bc))
+    )
+
+    @jax.jit
+    def step(codes_ext, read_offsets, pos_read, quals, read_bc):
+        glen = good_lengths(quals, read_offsets, pos_read)
+        t = count_kmers(codes_ext, read_offsets, pos_read, glen, read_bc)
+        return t.n_valid
+
+    # warmup/compile (int() forces a full device round trip)
+    int(step(*args))
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        int(step(*args))
+    dt = (time.perf_counter() - t0) / iters
+
+    kmer_positions = nb - n_reads * (K - 1)
+    kps = kmer_positions / dt
+    print(
+        json.dumps(
+            {
+                "metric": "kmer_count_throughput",
+                "value": round(kps, 1),
+                "unit": "kmers/s/chip",
+                "vs_baseline": round(kps / REFERENCE_KMERS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

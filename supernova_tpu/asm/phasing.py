@@ -1,0 +1,156 @@
+"""Megabubble phasing: assign bubble arms to haplotypes using barcoded
+molecules.
+
+Analogue of Flipper (10X/Flipper.cc:3-29): per line, find bubbles, infer
+barcode molecules, local search maximizing the phasing score
+score(x) = sum over molecules |#agree - #disagree|, moves = flip bubble;
+ambiguous bubbles are dropped and phase blocks break where no molecule
+bridges adjacent bubbles.  The bubble x molecule support matrix is the
+BandedMatrix analogue (Flipper.cc:36-75) — dense matrix ops, TPU-friendly
+at scale; numpy here at current line sizes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Bubble:
+    element_idx: int  # position within the line's element list
+    arms: np.ndarray  # (2,) D-edge ids (arm order = element order)
+
+
+@dataclass
+class LinePhasing:
+    bubbles: List[Bubble]
+    x: np.ndarray  # (B,) +1 / -1 arm orientation, 0 = unphased/dropped
+    blocks: List[Tuple[int, int]]  # phase blocks: [start, end) bubble ranges
+    score: float
+
+
+def _support_matrix(bubbles: List[Bubble], edge_bc_counts: Dict[int, Dict[int, int]]):
+    """s[b, m] = reads(arm0) - reads(arm1) for molecule (barcode) m."""
+    all_bcs = sorted(
+        {
+            bc
+            for bub in bubbles
+            for arm in bub.arms
+            for bc in edge_bc_counts.get(int(arm), {})
+        }
+    )
+    bc_idx = {bc: i for i, bc in enumerate(all_bcs)}
+    s = np.zeros((len(bubbles), len(all_bcs)), dtype=np.int32)
+    for bi, bub in enumerate(bubbles):
+        for bc, n in edge_bc_counts.get(int(bub.arms[0]), {}).items():
+            s[bi, bc_idx[bc]] += n
+        for bc, n in edge_bc_counts.get(int(bub.arms[1]), {}).items():
+            s[bi, bc_idx[bc]] -= n
+    return s, all_bcs
+
+
+def _score(x: np.ndarray, sgn: np.ndarray) -> float:
+    # per-molecule |sum over bubbles of agreement|
+    return float(np.abs((x[:, None] * sgn).sum(axis=0)).sum())
+
+
+def phase_line(
+    line, edge_bc_counts: Dict[int, Dict[int, int]], max_iters: int = 20
+) -> LinePhasing:
+    """Phase one line.  edge_bc_counts: D-edge -> {barcode: read count}."""
+    bubbles = [
+        Bubble(i, el[:2].copy())
+        for i, el in enumerate(line.elements)
+        if len(el) == 2
+    ]
+    if not bubbles:
+        return LinePhasing([], np.zeros(0, np.int8), [], 0.0)
+
+    s, bcs = _support_matrix(bubbles, edge_bc_counts)
+    sgn = np.sign(s).astype(np.int8)
+    # molecules informative on >= 2 bubbles drive phasing
+    informative = (sgn != 0).sum(axis=0) >= 2
+    sgn_i = sgn[:, informative]
+
+    nb = len(bubbles)
+    x = np.ones(nb, dtype=np.int8)
+    if sgn_i.shape[1]:
+        for _ in range(max_iters):
+            improved = False
+            col = (x[:, None] * sgn_i).sum(axis=0)  # per-molecule agreement
+            for b in range(nb):
+                # effect of flipping bubble b
+                new_col = col - 2 * x[b] * sgn_i[b]
+                if np.abs(new_col).sum() > np.abs(col).sum():
+                    x[b] = -x[b]
+                    col = new_col
+                    improved = True
+            if not improved:
+                break
+
+    # drop ambiguous bubbles: no informative molecule touches them
+    touched = (sgn_i != 0).any(axis=1) if sgn_i.shape[1] else np.zeros(nb, bool)
+    x_out = np.where(touched, x, 0).astype(np.int8)
+
+    # phase blocks: break where no molecule covers both bubble b and b+1
+    blocks: List[Tuple[int, int]] = []
+    if nb:
+        start = 0
+        for b in range(nb - 1):
+            bridged = bool(((sgn_i[b] != 0) & (sgn_i[b + 1] != 0)).any()) if sgn_i.shape[1] else False
+            if not bridged:
+                blocks.append((start, b + 1))
+                start = b + 1
+        blocks.append((start, nb))
+
+    return LinePhasing(bubbles, x_out, blocks, _score(x, sgn) if nb else 0.0)
+
+
+def build_edge_bc_counts(D, paths_edges, path_len, read_bc) -> Dict[int, Dict[int, int]]:
+    """D-edge -> {barcode: supporting read count}, from base-graph read paths
+    (a read supports a D-edge if its path touches any constituent base edge)."""
+    base_to_super = {}
+    for d in range(D.n_edges):
+        for e in D.epaths.row(d):
+            base_to_super[int(e)] = d
+    out: Dict[int, Dict[int, int]] = {}
+    r, mp = paths_edges.shape
+    for i in range(r):
+        bc = int(read_bc[i])
+        if bc <= 0:
+            continue
+        seen = set()
+        for j in range(int(path_len[i])):
+            e = int(paths_edges[i, j])
+            d = base_to_super.get(e)
+            if d is not None and d not in seen:
+                seen.add(d)
+                out.setdefault(d, {})
+                out[d][bc] = out[d].get(bc, 0) + 1
+    return out
+
+
+def phase_block_lengths(D, line, ph: LinePhasing) -> List[int]:
+    """Approximate phase-block lengths in bases (distance between the first
+    and last bubble of each block along the line)."""
+    if not ph.bubbles:
+        return []
+    elens = {}
+
+    def elen(d):
+        if d not in elens:
+            elens[d] = D.edge_len(int(d))
+        return elens[d]
+
+    # prefix positions of elements along the line (max arm per element)
+    pos = [0]
+    for el in line.elements:
+        pos.append(pos[-1] + max(elen(d) for d in el))
+    out = []
+    for a, b in ph.blocks:
+        lo = ph.bubbles[a].element_idx
+        hi = ph.bubbles[b - 1].element_idx
+        out.append(max(pos[hi + 1] - pos[lo], 1))
+    return out

@@ -1,0 +1,96 @@
+"""Assembly statistics report — ReportAssemblyStats analogue.
+
+Computes the reference's summary metric schema
+(10X/astats/AssemblyStats.cc:755-800): reads, dup%, phased%, edge/contig/
+phase-block/scaffold N50s, assembly size, checksum — written into the
+StatLogger so summary.json / summary_cs.csv carry the same fields.
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from ..stats.logger import StatLogger, n50
+
+
+def contig_lengths_from_seq(seq: str) -> List[int]:
+    """Split a scaffold sequence at N runs -> contig lengths."""
+    out, run = [], 0
+    for ch in seq:
+        if ch == "N":
+            if run:
+                out.append(run)
+            run = 0
+        else:
+            run += 1
+    if run:
+        out.append(run)
+    return out
+
+
+def report_assembly_stats(
+    stats: StatLogger,
+    D,
+    lines,
+    scaffolds,
+    phasings: Dict[int, object],
+    scaffold_seqs: List[str],
+    dup_frac: float,
+    checksum: int,
+):
+    edge_lens = np.array([D.edge_len(d) for d in range(D.n_edges)], dtype=np.int64)
+    canonical = np.arange(D.n_edges) <= D.dinv
+    stats.log("n_super_edges", int(D.n_edges), "supergraph edges", stage="report")
+    stats.log(
+        "super_edge_N50", n50(edge_lens[canonical]), "supergraph edge N50", cs=True
+    )
+
+    contigs: List[int] = []
+    for s in scaffold_seqs:
+        contigs.extend(contig_lengths_from_seq(s))
+    scaff_lens = [len(s) for s in scaffold_seqs]
+    stats.log("n_scaffolds", len(scaffolds), "number of scaffolds", cs=True)
+    stats.log(
+        "scaffolds_10kb_plus",
+        int(sum(1 for l in scaff_lens if l >= 10_000)),
+        "scaffolds >= 10 kb",
+        cs=True,
+    )
+    stats.log("contig_N50", n50(contigs), "contig N50 (bases)", cs=True)
+    stats.log("scaffold_N50", n50(scaff_lens), "scaffold N50 (bases)", cs=True)
+    stats.log(
+        "assembly_size",
+        int(sum(contigs)),
+        "assembly size (non-N bases)",
+        cs=True,
+    )
+
+    # phasing stats
+    pb_lens: List[int] = []
+    n_bubbles = 0
+    n_phased = 0
+    from .phasing import phase_block_lengths
+
+    for li, ph in phasings.items():
+        n_bubbles += len(ph.bubbles)
+        n_phased += int((ph.x != 0).sum())
+        pb_lens.extend(phase_block_lengths(D, lines.lines[li], ph))
+    stats.log("n_bubbles", n_bubbles, "het bubbles in lines", stage="report")
+    stats.log(
+        "phased_perc",
+        100.0 * n_phased / n_bubbles if n_bubbles else 0.0,
+        "% bubbles phased",
+        cs=True,
+    )
+    stats.log("phase_block_N50", n50(pb_lens), "phase block N50 (bases)", cs=True)
+    if n_bubbles:
+        stats.log(
+            "hetdist",
+            int(sum(contigs) / max(n_bubbles, 1)),
+            "mean distance between het bubbles",
+            cs=True,
+        )
+    stats.log("dup_perc", 100.0 * dup_frac, "% duplicate read pairs", cs=True)
+    stats.log("assembly_checksum", checksum, "deterministic checksum", stage="report")
+    return stats

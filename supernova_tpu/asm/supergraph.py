@@ -1,0 +1,237 @@
+"""Supergraph D: digraphE<vec<int>> over base-graph edges + involution.
+
+Reference analogues: TR's weak-branch trimming (Lawnmower, 10X/Lawnmower.cc)
+and hairy-tip removal (cmd_main_asm.rs:54-68), MC's ClosuresToGraph
+Vectorify collapse (10X/mergers/ClosuresToGraph.h:12-30: digraphE<int> ->
+digraphE<vec<int>>), and CP's Cleaner/RemoveUnneededVertices compactions
+(10X/CleanThe.cc).  Closure-based gluing across pair gaps (NucleateGraph)
+lands in a later round; here D starts as the edge-level compaction of the
+base graph, which downstream scaffolding/phasing consume.
+
+Host-side by design: D has ~1e5-1e6 edges (SURVEY.md §7 "Hard parts" —
+late-stage small graphs are legitimately host work; hb-scale stages stay on
+device).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List
+
+import numpy as np
+
+from ..core import dna
+from ..core.kmer_codec import K
+from ..core.ragged import Ragged
+
+
+@dataclass
+class SuperGraph:
+    """D: edges are paths (lists of base-edge ids) in the base graph."""
+
+    epaths: Ragged  # D-edge -> base edge ids
+    dinv: np.ndarray  # (ED,) involution
+    from_v: np.ndarray  # (ED,) int32
+    to_v: np.ndarray  # (ED,) int32
+    n_vertices: int
+    bg: object  # BaseGraph (sequence authority)
+
+    @property
+    def n_edges(self) -> int:
+        return self.epaths.n_rows
+
+    def edge_bases(self, d: int) -> np.ndarray:
+        """Spell a D-edge: constituent base edges overlap by K-1."""
+        path = self.epaths.row(d)
+        parts = [self.bg.edges.row(int(path[0]))]
+        for e in path[1:]:
+            parts.append(self.bg.edges.row(int(e))[K - 1 :])
+        return np.concatenate(parts)
+
+    def edge_len(self, d: int) -> int:
+        path = self.epaths.row(d)
+        lens = self.bg.edges.lengths()[path]
+        return int(lens.sum() - (len(path) - 1) * (K - 1))
+
+    def edge_seq(self, d: int) -> str:
+        return dna.codes_to_seq(self.edge_bases(d))
+
+    def validate(self):
+        ed = self.n_edges
+        assert np.array_equal(self.dinv[self.dinv], np.arange(ed))
+        binv = self.bg.inv
+        for d in range(ed):
+            p = self.epaths.row(d)
+            q = self.epaths.row(int(self.dinv[d]))
+            assert np.array_equal(q, binv[p[::-1]]), f"dinv mismatch at {d}"
+        # vertex consistency: edges leaving one vertex start with the same
+        # 47-mer (inherited from the base graph)
+        outk = {}
+        for d in range(ed):
+            e0 = int(self.epaths.row(d)[0])
+            v = int(self.from_v[d])
+            k47 = self.bg.edge_seq(e0)[: K - 1]
+            outk.setdefault(v, set()).add(k47)
+        for v, ks in outk.items():
+            assert len(ks) == 1, f"vertex {v}: {len(ks)} distinct out 47-mers"
+
+
+def trim_weak_edges(
+    bg,
+    support: np.ndarray,
+    min_tip_kmers: int = 2 * K,
+    weak_support: int = 0,
+    strong_support: int = 10,
+) -> np.ndarray:
+    """Edge deletion mask: hairy tips (dead-end edges <= 2K kmers,
+    cmd_main_asm.rs:54-68) and unsupported fork branches whose sibling is
+    strongly supported (Lawnmower's lopsided rule, 10X/Lawnmower.cc:3-25).
+    Deletions are involution-symmetric.  Returns bool (E,) keep mask."""
+    E = bg.n_edges
+    keep = np.ones(E, dtype=bool)
+    lens = bg.edges.lengths()
+    kmers = lens - (K - 1)
+    indeg = np.bincount(bg.to_v, minlength=bg.n_vertices)
+    outdeg = np.bincount(bg.from_v, minlength=bg.n_vertices)
+
+    # hairy tips: hanging edges (dead-end at either endpoint) that are short
+    tip = ((indeg[bg.from_v] == 0) | (outdeg[bg.to_v] == 0)) & (kmers <= min_tip_kmers)
+    # but keep isolated edges (both ends bare and long enough handled above)
+    # weak fork branches
+    weak = np.zeros(E, dtype=bool)
+    from collections import defaultdict
+
+    by_from = defaultdict(list)
+    for e in range(E):
+        by_from[int(bg.from_v[e])].append(e)
+    for v, es in by_from.items():
+        if len(es) < 2:
+            continue
+        sup = support[es]
+        strong = sup.max()
+        if strong >= strong_support:
+            for e, s in zip(es, sup):
+                if s <= weak_support and kmers[e] <= min_tip_kmers:
+                    weak[e] = True
+
+    drop = tip | weak
+    drop = drop | drop[bg.inv]  # involution-symmetric
+    keep &= ~drop
+    # never delete everything
+    if not keep.any():
+        keep[:] = True
+    return keep
+
+
+def build_supergraph(bg, keep: np.ndarray | None = None) -> SuperGraph:
+    """Vectorify-style compaction: chains of base edges through simple
+    (in=1, out=1) vertices become single D-edges."""
+    E = bg.n_edges
+    if keep is None:
+        keep = np.ones(E, dtype=bool)
+    live = np.nonzero(keep)[0]
+    indeg = np.zeros(bg.n_vertices, dtype=np.int64)
+    outdeg = np.zeros(bg.n_vertices, dtype=np.int64)
+    np.add.at(indeg, bg.to_v[live], 1)
+    np.add.at(outdeg, bg.from_v[live], 1)
+
+    # next[e] = f iff to_v[e] is a simple vertex joining exactly e -> f
+    nxt = np.full(E, -1, dtype=np.int64)
+    prv = np.full(E, -1, dtype=np.int64)
+    # unique live out-edge per vertex
+    out_edge = np.full(bg.n_vertices, -1, dtype=np.int64)
+    in_edge = np.full(bg.n_vertices, -1, dtype=np.int64)
+    for e in live:
+        v = int(bg.from_v[e])
+        if outdeg[v] == 1:
+            out_edge[v] = e
+        v = int(bg.to_v[e])
+        if indeg[v] == 1:
+            in_edge[v] = e
+    for e in live:
+        v = int(bg.to_v[e])
+        if indeg[v] == 1 and outdeg[v] == 1:
+            f = out_edge[v]
+            if f >= 0 and f != e:
+                nxt[e] = f
+                prv[f] = e
+
+    # break cycles at min edge id (deterministic, matches dbg/build.py)
+    visited = np.zeros(E, dtype=bool)
+    for e in live:
+        if visited[e] or prv[e] != -1:
+            continue
+        c = e
+        while c != -1 and not visited[c]:
+            visited[c] = True
+            c = nxt[c]
+    for e in live:
+        if not visited[e]:  # cycle member
+            c, cyc = e, [e]
+            visited[e] = True
+            c = nxt[c]
+            while c != e:
+                visited[c] = True
+                cyc.append(c)
+                c = nxt[c]
+            m = min(cyc)
+            prv[m] = -1
+            nxt[cyc[cyc.index(m) - 1]] = -1
+
+    # chains -> D edges
+    paths: List[np.ndarray] = []
+    head_of = {}
+    edge_of_base = np.full(E, -1, dtype=np.int64)
+    for e in live:
+        if prv[e] != -1:
+            continue
+        chain = [e]
+        c = nxt[e]
+        while c != -1:
+            chain.append(c)
+            c = nxt[c]
+        d = len(paths)
+        head_of[e] = d
+        for b in chain:
+            edge_of_base[b] = d
+        paths.append(np.asarray(chain, dtype=np.int64))
+
+    ed = len(paths)
+    dinv = np.zeros(ed, dtype=np.int64)
+    for d, p in enumerate(paths):
+        # rc chain's head is inv of our tail
+        dinv[d] = edge_of_base[int(bg.inv[p[-1]])]
+
+    # D vertices: reuse base-graph vertices at chain endpoints
+    from_v = np.array([bg.from_v[p[0]] for p in paths], dtype=np.int64)
+    to_v = np.array([bg.to_v[p[-1]] for p in paths], dtype=np.int64)
+    used_v = np.unique(np.concatenate([from_v, to_v])) if ed else np.zeros(0, np.int64)
+    remap = {int(v): i for i, v in enumerate(used_v)}
+    from_v = np.array([remap[int(v)] for v in from_v], dtype=np.int64)
+    to_v = np.array([remap[int(v)] for v in to_v], dtype=np.int64)
+
+    return SuperGraph(
+        epaths=Ragged.from_rows(paths, dtype=np.int64) if ed else Ragged(np.zeros(0, np.int64), np.zeros(1, np.int64)),
+        dinv=dinv,
+        from_v=from_v,
+        to_v=to_v,
+        n_vertices=len(used_v),
+        bg=bg,
+    )
+
+
+def super_edge_support(D: SuperGraph, base_counts: np.ndarray) -> np.ndarray:
+    """Read support per D-edge = mean support of constituent base edges."""
+    out = np.zeros(D.n_edges)
+    for d in range(D.n_edges):
+        out[d] = float(base_counts[D.epaths.row(d)].mean())
+    return out
+
+
+def super_edge_barcodes(D: SuperGraph, ebcx: Ragged) -> List[np.ndarray]:
+    """Barcode set per D-edge (union of constituent base-edge barcodes)."""
+    out = []
+    for d in range(D.n_edges):
+        bcs = [ebcx.row(int(e)) for e in D.epaths.row(d)]
+        out.append(np.unique(np.concatenate(bcs)) if bcs else np.zeros(0, np.int64))
+    return out

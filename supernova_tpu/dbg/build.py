@@ -1,0 +1,288 @@
+"""De Bruijn graph construction + unipath compaction, device-side.
+
+Reference behavior (SURVEY.md §7 step 4): EdgeBuilder walks the filtered
+48-mer dict by extension context and emits maximal unbranched edges including
+circles (BuildReadQGraph48.cc:327-515 buildEdges), then buildHBVFromEdges
+canonicalizes fwd+rc with an involution (paths/long/HBVFromEdges.cc).
+
+TPU-native re-design: no pointer-walking.  The 2M oriented kmer nodes
+(canonical row k x direction d) get a functional successor map next[u]
+(unique out-extension whose target has unique in-extension), cycles are
+broken at their minimum node id, and maximal chains are ranked by
+pointer-doubling (log-depth gathers) — the classic list-ranking formulation
+of unipath compaction.  Edge sequences, vertices (47-mer junctions), and the
+rc involution are then materialized with sorts/scans/scatters.
+
+Two host-coordinated phases keep shapes static: phase A computes links and
+ranks on padded tables; the host reads back two scalars (n_edges, flat base
+total) and calls phase B with exact static output sizes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import kmer_codec as kc
+from ..core.kmer_codec import K
+from ..kmer.count import KmerTable, rev4
+from ..ops import segments as seg
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+def popcount4(mask):
+    mask = jnp.asarray(mask)
+    return ((mask & 1) + ((mask >> 1) & 1) + ((mask >> 2) & 1) + ((mask >> 3) & 1)).astype(I32)
+
+
+def single_bit_index(mask):
+    """bit index of a one-hot 4-bit mask (undefined otherwise)."""
+    mask = jnp.asarray(mask).astype(I32)
+    return (mask == 2) * 1 + (mask == 4) * 2 + (mask == 8) * 3
+
+
+class Links(NamedTuple):
+    next: jax.Array  # (2M,) int32 successor node or -1
+    prev: jax.Array  # (2M,) int32 predecessor node or -1 (cycles broken)
+    head: jax.Array  # (2M,) int32 chain head node
+    dist: jax.Array  # (2M,) int32 rank within chain (head = 0)
+
+
+def oriented_words(table_words, node_ids):
+    """Node id u = 2*row + d  ->  kmer words in the node's orientation."""
+    row = node_ids >> 1
+    d = node_ids & 1
+    w = table_words[row]
+    return jnp.where((d == 1)[:, None], kc.rc_words(w), w)
+
+
+@jax.jit
+def build_links(table: KmerTable) -> Links:
+    """Phase A: successor/predecessor maps + cycle-broken list ranking."""
+    m = table.words.shape[0]
+    n2 = 2 * m
+    u = jnp.arange(n2, dtype=I32)
+    row = u >> 1
+    d = u & 1
+
+    lmask = table.left_mask[row]
+    rmask = table.right_mask[row]
+    out_mask = jnp.where(d == 0, rmask, rev4(lmask))
+    in_mask = jnp.where(d == 0, lmask, rev4(rmask))
+    outdeg = popcount4(out_mask)
+    indeg = popcount4(in_mask)
+
+    ow = oriented_words(table.words, u)
+    b = single_bit_index(out_mask)
+    succ = kc.successor_words(ow, b)
+    canon, flip = kc.canonicalize(succ)
+    srow, found = kc.searchsorted_words(table.words, canon)
+    v = (2 * srow + flip.astype(I32)).astype(I32)
+
+    link_ok = (outdeg == 1) & found & (indeg[v] == 1) & (v != u)
+    nxt = jnp.where(link_ok, v, -1)
+    # prev = inverse of next (next is injective where defined)
+    prv = jnp.full((n2,), -1, I32)
+    prv = prv.at[jnp.where(link_ok, v, n2)].set(u, mode="drop")
+
+    steps = int(np.ceil(np.log2(max(n2, 2)))) + 1
+
+    # cycle detection + break at cycle-min node
+    ptr = jnp.where(prv >= 0, prv, u)
+    mn = u
+
+    def cyc_body(_, st):
+        ptr, mn = st
+        return ptr[ptr], jnp.minimum(mn, mn[ptr])
+
+    ptr, mn = jax.lax.fori_loop(0, steps, cyc_body, (ptr, mn))
+    in_cycle = prv[ptr] >= 0
+    prv = jnp.where(in_cycle & (u == mn), -1, prv)
+
+    # list ranking (distance to head) by pointer doubling
+    ptr = jnp.where(prv >= 0, prv, u)
+    dist = (prv >= 0).astype(I32)
+
+    def rank_body(_, st):
+        ptr, dist = st
+        return ptr[ptr], dist + dist[ptr]
+
+    ptr, dist = jax.lax.fori_loop(0, steps, rank_body, (ptr, dist))
+    return Links(nxt, prv, ptr, dist)
+
+
+def _edge_shape(links: Links, n_valid_rows: int):
+    """Host-side scalars for phase B static shapes."""
+    head = np.asarray(links.head)
+    prev = np.asarray(links.prev)
+    n2 = head.shape[0]
+    u = np.arange(n2)
+    valid = (u >> 1) < n_valid_rows
+    heads = (prev == -1) & valid
+    n_edges = int(heads.sum())
+    n_nodes = int(valid.sum())
+    flat = n_nodes + n_edges * (K - 1)
+    return n_edges, flat
+
+
+class DeviceGraph(NamedTuple):
+    """Phase-B output: the unipath graph as device arrays (HBV analogue)."""
+
+    edge_codes: jax.Array  # (FLAT,) int32 flat edge base codes
+    edge_offsets: jax.Array  # (E+1,) int32 CSR
+    inv: jax.Array  # (E,) int32 rc-twin edge
+    is_circle: jax.Array  # (E,) bool
+    from_v: jax.Array  # (E,) int32
+    to_v: jax.Array  # (E,) int32
+    n_vertices: jax.Array  # scalar int32
+    node_edge: jax.Array  # (2M,) int32 edge containing oriented node
+    node_pos: jax.Array  # (2M,) int32 kmer offset of node within edge
+    n_edges: jax.Array  # scalar int32 true edge count (arrays are padded)
+
+
+@partial(jax.jit, static_argnames=("e_pad", "flat_pad"))
+def materialize_edges(
+    table: KmerTable, links: Links, n_edges, e_pad: int, flat_pad: int
+) -> DeviceGraph:
+    """Phase B: build edge sequences, involution, vertices, node->edge map.
+
+    n_edges is a traced scalar; e_pad/flat_pad are bucketed static shapes so
+    different inputs share one compiled program.
+    """
+    m = table.words.shape[0]
+    n2 = 2 * m
+    u = jnp.arange(n2, dtype=I32)
+    n_edges = jnp.asarray(n_edges, I32)
+
+    # sort nodes by (head, dist): chains contiguous, valid chains first
+    # (invalid rows sit at table tail, so their node/head ids are larger)
+    hs, ds, us = jax.lax.sort(
+        (links.head, links.dist, u), num_keys=2, is_stable=True
+    )
+    starts = ds == 0
+    eid = jnp.cumsum(starts.astype(I32)) - 1  # edge id per sorted node
+    in_edge = eid < n_edges
+
+    w = jnp.where(starts, K, 1) * in_edge.astype(I32)
+    out_pos = jnp.cumsum(w) - w
+    flat_true = jnp.sum(w)
+
+    ow = oriented_words(table.words, us)
+    last = kc.last_base(ow)
+
+    codes = jnp.zeros((flat_pad + 1,), I32)
+    lb_pos = out_pos + (K - 1) * starts.astype(I32)
+    codes = codes.at[jnp.where(in_edge, lb_pos, flat_pad)].set(last, mode="drop")
+    # head prefixes: bases 0..K-2 of the head oriented kmer, one scatter
+    shifts = (np.uint32(2) * (15 - np.arange(16, dtype=np.uint32))).astype(np.uint32)
+    bases48 = ((ow[:, :, None] >> shifts[None, None, :]) & np.uint32(3)).reshape(
+        n2, 3 * 16
+    ).astype(I32)
+    pj = out_pos[:, None] + jnp.arange(K - 1, dtype=I32)[None, :]
+    idxm = jnp.where((in_edge & starts)[:, None], pj, flat_pad)
+    codes = codes.at[idxm.reshape(-1)].set(
+        bases48[:, : K - 1].reshape(-1), mode="drop"
+    )
+    codes = codes[:flat_pad]
+
+    # per-edge offsets (edges are contiguous in the flat code array)
+    eidc = jnp.minimum(eid, e_pad)  # clamp overflow chains into a dump slot
+    e_start = seg.seg_min(
+        jnp.where(in_edge, out_pos, flat_pad), eidc, e_pad + 1
+    )[:e_pad]
+    edge_offsets = jnp.where(
+        jnp.arange(e_pad + 1) < n_edges,
+        jnp.concatenate([e_start, jnp.zeros((1,), I32)]),
+        flat_true,
+    ).astype(I32)
+
+    # head/tail node per edge
+    last_in_seg = jnp.concatenate([starts[1:], jnp.array([True])])
+    head_node = jnp.zeros((e_pad + 1,), I32).at[
+        jnp.where(starts & in_edge, eidc, e_pad)
+    ].set(us, mode="drop")[:e_pad]
+    tail_node = jnp.zeros((e_pad + 1,), I32).at[
+        jnp.where(last_in_seg & in_edge, eidc, e_pad)
+    ].set(us, mode="drop")[:e_pad]
+
+    # node -> (edge, pos) map
+    node_edge = jnp.full((n2,), -1, I32).at[us].set(jnp.where(in_edge, eid, -1))
+    node_pos = jnp.zeros((n2,), I32).at[us].set(ds)
+
+    # involution: edge of the rc twin of our head node
+    inv = node_edge[head_node ^ 1]
+    is_circle = links.next[tail_node] >= 0
+
+    # vertices: 47-mer junction keys ("47 bases + trailing 0" word format);
+    # rows past n_edges get sentinel keys and sort to the tail
+    erow = jnp.arange(e_pad, dtype=I32)
+    evalid = erow < n_edges
+    hw = oriented_words(table.words, head_node)
+    tw = oriented_words(table.words, tail_node)
+    from_key = hw.at[:, 2].set(hw[:, 2] & np.uint32(0xFFFFFFFC))
+    to_key = kc.successor_words(tw, jnp.zeros((e_pad,), I32))
+    sent = jnp.asarray(kc.SENTINEL)
+    from_key = jnp.where(evalid[:, None], from_key, sent)
+    to_key = jnp.where(evalid[:, None], to_key, sent)
+    both = jnp.concatenate([from_key, to_key], axis=0)
+    vsort, _, _ = kc.sort_by_words(both)
+    vstarts = seg.run_starts(vsort)
+    real = ~jnp.all(vsort == sent, axis=-1)
+    n_vertices = jnp.sum((vstarts & real).astype(I32))
+    # unique vertex table = first row of each run; ids by sorted order
+    vid_of_sorted = jnp.cumsum(vstarts.astype(I32)) - 1
+    # map each key -> vertex id via searchsorted into the sorted (non-unique)
+    # table, then translate position -> run id
+    fpos, _ = kc.searchsorted_words(vsort, from_key)
+    tpos, _ = kc.searchsorted_words(vsort, to_key)
+    from_v = vid_of_sorted[fpos]
+    to_v = vid_of_sorted[tpos]
+
+    return DeviceGraph(
+        codes,
+        edge_offsets,
+        inv,
+        is_circle,
+        from_v,
+        to_v,
+        n_vertices,
+        node_edge,
+        node_pos,
+        n_edges,
+    )
+
+
+def trim_table(table: KmerTable, pad_multiple: int = 1024) -> KmerTable:
+    """Host-side stage-boundary repack: shrink the padded table to
+    round_up(n_valid) rows (the count stage pads to #positions)."""
+    n = int(table.n_valid)
+    m = max(pad_multiple, -(-n // pad_multiple) * pad_multiple)
+    sl = lambda a: jnp.asarray(np.asarray(a)[:m])
+    words = np.full((m, 3), kc.SENTINEL, dtype=np.uint32)
+    words[:n] = np.asarray(table.words)[:n]
+    return KmerTable(
+        jnp.asarray(words),
+        sl(table.count),
+        sl(table.nbc),
+        sl(table.left_mask),
+        sl(table.right_mask),
+        jnp.asarray(n, I32),
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def build_graph(table: KmerTable) -> DeviceGraph:
+    """Host entry: trimmed KmerTable -> DeviceGraph (two-phase)."""
+    links = build_links(table)
+    n_edges, flat = _edge_shape(links, int(table.n_valid))
+    e_pad = _round_up(n_edges + 1, 512)
+    flat_pad = _round_up(flat + 1, 16384)
+    return materialize_edges(table, links, n_edges, e_pad, flat_pad)

@@ -51,7 +51,9 @@ def ingest_pairs(
     return build_readset(reads, quals, bc_ids, n_barcodes=len(wl), barcoded=True)
 
 
-def ingest_sim(sim: SimReads, wl: Whitelist) -> ReadSet:
+def ingest_sim(sim: SimReads, wl) -> ReadSet:
+    if isinstance(wl, np.ndarray):  # raw (n,16) whitelist codes
+        wl = Whitelist.from_codes(wl)
     return ingest_pairs(
         sim.r1,
         sim.q1,

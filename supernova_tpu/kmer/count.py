@@ -1,0 +1,261 @@
+"""48-mer counting: the MSP/SHARD_ASM/Kmerizer analogue, as one device program.
+
+Reference behavior being reproduced (SURVEY.md §2.1, §7 step 3):
+  * qual trim: longest prefix whose final K bases all have qual >= MIN_QUAL=7
+    (lib/tada/src/cmd_msp.rs:127-146, BuildReadQGraph48.cc:65-89
+    GoodLenTailFinder); reads with good length < K+1 contribute no kmers
+    (Kmerizer::map, BuildReadQGraph48.cc:158-161).
+  * canonical 48-mers with observed left/right extension contexts, rc-flipped
+    together with the kmer (Kmerizer::map, BuildReadQGraph48.cc:160-174).
+  * filter: count >= min_freq AND (some occurrence from a barcode-ignored
+    read OR >= min_bc distinct barcodes>0)  (Kmerizer::reduce +
+    areEnoughBarcodes/areIgnoredBarcodes, BuildReadQGraph48.cc:108-183).
+  * adjacency recompute after filtering: observed contexts intersected with
+    table membership (KmerDict::recomputeAdjacencies, kmers/ReadPather.h:346).
+
+TPU-native design: no hash maps — one big stable lexicographic sort of all
+(kmer, barcode) occurrence rows, then sorted-segment reductions.  All shapes
+static; invalid rows ride along as all-ones sentinels.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import kmer_codec as kc
+from ..core.kmer_codec import K
+from ..ops import segments as seg
+
+MIN_QUAL = 7  # DF.cc:138-141
+MIN_FREQ = 3  # mro/_assembler.mro:44 min_kmer_obs
+MIN_BC = 2  # DF.cc MIN_BC default
+BC_IGNORED = -1  # occurrences whose barcode is untracked (block-0 reads)
+U32 = jnp.uint32
+
+
+class KmerTable(NamedTuple):
+    """Sorted canonical kmer table, sentinel-padded to static size M."""
+
+    words: jax.Array  # (M,3) uint32, canonical, ascending; sentinel pad
+    count: jax.Array  # (M,) int32 occurrence count
+    nbc: jax.Array  # (M,) int32 distinct barcodes > 0
+    left_mask: jax.Array  # (M,) uint32 4-bit predecessor-base mask
+    right_mask: jax.Array  # (M,) uint32 4-bit successor-base mask
+    n_valid: jax.Array  # scalar int32
+
+
+def rev4(mask):
+    """Reverse a 4-bit base mask (bit b -> bit 3-b): rc of an extension set."""
+    mask = jnp.asarray(mask)
+    return (
+        ((mask & 1) << 3) | ((mask & 2) << 1) | ((mask & 4) >> 1) | ((mask & 8) >> 3)
+    )
+
+
+def good_lengths(quals, read_offsets, pos_read, min_qual: int = MIN_QUAL):
+    """Per-read good length: the qual-trim rule (cmd_msp.rs:127-146).
+
+    quals: (NB,) flat phred scores; read_offsets: (R+1,); pos_read: (NB,)
+    read id per flat position.  Vectorized as a cummax over 'blocker'
+    positions (bad qual or read start) -> consecutive-good streak length.
+    """
+    nb = quals.shape[0]
+    n_reads = read_offsets.shape[0] - 1
+    p = jnp.arange(nb, dtype=jnp.int32)
+    bad = quals < min_qual
+    read_start = read_offsets[pos_read].astype(jnp.int32)
+    # last blocker strictly before or at p: bad positions block at p+1
+    blocker = jnp.where(bad, p + 1, 0)
+    last_bad = jax.lax.cummax(blocker)
+    bound = jnp.maximum(last_bad, read_start)
+    streak = p + 1 - bound  # consecutive good quals ending at p, within read
+    ok_end = streak >= K
+    cand = jnp.where(ok_end, p + 1 - read_start, 0)  # good_len if window ends here
+    return seg.seg_max(cand, pos_read, n_reads).astype(jnp.int32)
+
+
+def extract_occurrences(
+    codes_ext,  # (NB + K,) int32/uint8 flat base codes, zero-padded tail
+    read_offsets,  # (R+1,) int32
+    pos_read,  # (NB,) int32 read id per flat position
+    good_len,  # (R,) int32 qual-trimmed good length per read
+    read_bc,  # (R,) int32: BC_IGNORED, or barcode id > 0
+):
+    """Per-position canonical kmer occurrences (the Kmerizer::map phase).
+    -> (canon (NB,3) sentinel for invalid, bc (NB,), lm (NB,), rm (NB,),
+        valid (NB,) bool)."""
+    nb = pos_read.shape[0]
+    codes_ext = jnp.asarray(codes_ext).astype(jnp.int32)
+    p = jnp.arange(nb, dtype=jnp.int32)
+
+    words = kc.sliding_words(codes_ext, nb)
+    canon, flipped = kc.canonicalize(words)
+
+    start = read_offsets[pos_read].astype(jnp.int32)
+    pir = p - start  # position in read
+    glen = good_len[pos_read]
+    valid = (pir + K <= glen) & (glen >= K + 1)
+
+    has_pred = pir > 0
+    pred = codes_ext[jnp.maximum(p - 1, 0)]
+    has_succ = pir + K < glen
+    succ = codes_ext[p + K]
+    lmask = jnp.where(has_pred, (1 << pred).astype(U32), U32(0))
+    rmask = jnp.where(has_succ, (1 << succ).astype(U32), U32(0))
+    lm = jnp.where(flipped, rev4(rmask), lmask)
+    rm = jnp.where(flipped, rev4(lmask), rmask)
+
+    bc = read_bc[pos_read]
+    canon = jnp.where(valid[:, None], canon, jnp.asarray(kc.SENTINEL))
+    return canon, bc, lm, rm, valid
+
+
+BC_FIELD_IGNORED = 0x3FFFFF  # 22-bit barcode field; all-ones = "ignored"
+
+
+def reduce_occurrences(
+    canon, bc, lm, rm, valid, min_freq: int = MIN_FREQ, min_bc: int = MIN_BC
+) -> KmerTable:
+    """Sort occurrence rows and segment-reduce into a filtered KmerTable
+    (the Kmerizer::reduce phase).
+
+    The non-kmer row attributes pack into ONE uint32 sort key —
+    [31:10]=barcode (22 bits; caps barcode ids at ~4.19M, enough for the 4M
+    whitelist), [9:6]=left mask, [5:2]=right mask, [1]=valid — so the hot
+    device sort runs on 4 operands instead of 8.
+    """
+    nb = canon.shape[0]
+    bcf = jnp.where(bc == BC_IGNORED, U32(BC_FIELD_IGNORED), bc.astype(U32))
+    packed = (
+        (bcf << np.uint32(10))
+        | (lm << np.uint32(6))
+        | (rm << np.uint32(2))
+        | (valid.astype(U32) << np.uint32(1))
+    )
+
+    ws, (pk,), _ = kc.sort_by_words(canon, extra_keys=(packed,))
+    bc_s = pk >> np.uint32(10)
+    lm_s = (pk >> np.uint32(6)) & np.uint32(15)
+    rm_s = (pk >> np.uint32(2)) & np.uint32(15)
+    valid_s = ((pk >> np.uint32(1)) & np.uint32(1)).astype(jnp.int32)
+
+    starts = seg.run_starts(ws)
+    sid = seg.segment_ids_from_starts(starts)
+    count = seg.seg_sum(valid_s, sid, nb)
+    new_pair = starts | (bc_s != jnp.roll(bc_s, 1))
+    counted_bc = (
+        (valid_s == 1) & (bc_s > 0) & (bc_s != BC_FIELD_IGNORED) & new_pair
+    )
+    nbc = seg.seg_sum(counted_bc.astype(jnp.int32), sid, nb)
+    has_ign = seg.seg_max(
+        ((valid_s == 1) & (bc_s == BC_FIELD_IGNORED)).astype(jnp.int32), sid, nb
+    )
+    lmask_u = seg.seg_or_mask(jnp.where(valid_s == 1, lm_s, U32(0)), sid, nb, 4)
+    rmask_u = seg.seg_or_mask(jnp.where(valid_s == 1, rm_s, U32(0)), sid, nb, 4)
+    # per-segment kmer words: all rows in a segment share them, so min works;
+    # empty (padding) segments come out all-ones = sentinel.
+    uw = jnp.stack(
+        [seg.seg_min(ws[:, j], sid, nb) for j in range(3)], axis=-1
+    )
+
+    real = ~jnp.all(uw == jnp.asarray(kc.SENTINEL), axis=-1)
+    keep = real & (count >= min_freq) & ((has_ign > 0) | (nbc >= min_bc))
+    n_valid, (w2, c2, b2, l2, r2) = seg.stable_compact(
+        keep, uw, count, nbc, lmask_u, rmask_u
+    )
+    m = jnp.arange(nb) < n_valid
+    w2 = jnp.where(m[:, None], w2, jnp.asarray(kc.SENTINEL))
+    return KmerTable(w2, c2 * m, b2 * m, l2 * m.astype(U32), r2 * m.astype(U32), n_valid)
+
+
+@partial(jax.jit, static_argnames=("min_freq", "min_bc"))
+def count_kmers(
+    codes_ext,
+    read_offsets,
+    pos_read,
+    good_len,
+    read_bc,
+    min_freq: int = MIN_FREQ,
+    min_bc: int = MIN_BC,
+) -> KmerTable:
+    """Count + filter canonical 48-mers over all reads.  Fully on device."""
+    canon, bc, lm, rm, valid = extract_occurrences(
+        codes_ext, read_offsets, pos_read, good_len, read_bc
+    )
+    return reduce_occurrences(canon, bc, lm, rm, valid, min_freq, min_bc)
+
+
+@jax.jit
+def recompute_adjacencies(table: KmerTable) -> KmerTable:
+    """Intersect observed context masks with table membership
+    (KmerDict::recomputeAdjacencies, kmers/ReadPather.h:346-380)."""
+    words = table.words
+    lmask, rmask = table.left_mask, table.right_mask
+    new_r = jnp.zeros_like(rmask)
+    new_l = jnp.zeros_like(lmask)
+    for b in range(4):
+        succ, _ = kc.canonicalize(kc.successor_words(words, jnp.int32(b)))
+        _, found = kc.searchsorted_words(words, succ)
+        new_r = new_r | jnp.where(found, U32(1 << b), U32(0))
+        pred, _ = kc.canonicalize(kc.predecessor_words(words, jnp.int32(b)))
+        _, found = kc.searchsorted_words(words, pred)
+        new_l = new_l | jnp.where(found, U32(1 << b), U32(0))
+    return table._replace(left_mask=lmask & new_l, right_mask=rmask & new_r)
+
+
+# ----------------------------------------------------------------- host prep
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024) -> dict:
+    """Host-side packing of a ReadSet into static-shape device inputs.
+
+    Shapes are rounded up to buckets so different inputs share compiled
+    programs; padding positions belong to a fake empty read (good_len 0).
+    """
+    nb = int(rs.offsets[-1])
+    n_reads = rs.n_reads
+    nbp = _round_up(max(nb, 1), base_bucket)
+    rp = _round_up(n_reads + 1, read_bucket)
+
+    codes_ext = np.zeros(nbp + K, dtype=np.int32)
+    codes_ext[:nb] = rs.codes
+    quals = np.zeros(nbp, dtype=np.int32)
+    quals[:nb] = rs.quals
+    lens = np.diff(rs.offsets).astype(np.int64)
+    pos_read = np.full(nbp, n_reads, dtype=np.int32)
+    pos_read[:nb] = np.repeat(np.arange(n_reads, dtype=np.int32), lens)
+    offsets = np.full(rp + 1, nb, dtype=np.int32)
+    offsets[: n_reads + 1] = rs.offsets
+    read_bc = np.full(rp, BC_IGNORED, dtype=np.int32)
+    if rs.barcoded:
+        read_bc[:n_reads] = np.where(rs.bc > 0, rs.bc, BC_IGNORED)
+    return dict(
+        codes_ext=jnp.asarray(codes_ext),
+        read_offsets=jnp.asarray(offsets),
+        pos_read=jnp.asarray(pos_read),
+        quals=jnp.asarray(quals),
+        read_bc=jnp.asarray(read_bc),
+    )
+
+
+def count_readset(rs, min_freq: int = MIN_FREQ, min_bc: int = MIN_BC) -> KmerTable:
+    """End-to-end host entry: ReadSet -> filtered, adjacency-true KmerTable."""
+    inp = prepare_reads(rs)
+    glen = good_lengths(inp["quals"], inp["read_offsets"], inp["pos_read"])
+    table = count_kmers(
+        inp["codes_ext"],
+        inp["read_offsets"],
+        inp["pos_read"],
+        glen,
+        inp["read_bc"],
+        min_freq=min_freq,
+        min_bc=min_bc,
+    )
+    return recompute_adjacencies(table)

@@ -70,36 +70,19 @@ def seg_or_mask(masks, seg_ids, num_segments: int, nbits: int):
 def stable_compact(valid, *arrays):
     """Stable partition: rows with valid=True first, preserving order.
 
-    Returns (n_valid scalar int32, compacted arrays).  Implemented as a
-    stable sort on the invalid flag — TPU-friendly, no dynamic shapes.
+    Returns (n_valid scalar int32, compacted arrays).  One linear scatter
+    per array (destination = exclusive cumsum of valid); invalid rows keep
+    the output's zero fill.
     """
-    key = (~valid).astype(jnp.int32)
-    flat = []
-    shapes = []
+    valid = jnp.asarray(valid)
+    n = valid.shape[0]
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    idx = jnp.where(valid, pos, n)  # dropped for invalid rows
+    res = []
     for a in arrays:
         a = jnp.asarray(a)
-        shapes.append(a.shape)
-        flat.append(a if a.ndim == 1 else a.reshape(a.shape[0], -1))
-    ops = [key]
-    widths = []
-    for a in flat:
-        if a.ndim == 1:
-            ops.append(a)
-            widths.append(0)
-        else:
-            widths.append(a.shape[1])
-            for j in range(a.shape[1]):
-                ops.append(a[:, j])
-    out = jax.lax.sort(tuple(ops), num_keys=1, is_stable=True)
-    res = []
-    pos = 1
-    for w, shape in zip(widths, shapes):
-        if w == 0:
-            res.append(out[pos])
-            pos += 1
-        else:
-            res.append(jnp.stack(out[pos : pos + w], axis=-1).reshape(shape))
-            pos += w
+        out = jnp.zeros_like(a)
+        res.append(out.at[idx].set(a, mode="drop"))
     n_valid = jnp.sum(valid.astype(jnp.int32))
     return n_valid, tuple(res)
 

@@ -1,0 +1,302 @@
+"""Multi-chip 48-mer counting: data-parallel reads, hash-sharded kmer space.
+
+This is the TPU-native re-expression of the reference's MSP shuffle
+(SURVEY.md §2.3 #2): reads are split across devices; each device extracts
+canonical kmer occurrence rows; rows are exchanged with a single
+ragged_all_to_all keyed on a kmer hash (every copy of a kmer lands on one
+shard, so shard-local counting + filtering is exact — the same argument that
+makes the reference's 8192 disk shards exact, cmd_msp.rs:4-9); each shard
+then sorts + segment-reduces its slice of kmer space locally.
+
+The result is a distributed KmerTable sharded by kmer hash.  merge_shard_
+tables() re-sorts the (disjoint) shard tables into the single lexicographic
+table the graph builder consumes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..core import kmer_codec as kc
+from ..kmer.count import (
+    BC_IGNORED,
+    MIN_BC,
+    MIN_FREQ,
+    KmerTable,
+    extract_occurrences,
+    good_lengths,
+    reduce_occurrences,
+)
+from .mesh import AXIS
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+def kmer_shard_hash(words) -> jax.Array:
+    """Mix the 3 kmer words into a well-distributed uint32 (murmur-style)."""
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    h = jnp.asarray(0x9E3779B9, U32)
+    for j in range(3):
+        k = words[..., j] * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h = h ^ k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    return h
+
+
+def _unpack_bc_masks(pk):
+    """Inverse of the packed occurrence attribute word (see
+    kmer.count.reduce_occurrences)."""
+    field = pk >> np.uint32(10)
+    from ..kmer.count import BC_FIELD_IGNORED
+
+    rbc = jnp.where(field == BC_FIELD_IGNORED, BC_IGNORED, field.astype(I32))
+    rlm = (pk >> np.uint32(6)) & np.uint32(15)
+    rrm = (pk >> np.uint32(2)) & np.uint32(15)
+    return rbc, rlm, rrm
+
+
+def _sharded_count_local(
+    codes_ext,
+    read_offsets,
+    pos_read,
+    quals,
+    read_bc,
+    n_dev: int,
+    capacity: int,
+    min_freq: int,
+    min_bc: int,
+    use_ragged: bool,
+):
+    """Per-device body (runs under shard_map over AXIS)."""
+    glen = good_lengths(quals, read_offsets, pos_read)
+    canon, bc, lm, rm, valid = extract_occurrences(
+        codes_ext, read_offsets, pos_read, glen, read_bc
+    )
+    nbl = canon.shape[0]
+
+    from ..kmer.count import BC_FIELD_IGNORED
+
+    bcf = jnp.where(bc == BC_IGNORED, U32(BC_FIELD_IGNORED), bc.astype(U32))
+    packed = (
+        (bcf << np.uint32(10))
+        | (lm << np.uint32(6))
+        | (rm << np.uint32(2))
+        | (valid.astype(U32) << np.uint32(1))
+    )
+    shard = jnp.where(valid, kmer_shard_hash(canon) % np.uint32(n_dev), U32(n_dev))
+    ops = jax.lax.sort(
+        (shard, canon[:, 0], canon[:, 1], canon[:, 2], packed),
+        num_keys=1,
+        is_stable=True,
+    )
+    shard_s = ops[0]
+    payload = jnp.stack(ops[1:], axis=-1)  # (NBL, 4) uint32
+
+    counts = jax.ops.segment_sum(
+        jnp.ones((nbl,), I32), shard_s.astype(I32), num_segments=n_dev + 1,
+        indices_are_sorted=True,
+    )[:n_dev]
+    input_offsets = jnp.cumsum(counts) - counts
+
+    if use_ragged:
+        # TPU path: single ragged all-to-all (no padding traffic)
+        # everyone learns the full send-size matrix S[i, j] = i sends to j
+        S = jax.lax.all_gather(counts, AXIS)  # (n_dev, n_dev)
+        me = jax.lax.axis_index(AXIS)
+        recv_sizes = S[:, me]
+        # where my slices land on each receiver: after all senders before me
+        col_excl = jnp.cumsum(S, axis=0) - S  # exclusive cumsum over senders
+        output_offsets = col_excl[me, :]
+
+        out_init = jnp.zeros((capacity, 4), U32)
+        received = jax.lax.ragged_all_to_all(
+            payload,
+            out_init,
+            input_offsets.astype(I32),
+            counts.astype(I32),
+            output_offsets.astype(I32),
+            recv_sizes.astype(I32),
+            axis_name=AXIS,
+        )
+        n_recv = jnp.sum(recv_sizes)
+        row_ok = jnp.arange(capacity) < n_recv
+        words = jnp.where(row_ok[:, None], received[:, 0:3], jnp.asarray(kc.SENTINEL))
+        pk = received[:, 3]
+        rvalid = (((pk >> np.uint32(1)) & np.uint32(1)) == 1) & row_ok
+        rbc, rlm, rrm = _unpack_bc_masks(pk)
+        overflow = jnp.maximum(n_recv - capacity, 0)
+    else:
+        # fallback (XLA:CPU has no ragged-all-to-all): fixed-capacity dense
+        # exchange; padding rows carry sentinel words + valid=0, which the
+        # reducer already ignores, so no size bookkeeping is needed.
+        cap_per = capacity // n_dev
+        rank = jnp.arange(nbl, dtype=I32) - input_offsets[
+            jnp.minimum(shard_s, n_dev - 1).astype(I32)
+        ]
+        ok = (shard_s < n_dev) & (rank < cap_per)
+        sendbuf = jnp.zeros((n_dev * cap_per, 4), U32)
+        sendbuf = sendbuf.at[:, 0:3].set(kc.SENTINEL)
+        flat_idx = jnp.minimum(shard_s, n_dev - 1).astype(I32) * cap_per + rank
+        sendbuf = sendbuf.at[jnp.where(ok, flat_idx, n_dev * cap_per)].set(
+            payload, mode="drop"
+        )
+        received = jax.lax.all_to_all(
+            sendbuf.reshape(n_dev, cap_per, 4), AXIS, 0, 0, tiled=False
+        ).reshape(n_dev * cap_per, 4)
+        words = received[:, 0:3]
+        pk = received[:, 3]
+        rvalid = ((pk >> np.uint32(1)) & np.uint32(1)) == 1
+        rbc, rlm, rrm = _unpack_bc_masks(pk)
+        dropped = jnp.sum(
+            jnp.maximum(counts - cap_per, 0)
+        )
+        overflow = jax.lax.psum(dropped, AXIS)
+
+    table = reduce_occurrences(words, rbc, rlm, rrm, rvalid, min_freq, min_bc)
+    # scalars -> (1,) so shard_map can stack them along the mesh axis
+    table = table._replace(n_valid=table.n_valid.reshape(1))
+    return table, overflow.reshape(1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "n_dev", "capacity", "min_freq", "min_bc", "use_ragged"),
+)
+def sharded_count(
+    mesh,
+    codes_ext,  # (n_dev * (NBL+K),) sharded rows
+    read_offsets,  # (n_dev * (RL+1),)
+    pos_read,  # (n_dev * NBL,)
+    quals,  # (n_dev * NBL,)
+    read_bc,  # (n_dev * RL,)
+    n_dev: int,
+    capacity: int,
+    min_freq: int = MIN_FREQ,
+    min_bc: int = MIN_BC,
+    use_ragged: bool | None = None,
+):
+    """Jitted multi-device counting step: returns per-shard KmerTables
+    (leading axis = shard) + per-shard overflow counters.
+
+    use_ragged: ragged_all_to_all (TPU) vs fixed-capacity dense all_to_all
+    (XLA:CPU lacks ragged-all-to-all); default picks by backend."""
+    if use_ragged is None:
+        use_ragged = jax.default_backend() == "tpu"
+    capacity = -(-capacity // n_dev) * n_dev  # multiple of n_dev
+    fn = partial(
+        _sharded_count_local,
+        n_dev=n_dev,
+        capacity=capacity,
+        min_freq=min_freq,
+        min_bc=min_bc,
+        use_ragged=use_ragged,
+    )
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(
+            KmerTable(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+            P(AXIS),
+        ),
+    )(codes_ext, read_offsets, pos_read, quals, read_bc)
+
+
+# ------------------------------------------------------------------- host
+
+def split_readset(rs, n_dev: int, base_bucket: int = 16384, read_bucket: int = 1024):
+    """Split a ReadSet into n_dev equal-shape device blocks (by read pairs,
+    so mates stay together), returning stacked host arrays."""
+    from ..kmer.count import BC_IGNORED as IGN, _round_up
+    from ..core.kmer_codec import K
+
+    pairs = rs.n_pairs
+    per = -(-pairs // n_dev)
+    blocks = []
+    max_nb = 1
+    max_r = 1
+    for dvc in range(n_dev):
+        lo, hi = dvc * per * 2, min((dvc + 1) * per * 2, rs.n_reads)
+        lo = min(lo, rs.n_reads)
+        idx = np.arange(lo, hi)
+        lens = np.diff(rs.offsets)[idx] if len(idx) else np.zeros(0, np.int64)
+        blocks.append((idx, lens))
+        max_nb = max(max_nb, int(lens.sum()))
+        max_r = max(max_r, len(idx))
+    nbl = _round_up(max_nb, base_bucket)
+    rl = _round_up(max_r + 1, read_bucket)
+
+    def pack(idx, lens):
+        nb = int(lens.sum())
+        codes = np.zeros(nbl + K, np.int32)
+        qu = np.zeros(nbl, np.int32)
+        pr = np.full(nbl, len(idx), np.int32)
+        off = np.full(rl + 1, nb, np.int32)
+        bcv = np.full(rl, IGN, np.int32)
+        if len(idx):
+            starts = rs.offsets[idx]
+            flat = np.concatenate(
+                [rs.codes[s : s + l] for s, l in zip(starts, lens)]
+            ) if len(idx) else np.zeros(0, np.uint8)
+            codes[:nb] = flat
+            qu[:nb] = np.concatenate(
+                [rs.quals[s : s + l] for s, l in zip(starts, lens)]
+            )
+            pr[:nb] = np.repeat(np.arange(len(idx), dtype=np.int32), lens)
+            off[: len(idx) + 1] = np.concatenate([[0], np.cumsum(lens)])
+            if rs.barcoded:
+                bcv[: len(idx)] = np.where(rs.bc[idx] > 0, rs.bc[idx], IGN)
+        return codes, off, pr, qu, bcv
+
+    packed = [pack(i, l) for i, l in blocks]
+    cat = lambda k: np.concatenate([p[k] for p in packed])
+    return cat(0), cat(1), cat(2), cat(3), cat(4), nbl, rl
+
+
+def merge_shard_tables(tables_stacked) -> "KmerTable":
+    """Host merge: per-shard tables are disjoint in kmer space; concat valid
+    rows and re-sort lexicographically into one global table."""
+    import jax.numpy as jnp
+
+    nv = np.asarray(tables_stacked.n_valid)
+    n_dev = len(nv)
+    cap = np.asarray(tables_stacked.count).shape[0] // n_dev
+    words = np.asarray(tables_stacked.words).reshape(n_dev, cap, 3)
+    count = np.asarray(tables_stacked.count).reshape(n_dev, cap)
+    nbc = np.asarray(tables_stacked.nbc).reshape(n_dev, cap)
+    lm = np.asarray(tables_stacked.left_mask).reshape(n_dev, cap)
+    rm = np.asarray(tables_stacked.right_mask).reshape(n_dev, cap)
+    rows_w, rows_c, rows_b, rows_l, rows_r = [], [], [], [], []
+    for s in range(words.shape[0]):
+        n = int(nv[s])
+        rows_w.append(words[s, :n])
+        rows_c.append(count[s, :n])
+        rows_b.append(nbc[s, :n])
+        rows_l.append(lm[s, :n])
+        rows_r.append(rm[s, :n])
+    w = np.concatenate(rows_w)
+    order = np.lexsort((w[:, 2], w[:, 1], w[:, 0]))
+    n = len(order)
+    m = max(256, -(-n // 256) * 256)
+    ww = np.full((m, 3), kc.SENTINEL, np.uint32)
+    ww[:n] = w[order]
+    pad = lambda a: np.concatenate([a[order], np.zeros(m - n, a.dtype)])
+    return KmerTable(
+        jnp.asarray(ww),
+        jnp.asarray(pad(np.concatenate(rows_c))),
+        jnp.asarray(pad(np.concatenate(rows_b))),
+        jnp.asarray(pad(np.concatenate(rows_l))),
+        jnp.asarray(pad(np.concatenate(rows_r))),
+        jnp.asarray(n, I32),
+    )

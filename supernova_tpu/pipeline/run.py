@@ -1,0 +1,256 @@
+"""Pipeline orchestration: the _ASSEMBLER analogue with checkpoint re-entry.
+
+Stage graph (reference: mro/_assembler.mro:27-95):
+  ingest (BUCKET/SORT/ParseBarcodedFastqs) -> count (_ASM_SN) ->
+  graph (DF build) -> paths (DF pathReads) -> fasta (MakeFasta raw)
+with each stage writing an npz checkpoint into the out dir — the a.* file
+contract (SURVEY.md §8) re-expressed; existing checkpoints are reused,
+mirroring the reference's START=<stage> re-entry (DF.cc:147-155).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..align import index as pindex
+from ..align import pather
+from ..dbg import build as dbuild
+from ..dbg import graph as dgraph
+from ..ingest.ingest import valid_barcode_fraction
+from ..ingest.reads import ReadSet
+from ..kmer import count as kcount
+from ..out import fasta as fout
+from ..stats.logger import StatLogger, n50
+
+
+class Pipeline:
+    def __init__(self, outdir: str | Path, stats: StatLogger | None = None):
+        self.outdir = Path(outdir)
+        self.outdir.mkdir(parents=True, exist_ok=True)
+        self.stats = stats or StatLogger.load(self.outdir / "all_stats.json")
+
+    # ---------------------------------------------------------------- stages
+
+    def stage_ingest(self, rs: ReadSet) -> ReadSet:
+        ck = self.outdir / "reads.npz"
+        if not ck.exists():
+            rs.save(ck)
+        self.stats.log("nreads", rs.n_reads, "number of reads", cs=True, stage="ingest")
+        self.stats.log(
+            "mean_read_len",
+            float(np.mean(rs.lengths())) if rs.n_reads else 0.0,
+            "mean input read length",
+            cs=True,
+            stage="ingest",
+        )
+        if rs.barcoded:
+            self.stats.log(
+                "valid_bc_perc",
+                100.0 * valid_barcode_fraction(rs),
+                "% reads with valid barcode",
+                cs=True,
+                stage="ingest",
+            )
+            rpb = np.diff(rs.bci)[1:]  # reads per real barcode
+            self.stats.log("rpb_N50", n50(rpb[rpb > 0]), "N50 reads per barcode", cs=True)
+        q30 = float((rs.quals >= 30).mean() * 100) if len(rs.quals) else 0.0
+        self.stats.log("q30_r2_perc", q30, "Q30 bases %", stage="ingest")
+        return rs
+
+    def stage_count(self, rs: ReadSet):
+        table = kcount.count_readset(rs)
+        table = dbuild.trim_table(table)
+        n = int(table.n_valid)
+        self.stats.log("kmers_distinct", n, "distinct filtered 48-mers", stage="count")
+        np.savez_compressed(
+            self.outdir / "kmers.npz",
+            words=np.asarray(table.words),
+            count=np.asarray(table.count),
+            nbc=np.asarray(table.nbc),
+            left_mask=np.asarray(table.left_mask),
+            right_mask=np.asarray(table.right_mask),
+            n_valid=np.int64(n),
+        )
+        return table
+
+    def stage_graph(self, table) -> dgraph.BaseGraph:
+        dg = dbuild.build_graph(table)
+        bg = dgraph.from_device(dg, table)
+        bg.save(self.outdir / "graph.npz")
+        lens = bg.edges.lengths()
+        canonical = np.arange(bg.n_edges) <= bg.inv  # one per rc pair
+        self.stats.log("n_edges", bg.n_edges, "unipath edges (fwd+rc)", stage="graph")
+        self.stats.log(
+            "edge_N50", n50(lens[canonical]), "unipath edge N50 (bases)", cs=True
+        )
+        self.stats.log("assembly_checksum", bg.checksum(), "graph checksum", stage="graph")
+        return bg
+
+    def stage_paths(self, bg, rs):
+        rp = pather.path_readset(bg, rs)
+        edges = np.asarray(rp.edges)[: rs.n_reads]
+        plen = np.asarray(rp.path_len)[: rs.n_reads]
+        offset = np.asarray(rp.offset)[: rs.n_reads]
+        np.savez_compressed(
+            self.outdir / "paths.npz", edges=edges, path_len=plen, offset=offset
+        )
+        placed = float((plen > 0).mean()) if rs.n_reads else 0.0
+        self.stats.log("placed_perc", placed * 100, "% reads pathed", stage="paths")
+        counts = pindex.edge_read_counts(edges, plen, bg.n_edges)
+        ebcx = pindex.edge_barcodes(edges, plen, rs.bc, bg.n_edges)
+        np.savez_compressed(
+            self.outdir / "ebcx.npz",
+            values=ebcx.values,
+            offsets=ebcx.offsets,
+            counts=counts,
+        )
+        return rp
+
+    def stage_supergraph(self, bg, rp, rs):
+        """TR/MC analogue: dup marking, weak-edge trimming, D build, lines."""
+        from ..asm import dups as adups
+        from ..asm import lines as alines
+        from ..asm import supergraph as asg
+
+        edges = np.asarray(rp.edges)[: rs.n_reads]
+        plen = np.asarray(rp.path_len)[: rs.n_reads]
+        offset = np.asarray(rp.offset)[: rs.n_reads]
+        dup = adups.mark_dups(edges, plen, offset, rs.bc)
+        self.stats.log(
+            "dup_frac", adups.dup_fraction(dup), "duplicate pair fraction",
+            stage="supergraph",
+        )
+        counts = pindex.edge_read_counts(edges, plen, bg.n_edges)
+        keep = asg.trim_weak_edges(bg, counts)
+        D = asg.build_supergraph(bg, keep)
+        D.validate()
+        lines = alines.find_lines(D)
+        self.stats.log("n_super_edges", D.n_edges, stage="supergraph")
+        self.stats.log("n_lines", lines.n_lines, stage="supergraph")
+        np.savez_compressed(
+            self.outdir / "supergraph.npz",
+            epaths_values=D.epaths.values,
+            epaths_offsets=D.epaths.offsets,
+            dinv=D.dinv,
+            from_v=D.from_v,
+            to_v=D.to_v,
+            keep=keep,
+            dup=dup,
+        )
+        return D, lines, dup
+
+    def stage_scaffold_phase(self, D, lines, rp, rs):
+        """CP analogue: barcode links -> scaffolds; Flipper -> phasing."""
+        from ..asm import phasing as aph
+        from ..asm import scaffold as asc
+        from ..asm import supergraph as asg
+
+        edges = np.asarray(rp.edges)[: rs.n_reads]
+        plen = np.asarray(rp.path_len)[: rs.n_reads]
+        ebcx = pindex.edge_barcodes(edges, plen, rs.bc, D.bg.n_edges)
+        good = asc.good_barcodes(rs.bc)
+        line_bc_edges = []
+        sup_bcs = asg.super_edge_barcodes(D, ebcx)
+        for ln in lines.lines:
+            bcs = [sup_bcs[int(d)] for d in ln.edges()]
+            line_bc_edges.append(
+                np.unique(np.concatenate(bcs)) if bcs else np.zeros(0, np.int64)
+            )
+        line_bcs = asc.line_barcode_sets(lines, line_bc_edges, good)
+        line_lens = lines.lengths(D)
+        scaffolds = asc.scaffold_lines(lines, line_bcs, line_lens)
+        self.stats.log("n_scaffolds", len(scaffolds), stage="scaffold")
+
+        bc_counts = aph.build_edge_bc_counts(D, edges, plen, rs.bc)
+        phasings = {}
+        for sc in scaffolds:
+            for li in sc.line_ids:
+                phasings[li] = aph.phase_line(lines.lines[li], bc_counts)
+        return scaffolds, phasings
+
+    def stage_fasta(self, bg, flavor: str = "raw", ctx=None) -> Path:
+        from ..out import pseudohap as ph
+
+        out = self.outdir / f"assembly.{flavor}.fasta.gz"
+        if flavor == "raw":
+            fout.write_raw_fasta(bg, out)
+        elif flavor in ("megabubbles", "pseudohap", "pseudohap2"):
+            D, lines, scaffolds, phasings = ctx
+            if flavor == "megabubbles":
+                ph.write_megabubbles_fasta(D, lines, scaffolds, phasings, out)
+            elif flavor == "pseudohap":
+                ph.write_pseudohap_fasta(D, lines, scaffolds, phasings, out)
+            else:
+                ph.write_pseudohap2_fasta(D, lines, scaffolds, phasings, out)
+        else:
+            raise ValueError(f"unknown flavor {flavor}")
+        return out
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, rs: ReadSet, flavor: str = "raw"):
+        rs = self.stage_ingest(rs)
+        exits = self.stats.exit_alerts()
+        if exits:
+            self.finalize()
+            raise RuntimeError(f"preflight exit alerts: {exits}")
+        table = self.stage_count(rs)
+        bg = self.stage_graph(table)
+        self.stage_paths(bg, rs)
+        path = self.stage_fasta(bg, flavor)
+        self.finalize()
+        return bg, path
+
+    def run_full(self, rs: ReadSet, flavors=("raw", "megabubbles", "pseudohap", "pseudohap2")):
+        """Full pipeline through supergraph, scaffolding, phasing, report."""
+        from ..asm import dups as adups
+        from ..asm import report as areport
+        from ..out import pseudohap as ph
+
+        rs = self.stage_ingest(rs)
+        exits = self.stats.exit_alerts()
+        if exits:
+            self.finalize()
+            raise RuntimeError(f"preflight exit alerts: {exits}")
+        table = self.stage_count(rs)
+        bg = self.stage_graph(table)
+        rp = self.stage_paths(bg, rs)
+        D, lines, dup = self.stage_supergraph(bg, rp, rs)
+        scaffolds, phasings = self.stage_scaffold_phase(D, lines, rp, rs)
+
+        outputs = {}
+        ctx = (D, lines, scaffolds, phasings)
+        for flavor in flavors:
+            outputs[flavor] = self.stage_fasta(bg, flavor, ctx=ctx)
+
+        scaffold_seqs = []
+        for sc in scaffolds:
+            parts = [
+                ph.line_sequence(D, lines.lines[li], {}) for li in sc.line_ids
+            ]
+            seq = ""
+            for i, p in enumerate(parts):
+                if i:
+                    seq += "N" * sc.gaps[i - 1]
+                seq += p
+            scaffold_seqs.append(seq)
+        areport.report_assembly_stats(
+            self.stats,
+            D,
+            lines,
+            scaffolds,
+            phasings,
+            scaffold_seqs,
+            adups.dup_fraction(dup),
+            bg.checksum(),
+        )
+        self.finalize()
+        return D, lines, scaffolds, phasings, outputs
+
+    def finalize(self):
+        self.stats.dump_json(self.outdir / "all_stats.json")
+        self.stats.dump_json(self.outdir / "summary.json", cs_only=True)
+        self.stats.dump_csv(self.outdir / "summary_cs.csv")
+        self.stats.dump_alerts(self.outdir / "alerts.json")

@@ -1,0 +1,121 @@
+"""StatLogger: typed named metrics registry + threshold alerts.
+
+Analogue of the reference's StatLogger (10X/DfTools.h:47-260: log /
+issue_alert / dump_csv / dump_json / persist across binaries) and of the
+alarms registry (tenkit/lib/python/tenkit/alarms/alarms-supernova.json).
+Stats persist across stages by reloading the JSON store (the reference
+reloads a.perf_stats, CP.cc:172-177).
+"""
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+
+@dataclass
+class Alert:
+    stat: str
+    test: str  # python expression over `value`, e.g. "value < 25"
+    action: str  # "alarm" | "exit"
+    message: str
+
+
+# The customer-facing alert envelope, carried over from
+# tenkit/lib/python/tenkit/alarms/alarms-supernova.json (see BASELINE.md).
+DEFAULT_ALERTS: List[Alert] = [
+    Alert("valid_bc_perc", "value < 25", "exit",
+          "% reads with valid barcode is {value:.1f}; expected >= 80%."),
+    Alert("valid_bc_perc", "value < 80", "alarm",
+          "% reads with valid barcode is {value:.1f}; ideal >= 80%."),
+    Alert("mean_read_len", "value < 125", "exit",
+          "mean read length {value:.0f} < 125; assembly not supported."),
+    Alert("mean_read_len", "value < 150", "alarm",
+          "mean read length {value:.0f} < 150; ideal 150."),
+    Alert("rpb_N50", "value > 10000", "exit",
+          "N50 reads per barcode {value:.0f} > 10000; check library."),
+    Alert("rpb_N50", "value > 3000", "alarm",
+          "N50 reads per barcode {value:.0f} > 3000; ideal ~1000."),
+    Alert("q30_r2_perc", "value < 65", "alarm",
+          "Q30 fraction on R2 is {value:.1f}%; ideal >= 75%."),
+]
+
+
+@dataclass
+class LogEntry:
+    name: str
+    value: Any
+    gloss: str = ""
+    cs: bool = False  # customer-facing (goes into summary_cs.csv)
+    stage: str = ""
+
+
+class StatLogger:
+    """Accumulates stats; evaluates alerts; dumps json/csv/text."""
+
+    def __init__(self, alerts: Optional[List[Alert]] = None):
+        self.entries: Dict[str, LogEntry] = {}
+        self.alerts = DEFAULT_ALERTS if alerts is None else alerts
+        self.raised: List[dict] = []
+        self._t0 = time.time()
+
+    def log(self, name: str, value, gloss: str = "", cs: bool = False, stage: str = ""):
+        self.entries[name] = LogEntry(name, value, gloss, cs, stage)
+        for al in self.alerts:
+            if al.stat == name and eval(al.test, {}, {"value": value}):
+                self.raised.append(
+                    {
+                        "stat": name,
+                        "action": al.action,
+                        "message": al.message.format(value=value),
+                    }
+                )
+
+    def get(self, name: str, default=None):
+        e = self.entries.get(name)
+        return e.value if e else default
+
+    def exit_alerts(self) -> List[dict]:
+        return [a for a in self.raised if a["action"] == "exit"]
+
+    def log_elapsed(self, stage: str):
+        self.log(f"etime_{stage}_h", (time.time() - self._t0) / 3600.0, stage=stage)
+
+    def dump_json(self, path: str | Path, cs_only: bool = False):
+        data = {
+            k: e.value
+            for k, e in self.entries.items()
+            if (e.cs or not cs_only)
+        }
+        Path(path).write_text(json.dumps(data, indent=1, default=str) + "\n")
+
+    def dump_csv(self, path: str | Path):
+        lines = ["name,value,gloss"]
+        for e in self.entries.values():
+            if e.cs:
+                lines.append(f"{e.name},{e.value},{e.gloss}")
+        Path(path).write_text("\n".join(lines) + "\n")
+
+    def dump_alerts(self, path: str | Path):
+        Path(path).write_text(json.dumps(self.raised, indent=1) + "\n")
+
+    @staticmethod
+    def load(path: str | Path, alerts=None) -> "StatLogger":
+        sl = StatLogger(alerts)
+        if Path(path).exists():
+            for k, v in json.loads(Path(path).read_text()).items():
+                sl.entries[k] = LogEntry(k, v)
+        return sl
+
+
+def n50(lengths) -> int:
+    """N50 of a length collection (ReportAssemblyStats' N-stat)."""
+    import numpy as np
+
+    ls = np.sort(np.asarray(lengths))[::-1]
+    if ls.size == 0:
+        return 0
+    half = ls.sum() / 2
+    return int(ls[np.searchsorted(np.cumsum(ls), half)])

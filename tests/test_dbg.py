@@ -1,0 +1,137 @@
+"""Unipath graph invariants on synthetic genomes (sim_tests.rs pattern:
+fixed-seed genome -> reads -> graph -> structural checks)."""
+import numpy as np
+import pytest
+
+from supernova_tpu.core import dna
+from supernova_tpu.core.kmer_codec import K, codes_from_words_np
+from supernova_tpu.dbg import build as dbuild
+from supernova_tpu.dbg import graph as dgraph
+from supernova_tpu.ingest.reads import build_readset
+from supernova_tpu.kmer import count as kcount
+from supernova_tpu.sim import genome as sim
+
+
+def perfect_readset(genome, read_len=150, step=47):
+    """Error-free tiling reads (fwd + rc mates) over the genome."""
+    reads, quals = [], []
+    starts = list(range(0, len(genome) - read_len + 1, step))
+    if starts[-1] != len(genome) - read_len:
+        starts.append(len(genome) - read_len)  # cover the tail
+    for s in starts:
+        r = genome[s : s + read_len]
+        reads.append(r.copy())
+        reads.append(dna.revcomp(r).copy())
+        quals.append(np.full(read_len, 37, np.uint8))
+        quals.append(np.full(read_len, 37, np.uint8))
+    bc = np.zeros(len(reads) // 2, dtype=np.int32)
+    rs = build_readset(reads, quals, bc, n_barcodes=0, barcoded=False)
+    return rs
+
+
+def genome_kmer_set(genome):
+    out = set()
+    for p in range(len(genome) - K + 1):
+        s = dna.codes_to_seq(genome[p : p + K])
+        rc = dna.codes_to_seq(dna.revcomp(genome[p : p + K]))
+        out.add(min(s, rc))
+    return out
+
+
+def build(genome, min_freq=2):
+    rs = perfect_readset(genome)
+    table = kcount.count_readset(rs, min_freq=min_freq)
+    table = dbuild.trim_table(table, pad_multiple=256)
+    dg = dbuild.build_graph(table)
+    return table, dgraph.from_device(dg, table)
+
+
+def edge_kmer_set(bg):
+    out = set()
+    for e in range(bg.n_edges):
+        s = bg.edge_seq(e)
+        for p in range(len(s) - K + 1):
+            sub = s[p : p + K]
+            rc = dna.codes_to_seq(dna.revcomp(dna.seq_to_codes(sub)))
+            out.add(min(sub, rc))
+    return out
+
+
+def test_clean_genome_single_unipath(rng):
+    g = sim.random_genome(rng, 1200)
+    table, bg = build(g)
+    bg.validate()
+    gset = genome_kmer_set(g)
+    assert int(table.n_valid) == len(gset)
+    # a repeat-free genome compacts to exactly one unipath + its rc
+    assert bg.n_edges == 2
+    seqs = {bg.edge_seq(0), bg.edge_seq(1)}
+    gs = dna.codes_to_seq(g)
+    assert gs in seqs
+    assert dna.codes_to_seq(dna.revcomp(g)) in seqs
+    assert bg.inv.tolist() in ([1, 0],)
+    assert edge_kmer_set(bg) == gset
+
+
+def test_repeat_genome_branches(rng):
+    g = sim.random_genome(rng, 4000, n_repeat_chunks=3, repeat_len=300)
+    table, bg = build(g)
+    bg.validate()
+    gset = genome_kmer_set(g)
+    # every counted kmer appears exactly once across edges (as canonical)
+    assert edge_kmer_set(bg) == gset
+    total = bg.total_kmers()
+    # each canonical kmer contributes exactly 2 oriented kmers
+    assert total == 2 * len(gset)
+    # maximality: no two edges e->f where e is f's only in and f e's only out
+    # (spot check via vertex degrees)
+    from collections import Counter
+
+    outdeg = Counter(bg.from_v.tolist())
+    indeg = Counter(bg.to_v.tolist())
+    for e in range(bg.n_edges):
+        v = int(bg.to_v[e])
+        if indeg[v] == 1 and outdeg.get(v, 0) == 1:
+            f = int(np.nonzero(bg.from_v == v)[0][0])
+            assert f == e or bg.is_circle[e] or bg.is_circle[f], (
+                f"edges {e}->{f} should have been compacted"
+            )
+
+
+def test_node_map_consistency(rng):
+    g = sim.random_genome(rng, 2000, n_repeat_chunks=2, repeat_len=200)
+    table, bg = build(g)
+    n = int(table.n_valid)
+    words = np.asarray(table.words)
+    sample = np.linspace(0, n - 1, 40).astype(int)
+    for r in sample:
+        kmer = dna.codes_to_seq(codes_from_words_np(words[r]))
+        for d in (0, 1):
+            e = int(bg.node_edge[2 * r + d])
+            p = int(bg.node_pos[2 * r + d])
+            assert e >= 0
+            s = bg.edge_seq(e)
+            sub = s[p : p + K]
+            if d == 0:
+                assert sub == kmer
+            else:
+                assert sub == dna.codes_to_seq(dna.revcomp(dna.seq_to_codes(kmer)))
+
+
+def test_circle(rng):
+    # circular coverage: reads wrap around a circular genome
+    g = sim.random_genome(rng, 600)
+    gg = np.concatenate([g, g[: K - 1 + 150]])
+    table, bg = build(gg)
+    # don't validate vertex uniqueness here (circle rotation); check circle flag
+    assert bg.n_edges >= 2
+
+
+def test_graph_save_load(tmp_path, rng):
+    g = sim.random_genome(rng, 1500)
+    _, bg = build(g)
+    p = tmp_path / "graph.npz"
+    bg.save(p)
+    bg2 = dgraph.BaseGraph.load(p)
+    assert bg2.n_edges == bg.n_edges
+    assert bg2.checksum() == bg.checksum()

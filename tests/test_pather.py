@@ -1,0 +1,84 @@
+"""Read pathing invariants: paths spell the read back from the graph."""
+import numpy as np
+import pytest
+
+from supernova_tpu.align import index as pindex
+from supernova_tpu.align import pather
+from supernova_tpu.core import dna
+from supernova_tpu.core.kmer_codec import K
+from supernova_tpu.dbg import build as dbuild
+from supernova_tpu.dbg import graph as dgraph
+from supernova_tpu.ingest.ingest import ingest_sim
+from supernova_tpu.kmer import count as kcount
+from supernova_tpu.sim import genome as sim
+
+from tests.test_dbg import perfect_readset
+
+
+def build_all(rng, glen=3000, repeats=2):
+    g = sim.random_genome(rng, glen, n_repeat_chunks=repeats, repeat_len=250)
+    rs = perfect_readset(g)
+    table = dbuild.trim_table(kcount.count_readset(rs, min_freq=2), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    return g, rs, bg
+
+
+def spell_path(bg, edges, offset, length):
+    """Walk the path edges, overlapping K-1, and cut out the read span."""
+    seq = bg.edge_seq(edges[0])
+    for e in edges[1:]:
+        seq += bg.edge_seq(e)[K - 1 :]
+    assert offset >= 0
+    return seq[offset : offset + length]
+
+
+def test_paths_spell_reads(rng):
+    g, rs, bg = build_all(rng)
+    rp = pather.path_readset(bg, rs)
+    edges_arr = np.asarray(rp.edges)
+    plen = np.asarray(rp.path_len)
+    offset = np.asarray(rp.offset)
+    overflow = np.asarray(rp.overflow)
+    n_pathed = 0
+    for i in range(rs.n_reads):
+        if plen[i] == 0 or overflow[i]:
+            continue
+        path = edges_arr[i, : plen[i]].tolist()
+        got = spell_path(bg, path, int(offset[i]), len(rs.read(i)))
+        assert got == dna.codes_to_seq(rs.read(i)), f"read {i} path {path}"
+        n_pathed += 1
+    # perfect reads over a well-covered genome: nearly all reads path
+    assert n_pathed >= 0.95 * rs.n_reads
+
+
+def test_paths_with_errors(rng):
+    g = sim.random_genome(rng, 3000)
+    wl = sim.make_whitelist(rng, 32)
+    _, hb = sim.diploidize(rng, g, 0.001)
+    reads = sim.simulate_linked_reads(
+        rng, (g, hb), wl, n_barcodes=10, molecules_per_barcode=2,
+        molecule_len=1500, coverage_per_molecule=1.5, error_rate=0.005,
+    )
+    rs = ingest_sim(reads, wl)
+    table = dbuild.trim_table(kcount.count_readset(rs), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    rp = pather.path_readset(bg, rs)
+    plen = np.asarray(rp.path_len)[: rs.n_reads]
+    # most reads still get a non-empty path despite errors
+    assert (plen > 0).mean() > 0.8
+
+
+def test_paths_index_and_ebcx(rng):
+    g, rs, bg = build_all(rng)
+    rp = pather.path_readset(bg, rs)
+    edges_arr = np.asarray(rp.edges)[: rs.n_reads]
+    plen = np.asarray(rp.path_len)[: rs.n_reads]
+    idx = pindex.paths_index(edges_arr, plen, bg.n_edges)
+    # inverted index round trip
+    for e in range(bg.n_edges):
+        for r in idx.row(e):
+            assert e in edges_arr[r, : plen[r]].tolist()
+    counts = pindex.edge_read_counts(edges_arr, plen, bg.n_edges)
+    assert counts.sum() == plen.sum()
+    ebcx = pindex.edge_barcodes(edges_arr, plen, rs.bc, bg.n_edges)
+    assert ebcx.values.min(initial=1) >= 1
