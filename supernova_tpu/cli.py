@@ -1,0 +1,119 @@
+"""Command-line interface — the `supernova run` analogue.
+
+Reference: tenkit/bin/common/_master subcommand dispatch generating an MRO
+invocation for mrp (SURVEY.md §2.2 CLI).  Here the pipeline is a library, so
+the CLI is a thin argparse wrapper:
+
+    python -m supernova_tpu run --r1 S_R1.fastq.gz --r2 S_R2.fastq.gz \
+        --whitelist barcodes.txt --out outdir [--flavors pseudohap,...]
+    python -m supernova_tpu simulate --out simdir [--genome-size 20000]
+    python -m supernova_tpu bench
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def cmd_run(args) -> int:
+    from .ingest.tenx import ingest_10x_fastqs, load_whitelist
+    from .pipeline.preflight import preflight
+    from .pipeline.run import Pipeline
+
+    wl = load_whitelist(args.whitelist)
+    pf = preflight(args.r1, args.r2, len(wl))
+    for w in pf.warnings:
+        print(f"WARNING: {w}", file=sys.stderr)
+    if not pf.ok:
+        for e in pf.errors:
+            print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+
+    rs = ingest_10x_fastqs(args.r1, args.r2, wl, max_pairs=args.max_pairs)
+    pl = Pipeline(args.out)
+    flavors = tuple(args.flavors.split(","))
+    try:
+        pl.run_full(rs, flavors=flavors)
+    except RuntimeError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 185  # controlled exit, like Martian::exit (Martian.h:13)
+    print(json.dumps(json.loads((Path(args.out) / "summary.json").read_text()), indent=1))
+    return 0
+
+
+def cmd_simulate(args) -> int:
+    from .ingest.tenx import write_sim_fastqs
+    from .sim import genome as sim
+
+    rng = np.random.default_rng(args.seed)
+    g = sim.random_genome(rng, args.genome_size, n_repeat_chunks=args.repeats)
+    _, hb = sim.diploidize(rng, g, het_rate=args.het_rate)
+    wl = sim.make_whitelist(rng, args.whitelist_size)
+    reads = sim.simulate_linked_reads(
+        rng,
+        (g, hb),
+        wl,
+        n_barcodes=args.barcodes,
+        molecules_per_barcode=3,
+        molecule_len=min(20_000, args.genome_size // 2),
+        coverage_per_molecule=2.0,
+        error_rate=0.002,
+        bc_error_rate=0.01,
+    )
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    r1, r2 = write_sim_fastqs(reads, out)
+    from .core import dna
+
+    wl_path = out / "whitelist.txt"
+    wl_path.write_text("\n".join(dna.codes_to_seq(b) for b in wl) + "\n")
+    np.save(out / "truth_hap_a.npy", g)
+    np.save(out / "truth_hap_b.npy", hb)
+    print(json.dumps({"r1": str(r1), "r2": str(r2), "whitelist": str(wl_path),
+                      "n_pairs": reads.n_pairs()}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="supernova_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="assemble 10x linked-read FASTQs")
+    r.add_argument("--r1", nargs="+", required=True)
+    r.add_argument("--r2", nargs="+", required=True)
+    r.add_argument("--whitelist", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--flavors", default="raw,megabubbles,pseudohap,pseudohap2")
+    r.add_argument("--max-pairs", type=int, default=None)
+    r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("simulate", help="generate a synthetic linked-read dataset")
+    s.add_argument("--out", required=True)
+    s.add_argument("--genome-size", type=int, default=20_000)
+    s.add_argument("--repeats", type=int, default=2)
+    s.add_argument("--het-rate", type=float, default=0.001)
+    s.add_argument("--barcodes", type=int, default=100)
+    s.add_argument("--whitelist-size", type=int, default=512)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_simulate)
+
+    b = sub.add_parser("bench", help="run the kmer-count benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -60,10 +60,20 @@ class Pipeline:
         return rs
 
     def stage_count(self, rs: ReadSet):
+        from ..stats import histograms as hist
+
         table = kcount.count_readset(rs)
         table = dbuild.trim_table(table)
         n = int(table.n_valid)
         self.stats.log("kmers_distinct", n, "distinct filtered 48-mers", stage="count")
+        spec = hist.kmer_spectrum(table)
+        (self.outdir / "stats").mkdir(exist_ok=True)
+        hist.write_hist_json(
+            self.outdir / "stats" / "histogram_kmer_count.json",
+            "48-mer multiplicity spectrum",
+            spec["bins"],
+            spec["counts"],
+        )
         np.savez_compressed(
             self.outdir / "kmers.npz",
             words=np.asarray(table.words),
@@ -236,6 +246,49 @@ class Pipeline:
                     seq += "N" * sc.gaps[i - 1]
                 seq += p
             scaffold_seqs.append(seq)
+
+        # histogram JSONs (CP.cc:1916-1922 analogues)
+        from ..asm.report import contig_lengths_from_seq
+        from ..stats import histograms as hist
+
+        statsdir = self.outdir / "stats"
+        statsdir.mkdir(exist_ok=True)
+        contigs = [l for s in scaffold_seqs for l in contig_lengths_from_seq(s)]
+        for name, lens in (
+            ("contig", contigs),
+            ("scaffold", [len(s) for s in scaffold_seqs]),
+            ("edge", [D.edge_len(d) for d in range(D.n_edges)]),
+        ):
+            h = hist.length_histogram(lens)
+            hist.write_hist_json(
+                statsdir / f"histogram_{name}.json",
+                f"{name} length histogram",
+                h["bins"],
+                h["counts"],
+            )
+        rb = hist.reads_per_barcode_histogram(rs)
+        hist.write_hist_json(
+            statsdir / "histogram_reads_per_barcode.json",
+            "reads per barcode",
+            rb["bins"],
+            rb["counts"],
+        )
+        # molecule length estimate + lw_mean_mol_len stat (CP.cc:952-972)
+        edges_arr = np.asarray(rp.edges)[: rs.n_reads]
+        plen_arr = np.asarray(rp.path_len)[: rs.n_reads]
+        off_arr = np.asarray(rp.offset)[: rs.n_reads]
+        mols = hist.molecule_length_histogram(rs, bg, edges_arr, plen_arr, off_arr)
+        if mols.size:
+            # length-weighted mean molecule length
+            lw = float((mols.astype(float) ** 2).sum() / mols.sum())
+            self.stats.log("lw_mean_mol_len", lw, "length-weighted mean molecule length", cs=True)
+            h = hist.length_histogram(mols, bin_width=500)
+            hist.write_hist_json(
+                statsdir / "histogram_molecules.json",
+                "inferred molecule lengths",
+                h["bins"],
+                h["counts"],
+            )
         areport.report_assembly_stats(
             self.stats,
             D,
