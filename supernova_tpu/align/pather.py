@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import kmer_codec as kc
-from ..core.kmer_codec import K
+from ..core.kmer_codec import K, W3
 from ..ops import segments as seg
 
 I32 = jnp.int32
@@ -42,7 +42,7 @@ class ReadPaths(NamedTuple):
 
 @partial(jax.jit, static_argnames=("max_path",))
 def path_reads(
-    kmer_words,  # (M,3) sorted canonical table (sentinel-padded)
+    kmer_words: W3,  # sorted canonical table (sentinel-padded), SoA
     node_edge,  # (2M,) int32
     node_pos,  # (2M,) int32
     codes_ext,  # (NB+K,) int32
@@ -126,7 +126,7 @@ def path_readset(bg, rs, max_path: int = MAX_PATH) -> ReadPaths:
     read_len = np.zeros(rp, dtype=np.int32)
     read_len[: rs.n_reads] = rs.lengths()
     return path_reads(
-        jnp.asarray(bg.kmer_words),
+        kc.np_to_soa(bg.kmer_words),
         jnp.asarray(bg.node_edge),
         jnp.asarray(bg.node_pos),
         inp["codes_ext"],

@@ -1,0 +1,36 @@
+"""Heterozygosity estimate: sample bubbles, align arm vs arm, SNP rate.
+
+Reference: CP.cc:1486-1557 — sample line bubbles, SmithWatAffine the two
+arms, count substitutions, divide into assembly span -> `hetdist` (mean
+distance between het sites).
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from ..ops.alignment import MIS, align_pairs_np
+
+
+def estimate_hetdist(D, lines, max_bubbles: int = 200) -> float | None:
+    """-> estimated mean distance between het SNPs, or None if no bubbles."""
+    pairs = []
+    total_span = 0
+    for ln in lines.lines:
+        for el in ln.elements:
+            if len(el) == 2 and len(pairs) < max_bubbles:
+                a = D.edge_bases(int(el[0]))
+                b = D.edge_bases(int(el[1]))
+                if len(a) < 20_000 and len(b) < 20_000:
+                    pairs.append((a.astype(np.int32), b.astype(np.int32)))
+                    total_span += (len(a) + len(b)) // 2
+    if not pairs:
+        return None
+    pen = align_pairs_np(pairs)
+    # each substitution costs MIS; indels contribute too but substitutions
+    # dominate at typical het rates — floor at 1 SNP per sampled bubble
+    snps = np.maximum(pen // MIS, 1).sum()
+    if snps == 0:
+        return None
+    return float(total_span) / float(snps)

@@ -1,0 +1,172 @@
+"""Gap patching: close dead-end edge pairs with local assemblies.
+
+Reference behavior (SURVEY.md §2.1 "Gap patching" + §3.2):
+  * FindEdgePairs: pairs of dead-end edges linked by read pairs/barcodes
+    (10X/Closomatic.cc);
+  * per-pair local closure from the supporting reads (Stackster read-stack
+    consensus / CloseGap2, 10X/Stackster.cc, paths/long/ReadStack.cc);
+  * StageInsertPatch: append closures to the edge set and rebuild the K=48
+    graph, then re-path (RunStages.cc:177-232, kmers/BigKPather.cc).
+
+v1 design: candidate discovery is vectorized over the path arrays; each
+gap's local assembly is a small-k (k=25) DBG walk over the supporting reads
+(host-side — gaps are few and tiny; the batched Pallas read-stack consensus
+replaces this later).  Insertion rebuilds the graph from edge+closure
+sequences via the standard count/build path with min_freq=1.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core import dna
+from ..core.kmer_codec import K
+
+PATCH_K = 25  # local-assembly kmer size (gap-fill only; final graph is K=48)
+MIN_PAIR_SUPPORT = 2
+MAX_GAP_WALK = 2000
+
+
+@dataclass
+class GapPair:
+    e1: int  # dead-end edge whose END needs extension
+    e2: int  # dead-end edge whose START needs extension
+    support: int  # read pairs linking them
+    read_ids: List[int]  # supporting reads (both mates)
+
+
+def find_edge_pairs(
+    bg, paths_edges, path_len, dup, min_support: int = MIN_PAIR_SUPPORT
+) -> List[GapPair]:
+    """Dead-end edge pairs linked by read pairs (FindEdgePairs analogue)."""
+    E = bg.n_edges
+    outdeg = np.bincount(bg.from_v, minlength=bg.n_vertices)
+    indeg = np.bincount(bg.to_v, minlength=bg.n_vertices)
+    dead_end = outdeg[bg.to_v] == 0  # edge's end extends nowhere
+    dead_start = indeg[bg.from_v] == 0
+
+    n_reads = paths_edges.shape[0]
+    links: Dict[Tuple[int, int], List[int]] = {}
+    for pair in range(n_reads // 2):
+        if dup is not None and dup[pair]:
+            continue
+        r1, r2 = 2 * pair, 2 * pair + 1
+        if path_len[r1] == 0 or path_len[r2] == 0:
+            continue
+        # r1 walks forward; its path's last edge is where the fragment ends
+        e1 = int(paths_edges[r1, path_len[r1] - 1])
+        # r2 is the rc mate: in fragment orientation its path inverts
+        e2 = int(bg.inv[int(paths_edges[r2, path_len[r2] - 1])])
+        if e1 == e2 or e1 < 0 or e2 < 0:
+            continue
+        if dead_end[e1] and dead_start[e2]:
+            links.setdefault((e1, e2), []).extend((r1, r2))
+    # reads touching either flanking edge also feed the local assembly
+    # (RunStages.cc:270-330 selects the read subset touching the edge pair)
+    touch: Dict[int, List[int]] = {}
+    for r in range(n_reads):
+        for j in range(int(path_len[r])):
+            touch.setdefault(int(paths_edges[r, j]), []).append(r)
+
+    out = []
+    for (e1, e2), rids in sorted(links.items()):
+        if len(rids) // 2 >= min_support:
+            extra = touch.get(e1, [])[:200] + touch.get(e2, [])[:200]
+            all_rids = sorted(set(rids) | set(extra))
+            out.append(GapPair(e1, e2, len(rids) // 2, all_rids))
+    return out
+
+
+def _mini_dbg_walk(
+    seqs: List[np.ndarray], left_anchor: str, right_anchor: str, k: int = PATCH_K
+) -> Optional[str]:
+    """Small-k DBG over the gap reads; walk from left_anchor's end kmer to
+    right_anchor's start kmer following unambiguous majority extensions."""
+    nxt: Dict[str, Dict[str, int]] = {}
+    for s in seqs:
+        t = dna.codes_to_seq(s)
+        for strand in (t, dna.codes_to_seq(dna.revcomp(dna.seq_to_codes(t)))):
+            for i in range(len(strand) - k):
+                km = strand[i : i + k]
+                nxt.setdefault(km, {}).setdefault(strand[i + k], 0)
+                nxt[km][strand[i + k]] += 1
+    cur = left_anchor[-k:]
+    target = right_anchor[:k]
+    built = []
+    seen = set()
+    for _ in range(MAX_GAP_WALK):
+        if cur == target:
+            return "".join(built)
+        if cur in seen:
+            return None  # cycle
+        seen.add(cur)
+        exts = nxt.get(cur)
+        if not exts:
+            return None
+        best = max(exts.items(), key=lambda kv: kv[1])
+        # require clear majority to avoid chimeric fills
+        if sum(exts.values()) - best[1] > best[1]:
+            return None
+        built.append(best[0])
+        cur = cur[1:] + best[0]
+    return None
+
+
+def close_gaps(bg, rs, pairs: List[GapPair]) -> List[np.ndarray]:
+    """Produce closure base sequences spanning each gap (closures.fastb
+    analogue).  A closure is e1's terminal K-1 bases + fill + e2's leading
+    K-1 bases, so reinsertion glues onto both edges."""
+    closures = []
+    for gp in pairs:
+        seqs = [rs.read(r) for r in gp.read_ids]
+        left = bg.edge_seq(gp.e1)
+        right = bg.edge_seq(gp.e2)
+        fill = _mini_dbg_walk(seqs, left, right)
+        if fill is None:
+            continue
+        # the walk stops when its window equals right[:PATCH_K], so `fill`
+        # already ends with those bases — append right AFTER them
+        closure = left[-(2 * K):] + fill + right[PATCH_K : 2 * K]
+        closures.append(dna.seq_to_codes(closure))
+    return closures
+
+
+def insert_patches(bg, closures: List[np.ndarray]):
+    """Rebuild the K=48 graph from current edges + closures
+    (StageInsertPatch / buildBigKHBVFromReads_sleek analogue: all sequences
+    re-kmerized with min_freq=1, then the standard unipath build)."""
+    if not closures:
+        return bg
+    from ..dbg import build as dbuild
+    from ..dbg import graph as dgraph
+    from ..ingest.reads import build_readset
+    from ..kmer import count as kcount
+
+    seqs: List[np.ndarray] = []
+    for e in range(bg.n_edges):
+        if e <= int(bg.inv[e]):  # one strand is enough; counting canonicalizes
+            seqs.append(bg.edges.row(e))
+    seqs.extend(closures)
+    # pad to pairs (the ReadSet contract is paired); a zero-length mate is fine
+    if len(seqs) % 2:
+        seqs.append(np.zeros(0, dtype=np.uint8))
+    quals = [np.full(len(s), 37, np.uint8) for s in seqs]
+    prs = build_readset(
+        seqs, quals, np.zeros(len(seqs) // 2, np.int32), n_barcodes=0,
+        barcoded=False,
+    )
+    table = kcount.count_readset(prs, min_freq=1)
+    table = dbuild.trim_table(table)
+    dg = dbuild.build_graph(table)
+    return dgraph.from_device(dg, table)
+
+
+def patch_graph(bg, rs, paths_edges, path_len, dup):
+    """Full DF patch stage: find pairs -> close -> rebuild.  Returns
+    (new BaseGraph, n_pairs_found, n_closed)."""
+    pairs = find_edge_pairs(bg, paths_edges, path_len, dup)
+    closures = close_gaps(bg, rs, pairs)
+    new_bg = insert_patches(bg, closures)
+    return new_bg, len(pairs), len(closures)

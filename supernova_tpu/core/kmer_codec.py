@@ -4,13 +4,20 @@ TPU-native analogue of the reference's Kmer/Lmer primitives
 (lib/tada/src/kmer/mod.rs:27-52 — K=48, 2-bit packed) and KMer<K>
 (lib/assembly/src/kmers/KMer.h).  A 48-mer is 96 bits, stored as 3 uint32
 words of 16 bases each, base-big-endian within each word so that
-lexicographic (w0,w1,w2) order == lexicographic base order with A<C<G<T.
+lexicographic (a,b,c) order == lexicographic base order with A<C<G<T.
+
+LAYOUT IS STRUCTURE-OF-ARRAYS: a batch of N kmers is W3(a,b,c) — three
+separate (N,) uint32 arrays, NOT an (N,3) array.  TPU tiling pads the minor
+dimension to 128 lanes, so an (N,3) uint32 array occupies ~42x its logical
+bytes in HBM; three flat vectors tile perfectly.
 
 Everything here is jnp, static-shape, jit-friendly.  Invalid slots use the
 all-ones sentinel, which can never be a *canonical* kmer (its rc would be
 all-zeros, strictly smaller), so sentinels sort after all real kmers.
 """
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -23,14 +30,59 @@ U32 = jnp.uint32
 SENTINEL = np.uint32(0xFFFFFFFF)
 
 
+class W3(NamedTuple):
+    """A batch of packed 48-mers as three parallel uint32 vectors."""
+
+    a: jax.Array  # bases 0..15
+    b: jax.Array  # bases 16..31
+    c: jax.Array  # bases 32..47
+
+    def gather(self, idx):
+        return W3(self.a[idx], self.b[idx], self.c[idx])
+
+    def where(self, cond, other):
+        """elementwise select: cond ? self : other (other may be scalar)."""
+        if isinstance(other, W3):
+            return W3(
+                jnp.where(cond, self.a, other.a),
+                jnp.where(cond, self.b, other.b),
+                jnp.where(cond, self.c, other.c),
+            )
+        o = jnp.asarray(other, U32)
+        return W3(
+            jnp.where(cond, self.a, o),
+            jnp.where(cond, self.b, o),
+            jnp.where(cond, self.c, o),
+        )
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+
+def w3_full(n: int, fill=SENTINEL) -> W3:
+    f = jnp.full((n,), fill, U32)
+    return W3(f, f, f)
+
+
+def soa_to_np(w: W3) -> np.ndarray:
+    """W3 -> host (N,3) uint32 (stage-boundary serialization layout)."""
+    return np.stack([np.asarray(w.a), np.asarray(w.b), np.asarray(w.c)], axis=-1)
+
+
+def np_to_soa(arr: np.ndarray) -> W3:
+    """(N,3) uint32 host array -> W3 of device arrays."""
+    arr = np.asarray(arr, dtype=np.uint32)
+    return W3(jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2]))
+
+
 # ------------------------------------------------------------------ packing
 
-def sliding_words(codes, n: int):
+def sliding_words(codes, n: int) -> W3:
     """Packed kmer words at every start position.
 
     codes: (M,) integer array of base codes 0..3, M >= n + K - 1 (pad with
     zeros on the host; validity of positions is the caller's concern).
-    Returns (n, 3) uint32: words of the 48-mer starting at each position.
 
     Built from 48 static shifted slices (shift-or), which XLA fuses into a
     single elementwise loop — the Pallas kernel in ops/pallas replaces this
@@ -44,7 +96,7 @@ def sliding_words(codes, n: int):
             off = w * BASES_PER_WORD + i
             acc = (acc << np.uint32(2)) | jax.lax.dynamic_slice(c, (off,), (n,))
         words.append(acc)
-    return jnp.stack(words, axis=-1)
+    return W3(*words)
 
 
 def _rev16(w):
@@ -62,82 +114,94 @@ def _rev16(w):
     return w
 
 
-def rc_words(words):
-    """Reverse complement: (N,3) -> (N,3). Complement is bitwise NOT."""
-    w = ~jnp.asarray(words)
-    return jnp.stack([_rev16(w[..., 2]), _rev16(w[..., 1]), _rev16(w[..., 0])], axis=-1)
+def rc_words(w: W3) -> W3:
+    """Reverse complement (complement is bitwise NOT; order reverses)."""
+    return W3(_rev16(~w.c), _rev16(~w.b), _rev16(~w.a))
 
 
-def lex_lt(a, b):
-    """a < b lexicographically over the 3 words; (N,3)x(N,3) -> (N,) bool."""
-    a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
-    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
-    return (a0 < b0) | ((a0 == b0) & ((a1 < b1) | ((a1 == b1) & (a2 < b2))))
+def lex_lt(x: W3, y: W3):
+    """x < y lexicographically; -> (N,) bool."""
+    return (x.a < y.a) | (
+        (x.a == y.a) & ((x.b < y.b) | ((x.b == y.b) & (x.c < y.c)))
+    )
 
 
-def lex_eq(a, b):
-    return jnp.all(a == b, axis=-1)
+def lex_eq(x: W3, y: W3):
+    return (x.a == y.a) & (x.b == y.b) & (x.c == y.c)
 
 
-def canonicalize(words):
-    """Canonical = min(fwd, rc).  Returns (canon (N,3), flipped (N,) bool)."""
-    rc = rc_words(words)
-    flipped = lex_lt(rc, words)
-    return jnp.where(flipped[..., None], rc, words), flipped
+def is_sentinel(x: W3):
+    s = jnp.asarray(SENTINEL)
+    return (x.a == s) & (x.b == s) & (x.c == s)
 
 
-def successor_words(words, base):
+def canonicalize(w: W3):
+    """Canonical = min(fwd, rc).  Returns (canon W3, flipped (N,) bool)."""
+    rc = rc_words(w)
+    flipped = lex_lt(rc, w)
+    return rc.where(flipped, w), flipped
+
+
+def successor_words(w: W3, base) -> W3:
     """Shift one base left, append `base` (0..3) at the 3' end."""
-    w0, w1, w2 = words[..., 0], words[..., 1], words[..., 2]
-    b = jnp.asarray(base).astype(U32)
-    n0 = (w0 << np.uint32(2)) | (w1 >> np.uint32(30))
-    n1 = (w1 << np.uint32(2)) | (w2 >> np.uint32(30))
-    n2 = (w2 << np.uint32(2)) | b
-    return jnp.stack([n0, n1, n2], axis=-1)
+    bb = jnp.asarray(base).astype(U32)
+    return W3(
+        (w.a << np.uint32(2)) | (w.b >> np.uint32(30)),
+        (w.b << np.uint32(2)) | (w.c >> np.uint32(30)),
+        (w.c << np.uint32(2)) | bb,
+    )
 
 
-def predecessor_words(words, base):
+def predecessor_words(w: W3, base) -> W3:
     """Shift one base right, prepend `base` (0..3) at the 5' end."""
-    w0, w1, w2 = words[..., 0], words[..., 1], words[..., 2]
-    b = jnp.asarray(base).astype(U32)
-    n2 = (w2 >> np.uint32(2)) | ((w1 & np.uint32(3)) << np.uint32(30))
-    n1 = (w1 >> np.uint32(2)) | ((w0 & np.uint32(3)) << np.uint32(30))
-    n0 = (w0 >> np.uint32(2)) | (b << np.uint32(30))
-    return jnp.stack([n0, n1, n2], axis=-1)
+    bb = jnp.asarray(base).astype(U32)
+    return W3(
+        (w.a >> np.uint32(2)) | (bb << np.uint32(30)),
+        (w.b >> np.uint32(2)) | ((w.a & np.uint32(3)) << np.uint32(30)),
+        (w.c >> np.uint32(2)) | ((w.b & np.uint32(3)) << np.uint32(30)),
+    )
 
 
-def first_base(words):
-    return (words[..., 0] >> np.uint32(30)).astype(jnp.int32)
+def first_base(w: W3):
+    return (w.a >> np.uint32(30)).astype(jnp.int32)
 
 
-def last_base(words):
-    return (words[..., 2] & np.uint32(3)).astype(jnp.int32)
+def last_base(w: W3):
+    return (w.c & np.uint32(3)).astype(jnp.int32)
 
 
-def sort_by_words(words, extra_keys=(), payloads=()):
+def unpack_bases(w: W3):
+    """W3 -> (N, 48) int32 base codes (minor dim padded on TPU — use only
+    where a dense base matrix is genuinely needed)."""
+    shifts = (np.uint32(2) * (15 - np.arange(16, dtype=np.uint32))).astype(np.uint32)
+    cols = [
+        ((word[:, None] >> shifts[None, :]) & np.uint32(3)).astype(jnp.int32)
+        for word in (w.a, w.b, w.c)
+    ]
+    return jnp.concatenate(cols, axis=1)
+
+
+def sort_by_words(w: W3, extra_keys=(), payloads=()):
     """Stable lexicographic sort by the 3 kmer words (+ extra key arrays).
 
-    Returns (words_sorted, extra_keys_sorted tuple, payloads_sorted tuple).
+    Returns (W3 sorted, extra_keys_sorted tuple, payloads_sorted tuple).
     """
-    ops = [words[:, 0], words[:, 1], words[:, 2], *extra_keys, *payloads]
+    ops = [w.a, w.b, w.c, *extra_keys, *payloads]
     num_keys = 3 + len(extra_keys)
     out = jax.lax.sort(tuple(ops), num_keys=num_keys, is_stable=True)
-    ws = jnp.stack(out[:3], axis=-1)
     nk = len(extra_keys)
-    return ws, tuple(out[3 : 3 + nk]), tuple(out[3 + nk :])
+    return W3(*out[:3]), tuple(out[3 : 3 + nk]), tuple(out[3 + nk :])
 
 
-def searchsorted_words(table, query, table_size: int | None = None):
-    """First index i in sorted `table` (M,3) with table[i] >= query row.
+def searchsorted_words(table: W3, query: W3, table_size: int | None = None):
+    """First index i in sorted `table` with table[i] >= query row.
 
     Vectorized branchless binary search (log2(M) gather rounds).  M is the
     static padded table length; pad rows must be SENTINEL so they sort last.
     Returns (idx (N,) int32, found (N,) bool) where found means exact match.
     """
-    table = jnp.asarray(table)
-    query = jnp.asarray(query)
-    m = table.shape[0] if table_size is None else table_size
-    n = query.shape[0]
+    m = table.a.shape[0] if table_size is None else table_size
+    n = query.a.shape[0]
     lo = jnp.zeros((n,), jnp.int32)
     hi = jnp.full((n,), m, jnp.int32)
     steps = max(1, int(np.ceil(np.log2(max(m, 2)))) + 1)
@@ -145,13 +209,13 @@ def searchsorted_words(table, query, table_size: int | None = None):
     def body(_, lohi):
         lo, hi = lohi
         mid = (lo + hi) >> 1
-        t = table[mid]
+        t = table.gather(mid)
         less = lex_lt(t, query)
         return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
 
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     idx = lo
-    hit = lex_eq(table[jnp.minimum(idx, m - 1)], query) & (idx < m)
+    hit = lex_eq(table.gather(jnp.minimum(idx, m - 1)), query) & (idx < m)
     return idx, hit
 
 

@@ -15,7 +15,8 @@ rc involution are then materialized with sorts/scans/scatters.
 
 Two host-coordinated phases keep shapes static: phase A computes links and
 ranks on padded tables; the host reads back two scalars (n_edges, flat base
-total) and calls phase B with exact static output sizes.
+total) and calls phase B with bucketed static output sizes + the dynamic
+true edge count.
 """
 from __future__ import annotations
 
@@ -27,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import kmer_codec as kc
-from ..core.kmer_codec import K
+from ..core.kmer_codec import K, W3
 from ..kmer.count import KmerTable, rev4
 from ..ops import segments as seg
 
@@ -53,18 +54,18 @@ class Links(NamedTuple):
     dist: jax.Array  # (2M,) int32 rank within chain (head = 0)
 
 
-def oriented_words(table_words, node_ids):
+def oriented_words(table_words: W3, node_ids) -> W3:
     """Node id u = 2*row + d  ->  kmer words in the node's orientation."""
     row = node_ids >> 1
     d = node_ids & 1
-    w = table_words[row]
-    return jnp.where((d == 1)[:, None], kc.rc_words(w), w)
+    w = table_words.gather(row)
+    return kc.rc_words(w).where(d == 1, w)
 
 
 @jax.jit
 def build_links(table: KmerTable) -> Links:
     """Phase A: successor/predecessor maps + cycle-broken list ranking."""
-    m = table.words.shape[0]
+    m = table.words.a.shape[0]
     n2 = 2 * m
     u = jnp.arange(n2, dtype=I32)
     row = u >> 1
@@ -154,7 +155,7 @@ def materialize_edges(
     n_edges is a traced scalar; e_pad/flat_pad are bucketed static shapes so
     different inputs share one compiled program.
     """
-    m = table.words.shape[0]
+    m = table.words.a.shape[0]
     n2 = 2 * m
     u = jnp.arange(n2, dtype=I32)
     n_edges = jnp.asarray(n_edges, I32)
@@ -179,10 +180,7 @@ def materialize_edges(
     lb_pos = out_pos + (K - 1) * starts.astype(I32)
     codes = codes.at[jnp.where(in_edge, lb_pos, flat_pad)].set(last, mode="drop")
     # head prefixes: bases 0..K-2 of the head oriented kmer, one scatter
-    shifts = (np.uint32(2) * (15 - np.arange(16, dtype=np.uint32))).astype(np.uint32)
-    bases48 = ((ow[:, :, None] >> shifts[None, None, :]) & np.uint32(3)).reshape(
-        n2, 3 * 16
-    ).astype(I32)
+    bases48 = kc.unpack_bases(ow)
     pj = out_pos[:, None] + jnp.arange(K - 1, dtype=I32)[None, :]
     idxm = jnp.where((in_edge & starts)[:, None], pj, flat_pad)
     codes = codes.at[idxm.reshape(-1)].set(
@@ -224,20 +222,21 @@ def materialize_edges(
     evalid = erow < n_edges
     hw = oriented_words(table.words, head_node)
     tw = oriented_words(table.words, tail_node)
-    from_key = hw.at[:, 2].set(hw[:, 2] & np.uint32(0xFFFFFFFC))
+    from_key = W3(hw.a, hw.b, hw.c & np.uint32(0xFFFFFFFC))
     to_key = kc.successor_words(tw, jnp.zeros((e_pad,), I32))
-    sent = jnp.asarray(kc.SENTINEL)
-    from_key = jnp.where(evalid[:, None], from_key, sent)
-    to_key = jnp.where(evalid[:, None], to_key, sent)
-    both = jnp.concatenate([from_key, to_key], axis=0)
+    from_key = from_key.where(evalid, kc.SENTINEL)
+    to_key = to_key.where(evalid, kc.SENTINEL)
+    both = W3(
+        jnp.concatenate([from_key.a, to_key.a]),
+        jnp.concatenate([from_key.b, to_key.b]),
+        jnp.concatenate([from_key.c, to_key.c]),
+    )
     vsort, _, _ = kc.sort_by_words(both)
-    vstarts = seg.run_starts(vsort)
-    real = ~jnp.all(vsort == sent, axis=-1)
+    vstarts = seg.run_starts(vsort.a, vsort.b, vsort.c)
+    real = ~kc.is_sentinel(vsort)
     n_vertices = jnp.sum((vstarts & real).astype(I32))
     # unique vertex table = first row of each run; ids by sorted order
     vid_of_sorted = jnp.cumsum(vstarts.astype(I32)) - 1
-    # map each key -> vertex id via searchsorted into the sorted (non-unique)
-    # table, then translate position -> run id
     fpos, _ = kc.searchsorted_words(vsort, from_key)
     tpos, _ = kc.searchsorted_words(vsort, to_key)
     from_v = vid_of_sorted[fpos]
@@ -262,11 +261,11 @@ def trim_table(table: KmerTable, pad_multiple: int = 1024) -> KmerTable:
     round_up(n_valid) rows (the count stage pads to #positions)."""
     n = int(table.n_valid)
     m = max(pad_multiple, -(-n // pad_multiple) * pad_multiple)
-    sl = lambda a: jnp.asarray(np.asarray(a)[:m])
     words = np.full((m, 3), kc.SENTINEL, dtype=np.uint32)
-    words[:n] = np.asarray(table.words)[:n]
+    words[:n] = kc.soa_to_np(table.words)[:n]
+    sl = lambda a: jnp.asarray(np.asarray(a)[:m])
     return KmerTable(
-        jnp.asarray(words),
+        kc.np_to_soa(words),
         sl(table.count),
         sl(table.nbc),
         sl(table.left_mask),

@@ -150,6 +150,8 @@ def from_device(dg, table=None) -> BaseGraph:
         node_pos=np.asarray(dg.node_pos),
     )
     if table is not None:
-        bg.kmer_words = np.asarray(table.words)
+        from ..core import kmer_codec as kc
+
+        bg.kmer_words = kc.soa_to_np(table.words)
         bg.n_kmers = int(table.n_valid)
     return bg

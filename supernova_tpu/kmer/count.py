@@ -15,7 +15,9 @@ Reference behavior being reproduced (SURVEY.md §2.1, §7 step 3):
 
 TPU-native design: no hash maps — one big stable lexicographic sort of all
 (kmer, barcode) occurrence rows, then sorted-segment reductions.  All shapes
-static; invalid rows ride along as all-ones sentinels.
+static; invalid rows ride along as all-ones sentinels.  Kmer batches are
+W3 structure-of-arrays (see core/kmer_codec.py) — three flat uint32 vectors,
+never (N,3), to avoid TPU minor-dim tile padding.
 """
 from __future__ import annotations
 
@@ -27,20 +29,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import kmer_codec as kc
-from ..core.kmer_codec import K
+from ..core.kmer_codec import K, W3
 from ..ops import segments as seg
 
 MIN_QUAL = 7  # DF.cc:138-141
 MIN_FREQ = 3  # mro/_assembler.mro:44 min_kmer_obs
 MIN_BC = 2  # DF.cc MIN_BC default
 BC_IGNORED = -1  # occurrences whose barcode is untracked (block-0 reads)
+BC_FIELD_IGNORED = 0x3FFFFF  # 22-bit barcode field; all-ones = "ignored"
 U32 = jnp.uint32
 
 
 class KmerTable(NamedTuple):
     """Sorted canonical kmer table, sentinel-padded to static size M."""
 
-    words: jax.Array  # (M,3) uint32, canonical, ascending; sentinel pad
+    words: W3  # (M,) x3 uint32, canonical, ascending; sentinel pad
     count: jax.Array  # (M,) int32 occurrence count
     nbc: jax.Array  # (M,) int32 distinct barcodes > 0
     left_mask: jax.Array  # (M,) uint32 4-bit predecessor-base mask
@@ -68,13 +71,12 @@ def good_lengths(quals, read_offsets, pos_read, min_qual: int = MIN_QUAL):
     p = jnp.arange(nb, dtype=jnp.int32)
     bad = quals < min_qual
     read_start = read_offsets[pos_read].astype(jnp.int32)
-    # last blocker strictly before or at p: bad positions block at p+1
     blocker = jnp.where(bad, p + 1, 0)
     last_bad = jax.lax.cummax(blocker)
     bound = jnp.maximum(last_bad, read_start)
     streak = p + 1 - bound  # consecutive good quals ending at p, within read
     ok_end = streak >= K
-    cand = jnp.where(ok_end, p + 1 - read_start, 0)  # good_len if window ends here
+    cand = jnp.where(ok_end, p + 1 - read_start, 0)
     return seg.seg_max(cand, pos_read, n_reads).astype(jnp.int32)
 
 
@@ -86,7 +88,7 @@ def extract_occurrences(
     read_bc,  # (R,) int32: BC_IGNORED, or barcode id > 0
 ):
     """Per-position canonical kmer occurrences (the Kmerizer::map phase).
-    -> (canon (NB,3) sentinel for invalid, bc (NB,), lm (NB,), rm (NB,),
+    -> (canon W3 sentinel-for-invalid, bc (NB,), lm (NB,), rm (NB,),
         valid (NB,) bool)."""
     nb = pos_read.shape[0]
     codes_ext = jnp.asarray(codes_ext).astype(jnp.int32)
@@ -110,32 +112,40 @@ def extract_occurrences(
     rm = jnp.where(flipped, rev4(lmask), rmask)
 
     bc = read_bc[pos_read]
-    canon = jnp.where(valid[:, None], canon, jnp.asarray(kc.SENTINEL))
+    canon = canon.where(valid, kc.SENTINEL)
     return canon, bc, lm, rm, valid
 
 
-BC_FIELD_IGNORED = 0x3FFFFF  # 22-bit barcode field; all-ones = "ignored"
-
-
-def reduce_occurrences(
-    canon, bc, lm, rm, valid, min_freq: int = MIN_FREQ, min_bc: int = MIN_BC
-) -> KmerTable:
-    """Sort occurrence rows and segment-reduce into a filtered KmerTable
-    (the Kmerizer::reduce phase).
-
-    The non-kmer row attributes pack into ONE uint32 sort key —
-    [31:10]=barcode (22 bits; caps barcode ids at ~4.19M, enough for the 4M
-    whitelist), [9:6]=left mask, [5:2]=right mask, [1]=valid — so the hot
-    device sort runs on 4 operands instead of 8.
-    """
-    nb = canon.shape[0]
+def pack_occurrence_attrs(bc, lm, rm, valid):
+    """Pack the non-kmer occurrence attributes into ONE uint32 sort key:
+    [31:10]=barcode (22 bits; caps ids at ~4.19M — covers the 4M whitelist),
+    [9:6]=left mask, [5:2]=right mask, [1]=valid."""
     bcf = jnp.where(bc == BC_IGNORED, U32(BC_FIELD_IGNORED), bc.astype(U32))
-    packed = (
+    return (
         (bcf << np.uint32(10))
         | (lm << np.uint32(6))
         | (rm << np.uint32(2))
         | (valid.astype(U32) << np.uint32(1))
     )
+
+
+def unpack_occurrence_attrs(pk):
+    field = pk >> np.uint32(10)
+    bc = jnp.where(field == BC_FIELD_IGNORED, BC_IGNORED, field.astype(jnp.int32))
+    lm = (pk >> np.uint32(6)) & np.uint32(15)
+    rm = (pk >> np.uint32(2)) & np.uint32(15)
+    valid = ((pk >> np.uint32(1)) & np.uint32(1)) == 1
+    return bc, lm, rm, valid
+
+
+def reduce_occurrences(
+    canon: W3, bc, lm, rm, valid, min_freq: int = MIN_FREQ, min_bc: int = MIN_BC
+) -> KmerTable:
+    """Sort occurrence rows and segment-reduce into a filtered KmerTable
+    (the Kmerizer::reduce phase).  4-operand sort: 3 kmer words + 1 packed
+    attribute word."""
+    nb = canon.a.shape[0]
+    packed = pack_occurrence_attrs(bc, lm, rm, valid)
 
     ws, (pk,), _ = kc.sort_by_words(canon, extra_keys=(packed,))
     bc_s = pk >> np.uint32(10)
@@ -143,7 +153,7 @@ def reduce_occurrences(
     rm_s = (pk >> np.uint32(2)) & np.uint32(15)
     valid_s = ((pk >> np.uint32(1)) & np.uint32(1)).astype(jnp.int32)
 
-    starts = seg.run_starts(ws)
+    starts = seg.run_starts(ws.a, ws.b, ws.c)
     sid = seg.segment_ids_from_starts(starts)
     count = seg.seg_sum(valid_s, sid, nb)
     new_pair = starts | (bc_s != jnp.roll(bc_s, 1))
@@ -158,18 +168,22 @@ def reduce_occurrences(
     rmask_u = seg.seg_or_mask(jnp.where(valid_s == 1, rm_s, U32(0)), sid, nb, 4)
     # per-segment kmer words: all rows in a segment share them, so min works;
     # empty (padding) segments come out all-ones = sentinel.
-    uw = jnp.stack(
-        [seg.seg_min(ws[:, j], sid, nb) for j in range(3)], axis=-1
+    uw = W3(
+        seg.seg_min(ws.a, sid, nb),
+        seg.seg_min(ws.b, sid, nb),
+        seg.seg_min(ws.c, sid, nb),
     )
 
-    real = ~jnp.all(uw == jnp.asarray(kc.SENTINEL), axis=-1)
+    real = ~kc.is_sentinel(uw)
     keep = real & (count >= min_freq) & ((has_ign > 0) | (nbc >= min_bc))
-    n_valid, (w2, c2, b2, l2, r2) = seg.stable_compact(
-        keep, uw, count, nbc, lmask_u, rmask_u
+    n_valid, (wa, wb, wc, c2, b2, l2, r2) = seg.stable_compact(
+        keep, uw.a, uw.b, uw.c, count, nbc, lmask_u, rmask_u
     )
     m = jnp.arange(nb) < n_valid
-    w2 = jnp.where(m[:, None], w2, jnp.asarray(kc.SENTINEL))
-    return KmerTable(w2, c2 * m, b2 * m, l2 * m.astype(U32), r2 * m.astype(U32), n_valid)
+    w2 = W3(wa, wb, wc).where(m, kc.SENTINEL)
+    return KmerTable(
+        w2, c2 * m, b2 * m, l2 * m.astype(U32), r2 * m.astype(U32), n_valid
+    )
 
 
 @partial(jax.jit, static_argnames=("min_freq", "min_bc"))

@@ -2,11 +2,15 @@
 
 This is the TPU-native re-expression of the reference's MSP shuffle
 (SURVEY.md §2.3 #2): reads are split across devices; each device extracts
-canonical kmer occurrence rows; rows are exchanged with a single
-ragged_all_to_all keyed on a kmer hash (every copy of a kmer lands on one
-shard, so shard-local counting + filtering is exact — the same argument that
-makes the reference's 8192 disk shards exact, cmd_msp.rs:4-9); each shard
-then sorts + segment-reduces its slice of kmer space locally.
+canonical kmer occurrence rows; rows are exchanged with ragged_all_to_all
+keyed on a kmer hash (every copy of a kmer lands on one shard, so
+shard-local counting + filtering is exact — the same argument that makes
+the reference's 8192 disk shards exact, cmd_msp.rs:4-9); each shard then
+sorts + segment-reduces its slice of kmer space locally.
+
+All exchanged buffers are flat 1-D uint32 vectors (kmer words as W3 columns
++ one packed attribute word) — never (N, k) matrices, which TPU tiling pads
+to 128 lanes.
 
 The result is a distributed KmerTable sharded by kmer hash.  merge_shard_
 tables() re-sorts the (disjoint) shard tables into the single lexicographic
@@ -22,6 +26,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..core import kmer_codec as kc
+from ..core.kmer_codec import W3
 from ..kmer.count import (
     BC_IGNORED,
     MIN_BC,
@@ -29,7 +34,9 @@ from ..kmer.count import (
     KmerTable,
     extract_occurrences,
     good_lengths,
+    pack_occurrence_attrs,
     reduce_occurrences,
+    unpack_occurrence_attrs,
 )
 from .mesh import AXIS
 
@@ -37,12 +44,12 @@ U32 = jnp.uint32
 I32 = jnp.int32
 
 
-def kmer_shard_hash(words) -> jax.Array:
+def kmer_shard_hash(words: W3) -> jax.Array:
     """Mix the 3 kmer words into a well-distributed uint32 (murmur-style)."""
     c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
     h = jnp.asarray(0x9E3779B9, U32)
-    for j in range(3):
-        k = words[..., j] * c1
+    for wj in (words.a, words.b, words.c):
+        k = wj * c1
         k = (k << np.uint32(15)) | (k >> np.uint32(17))
         k = k * c2
         h = h ^ k
@@ -52,18 +59,6 @@ def kmer_shard_hash(words) -> jax.Array:
     h = h * np.uint32(0x85EBCA6B)
     h = h ^ (h >> np.uint32(13))
     return h
-
-
-def _unpack_bc_masks(pk):
-    """Inverse of the packed occurrence attribute word (see
-    kmer.count.reduce_occurrences)."""
-    field = pk >> np.uint32(10)
-    from ..kmer.count import BC_FIELD_IGNORED
-
-    rbc = jnp.where(field == BC_FIELD_IGNORED, BC_IGNORED, field.astype(I32))
-    rlm = (pk >> np.uint32(6)) & np.uint32(15)
-    rrm = (pk >> np.uint32(2)) & np.uint32(15)
-    return rbc, rlm, rrm
 
 
 def _sharded_count_local(
@@ -83,25 +78,14 @@ def _sharded_count_local(
     canon, bc, lm, rm, valid = extract_occurrences(
         codes_ext, read_offsets, pos_read, glen, read_bc
     )
-    nbl = canon.shape[0]
+    nbl = canon.a.shape[0]
+    packed = pack_occurrence_attrs(bc, lm, rm, valid)
 
-    from ..kmer.count import BC_FIELD_IGNORED
-
-    bcf = jnp.where(bc == BC_IGNORED, U32(BC_FIELD_IGNORED), bc.astype(U32))
-    packed = (
-        (bcf << np.uint32(10))
-        | (lm << np.uint32(6))
-        | (rm << np.uint32(2))
-        | (valid.astype(U32) << np.uint32(1))
-    )
     shard = jnp.where(valid, kmer_shard_hash(canon) % np.uint32(n_dev), U32(n_dev))
-    ops = jax.lax.sort(
-        (shard, canon[:, 0], canon[:, 1], canon[:, 2], packed),
-        num_keys=1,
-        is_stable=True,
+    shard_s, w0, w1, w2, pk = jax.lax.sort(
+        (shard, canon.a, canon.b, canon.c, packed), num_keys=1, is_stable=True
     )
-    shard_s = ops[0]
-    payload = jnp.stack(ops[1:], axis=-1)  # (NBL, 4) uint32
+    cols = (w0, w1, w2, pk)
 
     counts = jax.ops.segment_sum(
         jnp.ones((nbl,), I32), shard_s.astype(I32), num_segments=n_dev + 1,
@@ -110,57 +94,56 @@ def _sharded_count_local(
     input_offsets = jnp.cumsum(counts) - counts
 
     if use_ragged:
-        # TPU path: single ragged all-to-all (no padding traffic)
-        # everyone learns the full send-size matrix S[i, j] = i sends to j
+        # TPU path: ragged all-to-all per column (flat vectors, no padding)
         S = jax.lax.all_gather(counts, AXIS)  # (n_dev, n_dev)
         me = jax.lax.axis_index(AXIS)
         recv_sizes = S[:, me]
-        # where my slices land on each receiver: after all senders before me
         col_excl = jnp.cumsum(S, axis=0) - S  # exclusive cumsum over senders
         output_offsets = col_excl[me, :]
-
-        out_init = jnp.zeros((capacity, 4), U32)
-        received = jax.lax.ragged_all_to_all(
-            payload,
-            out_init,
-            input_offsets.astype(I32),
-            counts.astype(I32),
-            output_offsets.astype(I32),
-            recv_sizes.astype(I32),
-            axis_name=AXIS,
+        received = tuple(
+            jax.lax.ragged_all_to_all(
+                col,
+                jnp.zeros((capacity,), U32),
+                input_offsets.astype(I32),
+                counts.astype(I32),
+                output_offsets.astype(I32),
+                recv_sizes.astype(I32),
+                axis_name=AXIS,
+            )
+            for col in cols
         )
         n_recv = jnp.sum(recv_sizes)
         row_ok = jnp.arange(capacity) < n_recv
-        words = jnp.where(row_ok[:, None], received[:, 0:3], jnp.asarray(kc.SENTINEL))
-        pk = received[:, 3]
-        rvalid = (((pk >> np.uint32(1)) & np.uint32(1)) == 1) & row_ok
-        rbc, rlm, rrm = _unpack_bc_masks(pk)
+        words = W3(received[0], received[1], received[2]).where(row_ok, kc.SENTINEL)
+        rbc, rlm, rrm, rvalid = unpack_occurrence_attrs(received[3])
+        rvalid = rvalid & row_ok
         overflow = jnp.maximum(n_recv - capacity, 0)
     else:
         # fallback (XLA:CPU has no ragged-all-to-all): fixed-capacity dense
-        # exchange; padding rows carry sentinel words + valid=0, which the
-        # reducer already ignores, so no size bookkeeping is needed.
+        # exchange per column; padding rows carry sentinel words + valid=0,
+        # which the reducer already ignores.
         cap_per = capacity // n_dev
         rank = jnp.arange(nbl, dtype=I32) - input_offsets[
             jnp.minimum(shard_s, n_dev - 1).astype(I32)
         ]
         ok = (shard_s < n_dev) & (rank < cap_per)
-        sendbuf = jnp.zeros((n_dev * cap_per, 4), U32)
-        sendbuf = sendbuf.at[:, 0:3].set(kc.SENTINEL)
         flat_idx = jnp.minimum(shard_s, n_dev - 1).astype(I32) * cap_per + rank
-        sendbuf = sendbuf.at[jnp.where(ok, flat_idx, n_dev * cap_per)].set(
-            payload, mode="drop"
-        )
-        received = jax.lax.all_to_all(
-            sendbuf.reshape(n_dev, cap_per, 4), AXIS, 0, 0, tiled=False
-        ).reshape(n_dev * cap_per, 4)
-        words = received[:, 0:3]
-        pk = received[:, 3]
-        rvalid = ((pk >> np.uint32(1)) & np.uint32(1)) == 1
-        rbc, rlm, rrm = _unpack_bc_masks(pk)
-        dropped = jnp.sum(
-            jnp.maximum(counts - cap_per, 0)
-        )
+        idx = jnp.where(ok, flat_idx, n_dev * cap_per)
+
+        def exchange(col, fill):
+            buf = jnp.full((n_dev * cap_per,), fill, U32)
+            buf = buf.at[idx].set(col, mode="drop")
+            return jax.lax.all_to_all(
+                buf.reshape(n_dev, cap_per), AXIS, 0, 0, tiled=False
+            ).reshape(n_dev * cap_per)
+
+        ra = exchange(w0, kc.SENTINEL)
+        rb = exchange(w1, kc.SENTINEL)
+        rc_ = exchange(w2, kc.SENTINEL)
+        rp = exchange(pk, np.uint32(0))
+        words = W3(ra, rb, rc_)
+        rbc, rlm, rrm, rvalid = unpack_occurrence_attrs(rp)
+        dropped = jnp.sum(jnp.maximum(counts - cap_per, 0))
         overflow = jax.lax.psum(dropped, AXIS)
 
     table = reduce_occurrences(words, rbc, rlm, rrm, rvalid, min_freq, min_bc)
@@ -187,7 +170,7 @@ def sharded_count(
     use_ragged: bool | None = None,
 ):
     """Jitted multi-device counting step: returns per-shard KmerTables
-    (leading axis = shard) + per-shard overflow counters.
+    (leading axis = shard, leaves concatenated) + per-shard overflow.
 
     use_ragged: ragged_all_to_all (TPU) vs fixed-capacity dense all_to_all
     (XLA:CPU lacks ragged-all-to-all); default picks by backend."""
@@ -202,14 +185,14 @@ def sharded_count(
         min_bc=min_bc,
         use_ragged=use_ragged,
     )
+    table_spec = KmerTable(
+        W3(P(AXIS), P(AXIS), P(AXIS)), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)
+    )
     return jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(
-            KmerTable(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-            P(AXIS),
-        ),
+        out_specs=(table_spec, P(AXIS)),
     )(codes_ext, read_offsets, pos_read, quals, read_bc)
 
 
@@ -248,7 +231,7 @@ def split_readset(rs, n_dev: int, base_bucket: int = 16384, read_bucket: int = 1
             starts = rs.offsets[idx]
             flat = np.concatenate(
                 [rs.codes[s : s + l] for s, l in zip(starts, lens)]
-            ) if len(idx) else np.zeros(0, np.uint8)
+            )
             codes[:nb] = flat
             qu[:nb] = np.concatenate(
                 [rs.quals[s : s + l] for s, l in zip(starts, lens)]
@@ -267,36 +250,45 @@ def split_readset(rs, n_dev: int, base_bucket: int = 16384, read_bucket: int = 1
 def merge_shard_tables(tables_stacked) -> "KmerTable":
     """Host merge: per-shard tables are disjoint in kmer space; concat valid
     rows and re-sort lexicographically into one global table."""
-    import jax.numpy as jnp
-
     nv = np.asarray(tables_stacked.n_valid)
     n_dev = len(nv)
     cap = np.asarray(tables_stacked.count).shape[0] // n_dev
-    words = np.asarray(tables_stacked.words).reshape(n_dev, cap, 3)
+    wa = np.asarray(tables_stacked.words.a).reshape(n_dev, cap)
+    wb = np.asarray(tables_stacked.words.b).reshape(n_dev, cap)
+    wc = np.asarray(tables_stacked.words.c).reshape(n_dev, cap)
     count = np.asarray(tables_stacked.count).reshape(n_dev, cap)
     nbc = np.asarray(tables_stacked.nbc).reshape(n_dev, cap)
     lm = np.asarray(tables_stacked.left_mask).reshape(n_dev, cap)
     rm = np.asarray(tables_stacked.right_mask).reshape(n_dev, cap)
-    rows_w, rows_c, rows_b, rows_l, rows_r = [], [], [], [], []
-    for s in range(words.shape[0]):
+    rows = {k: [] for k in "abc"}
+    rows_c, rows_b, rows_l, rows_r = [], [], [], []
+    for s in range(n_dev):
         n = int(nv[s])
-        rows_w.append(words[s, :n])
+        rows["a"].append(wa[s, :n])
+        rows["b"].append(wb[s, :n])
+        rows["c"].append(wc[s, :n])
         rows_c.append(count[s, :n])
         rows_b.append(nbc[s, :n])
         rows_l.append(lm[s, :n])
         rows_r.append(rm[s, :n])
-    w = np.concatenate(rows_w)
-    order = np.lexsort((w[:, 2], w[:, 1], w[:, 0]))
+    a = np.concatenate(rows["a"])
+    b = np.concatenate(rows["b"])
+    c = np.concatenate(rows["c"])
+    order = np.lexsort((c, b, a))
     n = len(order)
     m = max(256, -(-n // 256) * 256)
-    ww = np.full((m, 3), kc.SENTINEL, np.uint32)
-    ww[:n] = w[order]
-    pad = lambda a: np.concatenate([a[order], np.zeros(m - n, a.dtype)])
+    w = np.full((m, 3), kc.SENTINEL, np.uint32)
+    w[:n, 0] = a[order]
+    w[:n, 1] = b[order]
+    w[:n, 2] = c[order]
+    pad = lambda arrs: np.concatenate(
+        [np.concatenate(arrs)[order], np.zeros(m - n, arrs[0].dtype)]
+    )
     return KmerTable(
-        jnp.asarray(ww),
-        jnp.asarray(pad(np.concatenate(rows_c))),
-        jnp.asarray(pad(np.concatenate(rows_b))),
-        jnp.asarray(pad(np.concatenate(rows_l))),
-        jnp.asarray(pad(np.concatenate(rows_r))),
+        kc.np_to_soa(w),
+        jnp.asarray(pad(rows_c)),
+        jnp.asarray(pad(rows_b)),
+        jnp.asarray(pad(rows_l)),
+        jnp.asarray(pad(rows_r)),
         jnp.asarray(n, I32),
     )

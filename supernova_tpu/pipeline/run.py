@@ -16,6 +16,7 @@ import numpy as np
 
 from ..align import index as pindex
 from ..align import pather
+from ..core import kmer_codec as kc_codec
 from ..dbg import build as dbuild
 from ..dbg import graph as dgraph
 from ..ingest.ingest import valid_barcode_fraction
@@ -76,7 +77,7 @@ class Pipeline:
         )
         np.savez_compressed(
             self.outdir / "kmers.npz",
-            words=np.asarray(table.words),
+            words=kc_codec.soa_to_np(table.words),
             count=np.asarray(table.count),
             nbc=np.asarray(table.nbc),
             left_mask=np.asarray(table.left_mask),
@@ -117,6 +118,34 @@ class Pipeline:
             counts=counts,
         )
         return rp
+
+    def stage_patch(self, bg, rp, rs):
+        """DF patch stage: dead-end pair discovery -> local closures ->
+        graph rebuild + re-path (RunStages.cc StageFindPatch/InsertPatch)."""
+        from ..asm import dups as adups
+        from ..asm import patch as apatch
+
+        edges = np.asarray(rp.edges)[: rs.n_reads]
+        plen = np.asarray(rp.path_len)[: rs.n_reads]
+        offset = np.asarray(rp.offset)[: rs.n_reads]
+        dup = adups.mark_dups(edges, plen, offset, rs.bc)
+        pairs = apatch.find_edge_pairs(bg, edges, plen, dup)
+        closures = apatch.close_gaps(bg, rs, pairs)
+        self.stats.log("gap_pairs", len(pairs), "dead-end edge pairs", stage="patch")
+        self.stats.log("gap_closures", len(closures), "gaps closed", stage="patch")
+        if not closures:
+            return bg, rp
+        np.savez_compressed(
+            self.outdir / "closures.npz",
+            values=np.concatenate(closures),
+            offsets=np.concatenate(
+                [[0], np.cumsum([len(c) for c in closures])]
+            ).astype(np.int64),
+        )
+        bg2 = apatch.insert_patches(bg, closures)
+        bg2.save(self.outdir / "graph.patched.npz")
+        rp2 = self.stage_paths(bg2, rs)
+        return bg2, rp2
 
     def stage_supergraph(self, bg, rp, rs):
         """TR/MC analogue: dup marking, weak-edge trimming, D build, lines."""
@@ -178,6 +207,15 @@ class Pipeline:
         for sc in scaffolds:
             for li in sc.line_ids:
                 phasings[li] = aph.phase_line(lines.lines[li], bc_counts)
+
+        from ..asm.het import estimate_hetdist
+
+        hd = estimate_hetdist(D, lines)
+        if hd is not None:
+            self.stats.log(
+                "hetdist_aligned", hd,
+                "mean distance between het SNPs (arm alignment)", cs=True,
+            )
         return scaffolds, phasings
 
     def stage_fasta(self, bg, flavor: str = "raw", ctx=None) -> Path:
@@ -227,6 +265,7 @@ class Pipeline:
         table = self.stage_count(rs)
         bg = self.stage_graph(table)
         rp = self.stage_paths(bg, rs)
+        bg, rp = self.stage_patch(bg, rp, rs)
         D, lines, dup = self.stage_supergraph(bg, rp, rs)
         scaffolds, phasings = self.stage_scaffold_phase(D, lines, rp, rs)
 

@@ -102,7 +102,9 @@ def test_node_map_consistency(rng):
     g = sim.random_genome(rng, 2000, n_repeat_chunks=2, repeat_len=200)
     table, bg = build(g)
     n = int(table.n_valid)
-    words = np.asarray(table.words)
+    from supernova_tpu.core.kmer_codec import soa_to_np
+
+    words = soa_to_np(table.words)
     sample = np.linspace(0, n - 1, 40).astype(int)
     for r in sample:
         kmer = dna.codes_to_seq(codes_from_words_np(words[r]))

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from supernova_tpu.core import dna, kmer_codec as kc
+from supernova_tpu.core.kmer_codec import W3, np_to_soa, soa_to_np
 
 
 def random_codes(rng, n):
@@ -30,7 +31,7 @@ def test_pack_unpack_roundtrip(rng):
 def test_sliding_words_matches_np(rng):
     n = 57
     codes = random_codes(rng, n + kc.K - 1)
-    ws = np.asarray(kc.sliding_words(codes, n))
+    ws = soa_to_np(kc.sliding_words(codes, n))
     for p in range(n):
         expect = kc.words_from_codes_np(codes[p : p + kc.K])
         assert np.array_equal(ws[p], expect), p
@@ -39,12 +40,12 @@ def test_sliding_words_matches_np(rng):
 def test_rc_words_matches_np(rng):
     codes = random_codes(rng, kc.K + 9)
     ws = kc.sliding_words(codes, 10)
-    rc = np.asarray(kc.rc_words(ws))
+    rc = soa_to_np(kc.rc_words(ws))
     for p in range(10):
         expect = kc.words_from_codes_np(dna.revcomp(codes[p : p + kc.K]))
         assert np.array_equal(rc[p], expect), p
     # involution
-    assert np.array_equal(np.asarray(kc.rc_words(kc.rc_words(ws))), np.asarray(ws))
+    assert np.array_equal(soa_to_np(kc.rc_words(kc.rc_words(ws))), soa_to_np(ws))
 
 
 def test_lexicographic_matches_base_order(rng):
@@ -52,9 +53,9 @@ def test_lexicographic_matches_base_order(rng):
     for _ in range(50):
         a = random_codes(rng, kc.K)
         b = random_codes(rng, kc.K)
-        wa = kc.words_from_codes_np(a)[None]
-        wb = kc.words_from_codes_np(b)[None]
-        lt = bool(np.asarray(kc.lex_lt(jnp.asarray(wa), jnp.asarray(wb)))[0])
+        wa = np_to_soa(kc.words_from_codes_np(a)[None])
+        wb = np_to_soa(kc.words_from_codes_np(b)[None])
+        lt = bool(np.asarray(kc.lex_lt(wa, wb))[0])
         assert lt == (dna.codes_to_seq(a) < dna.codes_to_seq(b))
 
 
@@ -62,30 +63,38 @@ def test_canonicalize(rng):
     codes = random_codes(rng, kc.K + 99)
     ws = kc.sliding_words(codes, 100)
     canon, flipped = kc.canonicalize(ws)
-    canon = np.asarray(canon)
-    rc = np.asarray(kc.rc_words(ws))
-    ws = np.asarray(ws)
+    canon_np = soa_to_np(canon)
+    rc = soa_to_np(kc.rc_words(ws))
+    ws_np = soa_to_np(ws)
     for p in range(100):
-        fwd = dna.codes_to_seq(kc.codes_from_words_np(ws[p]))
+        fwd = dna.codes_to_seq(kc.codes_from_words_np(ws_np[p]))
         rcs = dna.codes_to_seq(kc.codes_from_words_np(rc[p]))
-        got = dna.codes_to_seq(kc.codes_from_words_np(canon[p]))
+        got = dna.codes_to_seq(kc.codes_from_words_np(canon_np[p]))
         assert got == min(fwd, rcs)
     # canonical sentinel safety: all-ones can never be canonical
-    assert not np.any(np.all(canon == kc.SENTINEL, axis=-1))
+    assert not np.any(np.all(canon_np == kc.SENTINEL, axis=-1))
 
 
 def test_successor_predecessor(rng):
     codes = random_codes(rng, kc.K)
-    w = jnp.asarray(kc.words_from_codes_np(codes)[None])
+    w = np_to_soa(kc.words_from_codes_np(codes)[None])
     for b in range(4):
-        succ = np.asarray(kc.successor_words(w, jnp.full((1,), b)))[0]
+        succ = soa_to_np(kc.successor_words(w, jnp.full((1,), b)))[0]
         expect = kc.words_from_codes_np(np.concatenate([codes[1:], [b]]))
         assert np.array_equal(succ, expect)
-        pred = np.asarray(kc.predecessor_words(w, jnp.full((1,), b)))[0]
+        pred = soa_to_np(kc.predecessor_words(w, jnp.full((1,), b)))[0]
         expect = kc.words_from_codes_np(np.concatenate([[b], codes[:-1]]))
         assert np.array_equal(pred, expect)
     assert int(kc.first_base(w)[0]) == codes[0]
     assert int(kc.last_base(w)[0]) == codes[-1]
+
+
+def test_unpack_bases(rng):
+    codes = random_codes(rng, kc.K + 4)
+    w = kc.sliding_words(codes, 5)
+    dense = np.asarray(kc.unpack_bases(w))
+    for p in range(5):
+        assert np.array_equal(dense[p], codes[p : p + kc.K])
 
 
 def test_sort_and_search(rng):
@@ -93,7 +102,7 @@ def test_sort_and_search(rng):
     codes = random_codes(rng, n + kc.K - 1)
     ws, _ = kc.canonicalize(kc.sliding_words(codes, n))
     ws_sorted, _, _ = kc.sort_by_words(ws)
-    ws_np = np.asarray(ws_sorted)
+    ws_np = soa_to_np(ws_sorted)
     # sorted lexicographically
     keys = [tuple(row) for row in ws_np.tolist()]
     assert keys == sorted(keys)
@@ -101,12 +110,12 @@ def test_sort_and_search(rng):
     idx, found = kc.searchsorted_words(ws_sorted, ws)
     assert bool(np.all(np.asarray(found)))
     hit_rows = ws_np[np.asarray(idx)]
-    assert np.array_equal(hit_rows, np.asarray(ws))
-    # search misses a absent kmer
-    probe = jnp.asarray(np.array([[0, 0, 1]], dtype=np.uint32))
-    in_table = np.any(np.all(ws_np == np.asarray(probe), axis=-1))
+    assert np.array_equal(hit_rows, soa_to_np(ws))
+    # membership result agrees with a python-set check
+    probe = np_to_soa(np.array([[0, 0, 1]], dtype=np.uint32))
+    in_table = any(t == (0, 0, 1) for t in keys)
     _, found = kc.searchsorted_words(ws_sorted, probe)
-    assert bool(found[0]) == bool(in_table)
+    assert bool(found[0]) == in_table
 
 
 def test_searchsorted_with_sentinel_padding(rng):
@@ -115,7 +124,7 @@ def test_searchsorted_with_sentinel_padding(rng):
     ws, _ = kc.canonicalize(kc.sliding_words(codes, n))
     ws_sorted, _, _ = kc.sort_by_words(ws)
     padded = np.full((256, 3), kc.SENTINEL, dtype=np.uint32)
-    padded[:n] = np.asarray(ws_sorted)
-    idx, found = kc.searchsorted_words(jnp.asarray(padded), ws)
+    padded[:n] = soa_to_np(ws_sorted)
+    idx, found = kc.searchsorted_words(np_to_soa(padded), ws)
     assert bool(np.all(np.asarray(found)))
     assert np.all(np.asarray(idx) < n)

@@ -93,7 +93,9 @@ def small_readset(rng, **kw):
 
 def table_to_dict(table):
     n = int(table.n_valid)
-    words = np.asarray(table.words)[:n]
+    from supernova_tpu.core.kmer_codec import soa_to_np
+
+    words = soa_to_np(table.words)[:n]
     out = {}
     for i in range(n):
         from supernova_tpu.core.kmer_codec import codes_from_words_np
@@ -143,10 +145,12 @@ def test_table_sorted_and_deterministic(rng):
     t1 = kcount.count_readset(rs)
     t2 = kcount.count_readset(rs)
     n = int(t1.n_valid)
-    w = np.asarray(t1.words)[:n]
+    from supernova_tpu.core.kmer_codec import soa_to_np
+
+    w = soa_to_np(t1.words)[:n]
     keys = [tuple(r) for r in w.tolist()]
     assert keys == sorted(keys) and len(set(keys)) == n
-    assert np.array_equal(np.asarray(t1.words), np.asarray(t2.words))
+    assert np.array_equal(soa_to_np(t1.words), soa_to_np(t2.words))
     assert np.array_equal(np.asarray(t1.count), np.asarray(t2.count))
 
 

@@ -53,7 +53,9 @@ def test_sharded_count_matches_single(rng):
 
     n1, n2 = int(single.n_valid), int(merged.n_valid)
     assert n1 == n2
-    assert np.array_equal(np.asarray(single.words)[:n1], np.asarray(merged.words)[:n2])
+    from supernova_tpu.core.kmer_codec import soa_to_np
+
+    assert np.array_equal(soa_to_np(single.words)[:n1], soa_to_np(merged.words)[:n2])
     assert np.array_equal(np.asarray(single.count)[:n1], np.asarray(merged.count)[:n2])
     assert np.array_equal(np.asarray(single.nbc)[:n1], np.asarray(merged.nbc)[:n2])
     # observed (pre-recompute) context masks also match
