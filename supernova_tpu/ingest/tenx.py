@@ -34,6 +34,18 @@ def load_whitelist(path: str | Path) -> Whitelist:
     return Whitelist.from_codes(np.stack(codes))
 
 
+def _read_fastq_arrays(path: str | Path):
+    """Whole-file decode via the native C++ parser (Python fallback inside):
+    -> (codes u8, quals u8 phred, offsets i64)."""
+    import gzip
+
+    from ..native import decode_fastq_bytes
+
+    p = str(path)
+    data = gzip.open(p, "rb").read() if p.endswith(".gz") else open(p, "rb").read()
+    return decode_fastq_bytes(data)
+
+
 def ingest_10x_fastqs(
     r1_paths: Sequence[str | Path],
     r2_paths: Sequence[str | Path],
@@ -50,16 +62,20 @@ def ingest_10x_fastqs(
     bcqs: List[np.ndarray] = []
     skip = BC_LEN + trim_length
     for p1, p2 in zip(r1_paths, r2_paths):
-        it2 = read_fastq(p2)
-        for (n1, c1, q1), (n2, c2, q2) in zip(read_fastq(p1), it2):
-            if len(c1) < skip + 1:
+        c1f, q1f, o1 = _read_fastq_arrays(p1)
+        c2f, q2f, o2 = _read_fastq_arrays(p2)
+        n = min(len(o1), len(o2)) - 1
+        for i in range(n):
+            a, b = int(o1[i]), int(o1[i + 1])
+            c, d = int(o2[i]), int(o2[i + 1])
+            if b - a < skip + 1:
                 continue
-            bcs.append(c1[:BC_LEN])
-            bcqs.append(q1[:BC_LEN])
-            r1s.append(c1[skip:])
-            q1s.append(q1[skip:])
-            r2s.append(c2)
-            q2s.append(q2)
+            bcs.append(c1f[a : a + BC_LEN])
+            bcqs.append(q1f[a : a + BC_LEN])
+            r1s.append(c1f[a + skip : b])
+            q1s.append(q1f[a + skip : b])
+            r2s.append(c2f[c:d])
+            q2s.append(q2f[c:d])
             if max_pairs and len(r1s) >= max_pairs:
                 break
         if max_pairs and len(r1s) >= max_pairs:

@@ -94,7 +94,12 @@ def extract_occurrences(
     codes_ext = jnp.asarray(codes_ext).astype(jnp.int32)
     p = jnp.arange(nb, dtype=jnp.int32)
 
-    words = kc.sliding_words(codes_ext, nb)
+    if jax.default_backend() == "tpu" and nb % 128 == 0:
+        from ..ops.pallas.kmer_extract import sliding_words_pallas
+
+        words = sliding_words_pallas(codes_ext, nb)
+    else:
+        words = kc.sliding_words(codes_ext, nb)
     canon, flipped = kc.canonicalize(words)
 
     start = read_offsets[pos_read].astype(jnp.int32)
@@ -153,29 +158,29 @@ def reduce_occurrences(
     rm_s = (pk >> np.uint32(2)) & np.uint32(15)
     valid_s = ((pk >> np.uint32(1)) & np.uint32(1)).astype(jnp.int32)
 
+    # sorted-run reductions: one scatter for the boundaries, then cumsum +
+    # boundary-gather per statistic (TPU scatters serialize; avoid them)
     starts = seg.run_starts(ws.a, ws.b, ws.c)
-    sid = seg.segment_ids_from_starts(starts)
-    count = seg.seg_sum(valid_s, sid, nb)
+    sp = seg.run_boundaries(starts)
+    count = seg.run_sum(valid_s, sp)
     new_pair = starts | (bc_s != jnp.roll(bc_s, 1))
     counted_bc = (
         (valid_s == 1) & (bc_s > 0) & (bc_s != BC_FIELD_IGNORED) & new_pair
     )
-    nbc = seg.seg_sum(counted_bc.astype(jnp.int32), sid, nb)
-    has_ign = seg.seg_max(
-        ((valid_s == 1) & (bc_s == BC_FIELD_IGNORED)).astype(jnp.int32), sid, nb
-    )
-    lmask_u = seg.seg_or_mask(jnp.where(valid_s == 1, lm_s, U32(0)), sid, nb, 4)
-    rmask_u = seg.seg_or_mask(jnp.where(valid_s == 1, rm_s, U32(0)), sid, nb, 4)
-    # per-segment kmer words: all rows in a segment share them, so min works;
-    # empty (padding) segments come out all-ones = sentinel.
+    nbc = seg.run_sum(counted_bc.astype(jnp.int32), sp)
+    has_ign = seg.run_any((valid_s == 1) & (bc_s == BC_FIELD_IGNORED), sp)
+    lmask_u = seg.run_or_mask(jnp.where(valid_s == 1, lm_s, U32(0)), sp, 4)
+    rmask_u = seg.run_or_mask(jnp.where(valid_s == 1, rm_s, U32(0)), sp, 4)
+    # per-run kmer words = first row of the run (sentinel for padding runs)
     uw = W3(
-        seg.seg_min(ws.a, sid, nb),
-        seg.seg_min(ws.b, sid, nb),
-        seg.seg_min(ws.c, sid, nb),
+        seg.run_first(ws.a, sp),
+        seg.run_first(ws.b, sp),
+        seg.run_first(ws.c, sp),
     )
+    uw = uw.where(sp[:-1] < nb, kc.SENTINEL)
 
     real = ~kc.is_sentinel(uw)
-    keep = real & (count >= min_freq) & ((has_ign > 0) | (nbc >= min_bc))
+    keep = real & (count >= min_freq) & (has_ign | (nbc >= min_bc))
     n_valid, (wa, wb, wc, c2, b2, l2, r2) = seg.stable_compact(
         keep, uw.a, uw.b, uw.c, count, nbc, lmask_u, rmask_u
     )

@@ -67,6 +67,45 @@ def seg_or_mask(masks, seg_ids, num_segments: int, nbits: int):
     return out
 
 
+# --------- sorted-run reductions via cumsum + boundary gathers (no scatter
+# per reduction — TPU scatters serialize; cumsum/gather are bandwidth-bound)
+
+def run_boundaries(starts):
+    """starts bool (N,) -> start_pos (N+1,) int32: start_pos[s] = first row
+    of run s, = N for s >= n_runs (so end of run s is start_pos[s+1])."""
+    n = starts.shape[0]
+    sid = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    sp = jnp.full((n + 1,), n, jnp.int32)
+    idx = jnp.where(starts, sid, n)
+    return sp.at[idx].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+
+def run_sum(values, start_pos):
+    """Per-run sum of values (N,) -> (N,) int32 (rows >= n_runs give 0)."""
+    cs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(values.astype(jnp.int32))]
+    )
+    return cs[start_pos[1:]] - cs[start_pos[:-1]]
+
+
+def run_any(bits, start_pos):
+    return run_sum(bits.astype(jnp.int32), start_pos) > 0
+
+
+def run_or_mask(masks, start_pos, nbits: int):
+    """Bitwise-OR of small masks per run via per-bit run_any."""
+    out = jnp.zeros((start_pos.shape[0] - 1,), masks.dtype)
+    for b in range(nbits):
+        out = out | (run_any((masks >> b) & 1, start_pos).astype(masks.dtype) << b)
+    return out
+
+
+def run_first(values, start_pos):
+    """First row's value per run (works for 1-D arrays)."""
+    n = values.shape[0]
+    return values[jnp.minimum(start_pos[:-1], n - 1)]
+
+
 def stable_compact(valid, *arrays):
     """Stable partition: rows with valid=True first, preserving order.
 

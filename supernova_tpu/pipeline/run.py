@@ -168,6 +168,29 @@ class Pipeline:
         lines = alines.find_lines(D)
         self.stats.log("n_super_edges", D.n_edges, stage="supergraph")
         self.stats.log("n_lines", lines.n_lines, stage="supergraph")
+
+        # misassembly breaking: split lines at junctions with no spanning
+        # barcodes (KillMisassembledCells analogue)
+        if rs.barcoded:
+            from ..asm import misassembly as amis
+
+            ebcx = pindex.edge_barcodes(edges, plen, rs.bc, bg.n_edges)
+            sup_bcs = asg.super_edge_barcodes(D, ebcx)
+            lines = amis.break_lines(lines, D, sup_bcs)
+            self.stats.log(
+                "n_lines_after_break", lines.n_lines, stage="supergraph"
+            )
+
+        # PlaceReads on D (dpaths + counts)
+        from ..asm import place as aplace
+
+        dpaths, dlen = aplace.place_reads(D, edges, plen)
+        np.savez_compressed(
+            self.outdir / "dpaths.npz",
+            dpaths=dpaths,
+            dlen=dlen,
+            counts=aplace.dpath_counts(D, dpaths, dlen),
+        )
         np.savez_compressed(
             self.outdir / "supergraph.npz",
             epaths_values=D.epaths.values,

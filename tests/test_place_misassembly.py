@@ -1,0 +1,74 @@
+"""PlaceReads-on-D and misassembly junction detection."""
+import numpy as np
+import pytest
+
+from supernova_tpu.asm import lines as alines
+from supernova_tpu.asm import place as aplace
+from supernova_tpu.asm import supergraph as asg
+from supernova_tpu.align import pather
+from supernova_tpu.dbg import build as dbuild
+from supernova_tpu.dbg import graph as dgraph
+from supernova_tpu.kmer import count as kcount
+from supernova_tpu.sim import genome as sim
+from tests.test_dbg import perfect_readset
+
+
+def test_place_reads_on_supergraph(rng):
+    g = sim.random_genome(rng, 3000, n_repeat_chunks=2, repeat_len=200)
+    rs = perfect_readset(g)
+    table = dbuild.trim_table(kcount.count_readset(rs, min_freq=2), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    D = asg.build_supergraph(bg)
+    rp = pather.path_readset(bg, rs)
+    edges = np.asarray(rp.edges)[: rs.n_reads]
+    plen = np.asarray(rp.path_len)[: rs.n_reads]
+    dpaths, dlen = aplace.place_reads(D, edges, plen)
+    assert (dlen > 0).mean() > 0.9
+    # D-paths must reference valid consecutive D-edges
+    b2s = aplace.base_to_super_map(D)
+    for i in range(0, rs.n_reads, 37):
+        for k in range(dlen[i]):
+            assert 0 <= dpaths[i, k] < D.n_edges
+    counts = aplace.dpath_counts(D, dpaths, dlen)
+    assert counts.sum() == dlen.sum()
+
+
+def test_weak_junction_detection(rng):
+    # two unrelated genome segments soldered: the joint has no spanning bcs
+    from supernova_tpu.asm.misassembly import find_weak_junctions
+    from supernova_tpu.asm.lines import Line
+
+    class FakeD:
+        pass
+
+    line = Line([np.array([0]), np.array([1]), np.array([2])])
+    sup_bcs = [
+        np.array([1, 2, 3, 4]),
+        np.array([3, 4, 5, 6]),
+        np.array([20, 21, 22]),  # no overlap with previous element
+    ]
+    weak = find_weak_junctions(FakeD(), line, sup_bcs, min_span=2)
+    assert weak == [2]
+
+
+def test_break_lines(rng):
+    from supernova_tpu.asm.misassembly import break_lines
+    from supernova_tpu.asm.lines import Line, Lines
+
+    class FakeD:
+        dinv = np.array([1, 0, 3, 2, 5, 4])
+
+    lines = Lines(
+        [Line([np.array([0]), np.array([2]), np.array([4])]),
+         Line([np.array([5]), np.array([3]), np.array([1])])],
+        np.array([0, 1, 0, 1, 0, 1]),
+        np.array([1, 0]),
+    )
+    sup_bcs = [np.array([1, 2]), np.array([1, 2]), np.array([1, 2]),
+               np.array([1, 2]), np.array([9, 10]), np.array([9, 10])]
+    # junction between element 1 (edge 2: bcs 1,2) and element 2 (edge 4:
+    # bcs 9,10) has no spanning barcodes -> line 0 breaks; mirrored line 1
+    # breaks at the mirrored junction
+    new = break_lines(lines, FakeD(), sup_bcs, min_span=1)
+    assert new.n_lines == 4
+    assert np.array_equal(new.linv[new.linv], np.arange(4))
