@@ -1,0 +1,117 @@
+"""Barcode molecules: cluster read placements per (barcode, line) into
+inferred long molecules; gap-size estimation from molecule spans.
+
+Reference analogues: barcode positions on lines `lbpx` (10X/LineOO.h:14
+BarcodePos), the molecule-length histogram + lw_mean_mol_len stat
+(CP.cc:952-972), and Gaprika's barcode-only gap sizing (10X/Gaprika.cc,
+CP.cc:1578).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+MOL_GAP = 50_000  # reads farther apart than this are different molecules
+READ_LEN_TAIL = 150
+
+
+@dataclass
+class Molecule:
+    bc: int
+    line: int
+    lo: int  # line coordinate span
+    hi: int
+
+    @property
+    def length(self) -> int:
+        return self.hi - self.lo + READ_LEN_TAIL
+
+
+def element_offsets(D, line) -> List[int]:
+    """Start coordinate of each element along the line (max arm lengths)."""
+    pos = [0]
+    for el in line.elements:
+        pos.append(pos[-1] + max(D.edge_len(int(d)) for d in el))
+    return pos
+
+
+def read_line_positions(
+    D, lines, dpaths: np.ndarray, dlen: np.ndarray, read_bc: np.ndarray
+) -> Dict[Tuple[int, int], List[int]]:
+    """(barcode, line) -> read positions in line coordinates (element start
+    of the read's first placed D-edge — lbpx-granularity positions)."""
+    # D-edge -> (line, element idx)
+    edge_elem: Dict[int, Tuple[int, int]] = {}
+    offs: List[List[int]] = []
+    for li, ln in enumerate(lines.lines):
+        offs.append(element_offsets(D, ln))
+        for j, el in enumerate(ln.elements):
+            for d in el:
+                edge_elem[int(d)] = (li, j)
+    out: Dict[Tuple[int, int], List[int]] = {}
+    n = dpaths.shape[0]
+    for r in range(n):
+        bc = int(read_bc[r])
+        if bc <= 0 or dlen[r] == 0:
+            continue
+        d = int(dpaths[r, 0])
+        le = edge_elem.get(d)
+        if le is None:
+            continue
+        li, j = le
+        out.setdefault((bc, li), []).append(offs[li][j])
+    return out
+
+
+def infer_molecules(positions: Dict[Tuple[int, int], List[int]], gap: int = MOL_GAP) -> List[Molecule]:
+    mols: List[Molecule] = []
+    for (bc, li), pos in positions.items():
+        pos = sorted(pos)
+        lo = prev = pos[0]
+        for p in pos[1:]:
+            if p - prev > gap:
+                mols.append(Molecule(bc, li, lo, prev))
+                lo = p
+            prev = p
+        mols.append(Molecule(bc, li, lo, prev))
+    return mols
+
+
+def lw_mean_length(mols: List[Molecule]) -> float:
+    """Length-weighted mean molecule length (the lw_mean_mol_len stat)."""
+    if not mols:
+        return 0.0
+    ls = np.array([m.length for m in mols], dtype=np.float64)
+    return float((ls**2).sum() / ls.sum())
+
+
+def estimate_gap(
+    mols_by_bc_line: Dict[Tuple[int, int], List[Molecule]],
+    line_a: int,
+    len_a: int,
+    line_b: int,
+    default: int = 100,
+    max_gap: int = 10_000,
+) -> int:
+    """Gaprika-style {-2} gap estimate between scaffolded lines a -> b:
+    for barcodes with molecules on BOTH lines, the unspanned remainder of
+    the molecule length bounds the gap.  Falls back to `default`."""
+    ests = []
+    bcs_a = {bc for (bc, li) in mols_by_bc_line if li == line_a}
+    for bc in bcs_a:
+        ma = mols_by_bc_line.get((bc, line_a))
+        mb = mols_by_bc_line.get((bc, line_b))
+        if not ma or not mb:
+            continue
+        # molecule reaching the end of line a and the start of line b:
+        end_a = max(m.hi for m in ma)
+        start_b = min(m.lo for m in mb)
+        slack_a = max(len_a - end_a, 0)
+        total = max(m.length for m in ma) + max(m.length for m in mb)
+        est = max(total - (end_a - min(m.lo for m in ma)) - start_b - slack_a, 0)
+        ests.append(min(est, max_gap))
+    if not ests:
+        return default
+    return int(np.median(ests)) or default

@@ -10,6 +10,7 @@ mirroring the reference's START=<stage> re-entry (DF.cc:147-155).
 from __future__ import annotations
 
 import json
+import time
 from pathlib import Path
 
 import numpy as np
@@ -27,10 +28,24 @@ from ..stats.logger import StatLogger, n50
 
 
 class Pipeline:
-    def __init__(self, outdir: str | Path, stats: StatLogger | None = None):
+    def __init__(
+        self,
+        outdir: str | Path,
+        stats: StatLogger | None = None,
+        resume: bool = False,
+    ):
         self.outdir = Path(outdir)
         self.outdir.mkdir(parents=True, exist_ok=True)
         self.stats = stats or StatLogger.load(self.outdir / "all_stats.json")
+        self.resume = resume
+        self._t_start = time.time()
+
+    def _timed(self, name, fn, *a, **kw):
+        """Per-stage wall-clock stats (etime_* schema, DF.cc:705-707)."""
+        t0 = time.time()
+        out = fn(*a, **kw)
+        self.stats.log(f"etime_{name}_h", (time.time() - t0) / 3600.0, stage=name)
+        return out
 
     # ---------------------------------------------------------------- stages
 
@@ -63,6 +78,19 @@ class Pipeline:
     def stage_count(self, rs: ReadSet):
         from ..stats import histograms as hist
 
+        ck = self.outdir / "kmers.npz"
+        if self.resume and ck.exists():
+            import jax.numpy as jnp
+
+            z = np.load(ck)
+            return kcount.KmerTable(
+                kc_codec.np_to_soa(z["words"]),
+                jnp.asarray(z["count"]),
+                jnp.asarray(z["nbc"]),
+                jnp.asarray(z["left_mask"]),
+                jnp.asarray(z["right_mask"]),
+                jnp.asarray(int(z["n_valid"]), jnp.int32),
+            )
         table = kcount.count_readset(rs)
         table = dbuild.trim_table(table)
         n = int(table.n_valid)
@@ -87,6 +115,9 @@ class Pipeline:
         return table
 
     def stage_graph(self, table) -> dgraph.BaseGraph:
+        ck = self.outdir / "graph.npz"
+        if self.resume and ck.exists():
+            return dgraph.BaseGraph.load(ck)
         dg = dbuild.build_graph(table)
         bg = dgraph.from_device(dg, table)
         bg.save(self.outdir / "graph.npz")
@@ -191,6 +222,40 @@ class Pipeline:
             dlen=dlen,
             counts=aplace.dpath_counts(D, dpaths, dlen),
         )
+
+        # closure paths (a.cpaths analogue)
+        from ..asm import closures as aclos
+
+        cl = aclos.make_closures(bg, edges, plen, dup)
+        aclos.save_closures(self.outdir / "cpaths.npz", cl)
+        self.stats.log("n_closures", len(cl), "closure paths", stage="supergraph")
+
+        # barcode molecules on lines (lbpx analogue)
+        if rs.barcoded:
+            from ..asm import molecules as amol
+
+            positions = amol.read_line_positions(D, lines, dpaths, dlen, rs.bc)
+            mols = amol.infer_molecules(positions)
+            self._molecules = mols
+            if mols:
+                self.stats.log(
+                    "lw_mean_mol_len",
+                    amol.lw_mean_length(mols),
+                    "length-weighted mean molecule length",
+                    cs=True,
+                )
+                from ..stats import histograms as hist
+
+                h = hist.length_histogram(
+                    np.array([m.length for m in mols]), bin_width=500
+                )
+                (self.outdir / "stats").mkdir(exist_ok=True)
+                hist.write_hist_json(
+                    self.outdir / "stats" / "histogram_molecules.json",
+                    "inferred molecule lengths",
+                    h["bins"],
+                    h["counts"],
+                )
         np.savez_compressed(
             self.outdir / "supergraph.npz",
             epaths_values=D.epaths.values,
@@ -224,6 +289,24 @@ class Pipeline:
         line_lens = lines.lengths(D)
         scaffolds = asc.scaffold_lines(lines, line_bcs, line_lens)
         self.stats.log("n_scaffolds", len(scaffolds), stage="scaffold")
+
+        # Gaprika-style gap estimates from barcode molecules
+        mols = getattr(self, "_molecules", None)
+        if mols:
+            from collections import defaultdict
+
+            from ..asm import molecules as amol
+
+            by_bl = defaultdict(list)
+            for m in mols:
+                by_bl[(m.bc, m.line)].append(m)
+            for sc in scaffolds:
+                for i in range(len(sc.line_ids) - 1):
+                    la, lb = sc.line_ids[i], sc.line_ids[i + 1]
+                    sc.gaps[i] = max(
+                        1,
+                        amol.estimate_gap(by_bl, la, int(line_lens[la]), lb),
+                    )
 
         bc_counts = aph.build_edge_bc_counts(D, edges, plen, rs.bc)
         phasings = {}
@@ -285,12 +368,14 @@ class Pipeline:
         if exits:
             self.finalize()
             raise RuntimeError(f"preflight exit alerts: {exits}")
-        table = self.stage_count(rs)
-        bg = self.stage_graph(table)
-        rp = self.stage_paths(bg, rs)
-        bg, rp = self.stage_patch(bg, rp, rs)
-        D, lines, dup = self.stage_supergraph(bg, rp, rs)
-        scaffolds, phasings = self.stage_scaffold_phase(D, lines, rp, rs)
+        table = self._timed("count", self.stage_count, rs)
+        bg = self._timed("graph", self.stage_graph, table)
+        rp = self._timed("paths", self.stage_paths, bg, rs)
+        bg, rp = self._timed("patch", self.stage_patch, bg, rp, rs)
+        D, lines, dup = self._timed("supergraph", self.stage_supergraph, bg, rp, rs)
+        scaffolds, phasings = self._timed(
+            "scaffold", self.stage_scaffold_phase, D, lines, rp, rs
+        )
 
         outputs = {}
         ctx = (D, lines, scaffolds, phasings)
@@ -335,22 +420,6 @@ class Pipeline:
             rb["bins"],
             rb["counts"],
         )
-        # molecule length estimate + lw_mean_mol_len stat (CP.cc:952-972)
-        edges_arr = np.asarray(rp.edges)[: rs.n_reads]
-        plen_arr = np.asarray(rp.path_len)[: rs.n_reads]
-        off_arr = np.asarray(rp.offset)[: rs.n_reads]
-        mols = hist.molecule_length_histogram(rs, bg, edges_arr, plen_arr, off_arr)
-        if mols.size:
-            # length-weighted mean molecule length
-            lw = float((mols.astype(float) ** 2).sum() / mols.sum())
-            self.stats.log("lw_mean_mol_len", lw, "length-weighted mean molecule length", cs=True)
-            h = hist.length_histogram(mols, bin_width=500)
-            hist.write_hist_json(
-                statsdir / "histogram_molecules.json",
-                "inferred molecule lengths",
-                h["bins"],
-                h["counts"],
-            )
         areport.report_assembly_stats(
             self.stats,
             D,
@@ -365,6 +434,10 @@ class Pipeline:
         return D, lines, scaffolds, phasings, outputs
 
     def finalize(self):
+        self.stats.log(
+            "etime_h", (time.time() - self._t_start) / 3600.0,
+            "total elapsed hours", cs=True,
+        )
         self.stats.dump_json(self.outdir / "all_stats.json")
         self.stats.dump_json(self.outdir / "summary.json", cs_only=True)
         self.stats.dump_csv(self.outdir / "summary_cs.csv")
