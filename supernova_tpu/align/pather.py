@@ -57,7 +57,7 @@ def path_reads(
 
     words = kc.sliding_words(codes_ext, nb)
     canon, flipped = kc.canonicalize(words)
-    row, found = kc.searchsorted_words(kmer_words, canon)
+    row, found = kc.lookup_words_merge(kmer_words, canon)
 
     start = read_offsets[pos_read].astype(I32)
     pir = p - start
@@ -69,46 +69,67 @@ def path_reads(
     epos = jnp.where(hit, node_pos[node], 0)
     hit = hit & (edge >= 0)
 
-    # run compression: a hit opens a new path slot unless the previous hit in
-    # the same read (carried across misses) was on the same edge.  The carry
-    # is a cummax over (read id, position)-keyed hit positions.
-    # reads are contiguous in p, so a plain cummax of hit positions suffices;
-    # a carry from another read is detected by comparing read ids.
-    hp = jnp.where(hit, p, -1)
-    carry_pos_raw = jax.lax.cummax(hp)
-    carry_pos = jnp.maximum(carry_pos_raw, 0)
-    carry_valid = (carry_pos_raw >= 0) & (pos_read[carry_pos] == pos_read)
-    carry_edge = jnp.where(carry_valid, edge[carry_pos], -1)
-    prev_carry = jnp.concatenate([jnp.full((1,), -1, I32), carry_edge[:-1]])
-    prev_cvalid = jnp.concatenate([jnp.zeros((1,), bool), carry_valid[:-1]])
-    same_read_prev = jnp.concatenate([jnp.zeros((1,), bool), pos_read[1:] == pos_read[:-1]])
+    # run compression: a hit opens a new path slot unless the previous hit
+    # in the same read (across any miss gap) was on the same edge.  Compact
+    # the hit rows with one stable 1-key sort (order preserved), compare
+    # neighbors, and scatter the flags back — avoids 48M-row gathers.
+    nh, pe, pr, pp = jax.lax.sort(
+        ((~hit).astype(jnp.uint32), edge, pos_read, p), num_keys=1,
+        is_stable=True,
+    )
+    n_hits = jnp.sum(hit.astype(I32))
+    live = jnp.arange(nb) < n_hits
+    prev_same = jnp.concatenate(
+        [
+            jnp.zeros((1,), bool),
+            (pe[1:] == pe[:-1]) & (pr[1:] == pr[:-1]),
+        ]
+    )
+    new_for_hit = live & ~prev_same
+    new_slot = (
+        jnp.zeros((nb + 1,), bool)
+        .at[jnp.where(live, pp, nb)]
+        .set(new_for_hit, mode="drop")[:nb]
+    )
 
-    new_slot = hit & ~(same_read_prev & prev_cvalid & (prev_carry == edge))
-
+    # slot index of each marker within its read: cumsum minus the cumsum at
+    # the read's first position, broadcast forward with a cummax (reads are
+    # contiguous, cumsums are non-decreasing — no gathers needed)
     mk = new_slot.astype(I32)
-    c_incl = jnp.cumsum(mk)
-    c_excl = c_incl - mk
-    first_pos = read_offsets[pos_read].astype(I32)  # each read's first position
-    base = c_excl[jnp.minimum(first_pos, nb - 1)]
-    slot = jnp.where(new_slot, c_excl - base, -1)
+    cs = jnp.cumsum(mk)
+    cs_excl = cs - mk
+    read_first = jnp.concatenate(
+        [jnp.ones((1,), bool), pos_read[1:] != pos_read[:-1]]
+    )
+    base = jax.lax.cummax(jnp.where(read_first, cs_excl, 0))
+    slot = cs_excl - base  # valid at marker rows
 
-    paths = jnp.full((rp, max_path), -1, I32)
-    ok = new_slot & (slot >= 0) & (slot < max_path)
-    flat_idx = pos_read * max_path + jnp.where(ok, slot, 0)
-    paths = paths.reshape(-1).at[jnp.where(ok, flat_idx, rp * max_path)].set(
-        edge, mode="drop"
-    ).reshape(rp, max_path)
+    # place markers into the fixed-width path matrix with ONE scatter
+    ok = new_slot & (slot < max_path)
+    flat_idx = jnp.where(ok, pos_read * max_path + slot, rp * max_path)
+    paths = (
+        jnp.full((rp * max_path + 1,), -1, I32)
+        .at[flat_idx]
+        .set(edge, mode="drop")[: rp * max_path]
+        .reshape(rp, max_path)
+    )
 
-    n_slots = seg.seg_max(jnp.where(new_slot, c_excl - base + 1, 0), pos_read, rp)
-    path_len = jnp.maximum(n_slots, 0)
-    overflow = path_len > max_path
-    path_len = jnp.minimum(path_len, max_path)
+    # per-read totals from the cumsum at read boundaries (RP-scale gathers)
+    cs_ext = jnp.concatenate([jnp.zeros((1,), I32), cs])
+    s_r = read_offsets[:-1].astype(I32)[:rp]
+    e_r = read_offsets[1:].astype(I32)[:rp]
+    n_slots = cs_ext[e_r] - cs_ext[s_r]
+    overflow = n_slots > max_path
+    path_len = jnp.minimum(n_slots, max_path)
 
-    # first hit -> offset
-    first_hit_p = seg.seg_min(jnp.where(hit, p, nb), pos_read, rp)
-    has_hit = first_hit_p < nb
-    fh = jnp.minimum(first_hit_p, nb - 1)
-    first_skip = jnp.where(has_hit, fh - read_offsets[:rp].astype(I32), 0)
+    # first hit -> offset (RP-scale binary search is cheap)
+    hs = jnp.cumsum(hit.astype(I32))
+    hs_ext = jnp.concatenate([jnp.zeros((1,), I32), hs])
+    has_hit = hs_ext[e_r] > hs_ext[s_r]
+    fh = jnp.minimum(
+        jnp.searchsorted(hs, hs_ext[s_r] + 1, side="left").astype(I32), nb - 1
+    )
+    first_skip = jnp.where(has_hit, fh - s_r, 0)
     offset = jnp.where(has_hit, epos[fh] - first_skip, 0)
     path_len = path_len * has_hit.astype(I32)
 

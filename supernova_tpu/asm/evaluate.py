@@ -1,0 +1,112 @@
+"""Assembly-vs-reference evaluation — the astats analogue.
+
+Reference: 10X/astats/ GenomeAlign (K=80 perfect-kmer alignment to ref),
+Misassembly, AlignFin/perfect-stretch N50 vs finished sequence
+(AssemblyStats.cc:58-751).  Used with simulation truth haplotypes here:
+contigs are anchored to the reference by exact 80-mers, placed on the
+majority diagonal, and compared base-by-base; perfect-stretch lengths,
+misassembly candidates, and covered fraction come out.
+"""
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..core import dna
+from ..stats.logger import n50
+
+ANCHOR_K = 80  # astats/GenomeAlign.cc perfect-kmer K
+
+
+@dataclass
+class ContigEval:
+    length: int
+    anchored: bool
+    identity: float  # fraction matching on the best diagonal
+    stretches: List[int] = field(default_factory=list)  # perfect stretch lens
+    misassembled: bool = False
+
+
+def _ref_index(refs: List[np.ndarray], k: int = ANCHOR_K):
+    idx: Dict[bytes, List[Tuple[int, int]]] = defaultdict(list)
+    for ri, ref in enumerate(refs):
+        rb = np.asarray(ref, dtype=np.uint8).tobytes()
+        for p in range(0, len(rb) - k + 1, 7):  # stride keeps the dict small
+            idx[rb[p : p + k]].append((ri, p))
+    return idx
+
+
+def evaluate_contig(contig: np.ndarray, refs, idx, k: int = ANCHOR_K) -> ContigEval:
+    cb = np.asarray(contig, dtype=np.uint8)
+    ev = ContigEval(length=len(cb), anchored=False, identity=0.0)
+    if len(cb) < k:
+        return ev
+    cbb = cb.tobytes()
+    votes: Counter = Counter()
+    for p in range(0, len(cb) - k + 1, 13):
+        for ri, rp in idx.get(cbb[p : p + k], ()):
+            votes[(ri, rp - p)] += 1
+    if not votes:
+        return ev
+    (ri, diag), nvotes = votes.most_common(1)[0]
+    ref = np.asarray(refs[ri], dtype=np.uint8)
+    lo = max(0, -diag)
+    hi = min(len(cb), len(ref) - diag)
+    if hi <= lo:
+        return ev
+    ev.anchored = True
+    eq = cb[lo:hi] == ref[lo + diag : hi + diag]
+    ev.identity = float(eq.mean())
+    # perfect stretches
+    run = 0
+    for m in eq:
+        if m:
+            run += 1
+        else:
+            if run:
+                ev.stretches.append(run)
+            run = 0
+    if run:
+        ev.stretches.append(run)
+    # misassembly: a second strong diagonal on the SAME reference strand
+    # (a diploid contig legitimately anchors to both haplotypes, so votes
+    # for other refs don't count against it)
+    same_ref = [
+        (d, c) for (r2, d), c in votes.items() if r2 == ri and d != diag
+    ]
+    if same_ref:
+        second = max(c for _, c in same_ref)
+        if second >= max(3, 0.5 * nvotes):
+            ev.misassembled = True
+    if ev.identity < 0.8:
+        ev.misassembled = True
+    return ev
+
+
+def evaluate_assembly(contigs: List[np.ndarray], haplotypes) -> Dict[str, float]:
+    """contigs: base-code arrays; haplotypes: truth code arrays (both
+    strands are derived automatically).  -> astats-style metric dict."""
+    refs = []
+    for h in haplotypes:
+        refs.append(np.asarray(h, dtype=np.uint8))
+        refs.append(dna.revcomp(h).astype(np.uint8))
+    idx = _ref_index(refs)
+    evs = [evaluate_contig(c, refs, idx) for c in contigs]
+    stretches = [s for e in evs for s in e.stretches]
+    total = sum(e.length for e in evs)
+    anchored = sum(e.length for e in evs if e.anchored)
+    return {
+        "n_contigs": len(evs),
+        "total_bases": total,
+        "anchored_frac": anchored / total if total else 0.0,
+        "perfect_stretch_N50": n50(stretches),
+        "mean_identity": (
+            float(np.mean([e.identity for e in evs if e.anchored]))
+            if any(e.anchored for e in evs)
+            else 0.0
+        ),
+        "misassemblies": sum(1 for e in evs if e.misassembled),
+    }

@@ -78,6 +78,24 @@ def cmd_simulate(args) -> int:
     return 0
 
 
+def cmd_evaluate(args) -> int:
+    """Evaluate an assembly FASTA against truth haplotype .npy files
+    (astats analogue; pairs with `simulate` outputs)."""
+    from .asm.evaluate import evaluate_assembly
+    from .core import dna
+    from .out.fasta import read_fasta
+
+    contigs = []
+    for _, seq in read_fasta(args.fasta):
+        for part in seq.split("N"):
+            if len(part) >= args.min_len:
+                contigs.append(dna.seq_to_codes(part))
+    haps = [np.load(p) for p in args.truth]
+    res = evaluate_assembly(contigs, haps)
+    print(json.dumps(res, indent=1))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -107,6 +125,12 @@ def main(argv=None) -> int:
     s.add_argument("--whitelist-size", type=int, default=512)
     s.add_argument("--seed", type=int, default=0)
     s.set_defaults(fn=cmd_simulate)
+
+    e = sub.add_parser("evaluate", help="evaluate an assembly vs truth haplotypes")
+    e.add_argument("--fasta", required=True)
+    e.add_argument("--truth", nargs="+", required=True, help=".npy code arrays")
+    e.add_argument("--min-len", type=int, default=300)
+    e.set_defaults(fn=cmd_evaluate)
 
     b = sub.add_parser("bench", help="run the kmer-count benchmark")
     b.set_defaults(fn=cmd_bench)

@@ -219,6 +219,50 @@ def searchsorted_words(table: W3, query: W3, table_size: int | None = None):
     return idx, hit
 
 
+def lookup_words_merge(table: W3, query: W3):
+    """Bulk dictionary lookup as a sort-merge join (the TPU-native hash-map
+    replacement at large N — vectorized binary search costs ~25s at 48M
+    queries on v5e, this costs ~1 sort).
+
+    table must be lexicographically sorted (sentinel-padded).  Returns
+    (row (N,) int32 = matching table row (undefined when not found),
+     found (N,) bool).
+    """
+    m = table.a.shape[0]
+    n = query.a.shape[0]
+    ka = jnp.concatenate([table.a, query.a])
+    kb = jnp.concatenate([table.b, query.b])
+    kc_ = jnp.concatenate([table.c, query.c])
+    tag = jnp.concatenate(
+        [jnp.zeros((m,), U32), jnp.ones((n,), U32)]
+    )
+    idx = jnp.concatenate(
+        [jnp.arange(m, dtype=jnp.int32), jnp.arange(n, dtype=jnp.int32)]
+    )
+    sa, sb, sc, stag, sidx = jax.lax.sort(
+        (ka, kb, kc_, tag, idx), num_keys=4, is_stable=True
+    )
+    pos = jnp.arange(m + n, dtype=jnp.int32)
+    is_table = stag == 0
+    # table rows arrive pre-sorted, so their row ids are increasing in the
+    # merged order and cummax propagates the latest table row exactly
+    last_tpos = jax.lax.cummax(jnp.where(is_table, pos, -1))
+    last_trow = jax.lax.cummax(jnp.where(is_table, sidx, -1))
+    sw = W3(sa, sb, sc)
+    wstarts = jnp.zeros((m + n,), bool).at[0].set(True)
+    neq = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1]) | (sc[1:] != sc[:-1])
+    wstarts = wstarts.at[1:].set(neq)
+    last_run_start = jax.lax.cummax(jnp.where(wstarts, pos, 0))
+    found_here = last_tpos >= last_run_start
+    # scatter results back into query order
+    qslot = jnp.where(is_table, n, sidx)
+    row = jnp.zeros((n + 1,), jnp.int32).at[qslot].set(
+        jnp.maximum(last_trow, 0), mode="drop"
+    )[:n]
+    found = jnp.zeros((n + 1,), bool).at[qslot].set(found_here, mode="drop")[:n]
+    return row, found
+
+
 # ------------------------------------------------------------- host helpers
 
 def words_from_codes_np(codes: np.ndarray) -> np.ndarray:

@@ -82,7 +82,7 @@ def build_links(table: KmerTable) -> Links:
     b = single_bit_index(out_mask)
     succ = kc.successor_words(ow, b)
     canon, flip = kc.canonicalize(succ)
-    srow, found = kc.searchsorted_words(table.words, canon)
+    srow, found = kc.lookup_words_merge(table.words, canon)
     v = (2 * srow + flip.astype(I32)).astype(I32)
 
     link_ok = (outdeg == 1) & found & (indeg[v] == 1) & (v != u)

@@ -70,14 +70,28 @@ def good_lengths(quals, read_offsets, pos_read, min_qual: int = MIN_QUAL):
     n_reads = read_offsets.shape[0] - 1
     p = jnp.arange(nb, dtype=jnp.int32)
     bad = quals < min_qual
-    read_start = read_offsets[pos_read].astype(jnp.int32)
+    # read start per position: broadcast p forward from read-first rows
+    # (cheaper than a 48M gather from read_offsets)
+    read_first = jnp.concatenate(
+        [jnp.ones((1,), bool), pos_read[1:] != pos_read[:-1]]
+    )
+    read_start = jax.lax.cummax(jnp.where(read_first, p, 0))
     blocker = jnp.where(bad, p + 1, 0)
     last_bad = jax.lax.cummax(blocker)
     bound = jnp.maximum(last_bad, read_start)
     streak = p + 1 - bound  # consecutive good quals ending at p, within read
     ok_end = streak >= K
-    cand = jnp.where(ok_end, p + 1 - read_start, 0)
-    return seg.seg_max(cand, pos_read, n_reads).astype(jnp.int32)
+    # per-read LAST ok_end position, scatter-free: reads are contiguous, so
+    # binary-search the cumulative ok_end count at each read's boundaries
+    cs = jnp.cumsum(ok_end.astype(jnp.int32))
+    cs_ext = jnp.concatenate([jnp.zeros((1,), jnp.int32), cs])
+    s_r = read_offsets[:-1].astype(jnp.int32)
+    e_r = read_offsets[1:].astype(jnp.int32)
+    t_e = cs_ext[e_r]
+    t_s = cs_ext[s_r]
+    has = t_e > t_s
+    p_star = jnp.searchsorted(cs, t_e, side="left").astype(jnp.int32)
+    return jnp.where(has, p_star + 1 - s_r, 0).astype(jnp.int32)
 
 
 def extract_occurrences(
@@ -102,7 +116,10 @@ def extract_occurrences(
         words = kc.sliding_words(codes_ext, nb)
     canon, flipped = kc.canonicalize(words)
 
-    start = read_offsets[pos_read].astype(jnp.int32)
+    read_first = jnp.concatenate(
+        [jnp.ones((1,), bool), pos_read[1:] != pos_read[:-1]]
+    )
+    start = jax.lax.cummax(jnp.where(read_first, p, 0))
     pir = p - start  # position in read
     glen = good_len[pos_read]
     valid = (pir + K <= glen) & (glen >= K + 1)
@@ -158,31 +175,41 @@ def reduce_occurrences(
     rm_s = (pk >> np.uint32(2)) & np.uint32(15)
     valid_s = ((pk >> np.uint32(1)) & np.uint32(1)).astype(jnp.int32)
 
-    # sorted-run reductions: one scatter for the boundaries, then cumsum +
-    # boundary-gather per statistic (TPU scatters serialize; avoid them)
+    # Per-run statistics without gathers or scatters: every stat is a
+    # cumsum; the run-relative value at row p is cs[p] minus the cs at the
+    # run start, which a cummax of start-masked (non-decreasing) cs values
+    # broadcasts forward.  Totals are read off at run-END rows, and one
+    # stable 1-key sort compacts the kept end rows into the table.
     starts = seg.run_starts(ws.a, ws.b, ws.c)
-    sp = seg.run_boundaries(starts)
-    count = seg.run_sum(valid_s, sp)
+    ends = seg.run_end_mask(starts)
+
+    def run_total(indicator):
+        ind = indicator.astype(jnp.int32)
+        cs = jnp.cumsum(ind)
+        base = seg.run_broadcast_from_start(cs - ind, starts)
+        return cs - base  # run-relative count; total valid at end rows
+
+    count = run_total(valid_s)
     new_pair = starts | (bc_s != jnp.roll(bc_s, 1))
     counted_bc = (
         (valid_s == 1) & (bc_s > 0) & (bc_s != BC_FIELD_IGNORED) & new_pair
     )
-    nbc = seg.run_sum(counted_bc.astype(jnp.int32), sp)
-    has_ign = seg.run_any((valid_s == 1) & (bc_s == BC_FIELD_IGNORED), sp)
-    lmask_u = seg.run_or_mask(jnp.where(valid_s == 1, lm_s, U32(0)), sp, 4)
-    rmask_u = seg.run_or_mask(jnp.where(valid_s == 1, rm_s, U32(0)), sp, 4)
-    # per-run kmer words = first row of the run (sentinel for padding runs)
-    uw = W3(
-        seg.run_first(ws.a, sp),
-        seg.run_first(ws.b, sp),
-        seg.run_first(ws.c, sp),
-    )
-    uw = uw.where(sp[:-1] < nb, kc.SENTINEL)
+    nbc = run_total(counted_bc)
+    has_ign = run_total((valid_s == 1) & (bc_s == BC_FIELD_IGNORED)) > 0
+    lmask_u = jnp.zeros((nb,), U32)
+    rmask_u = jnp.zeros((nb,), U32)
+    for b in range(4):
+        lbit = run_total((valid_s == 1) & (((lm_s >> b) & 1) == 1)) > 0
+        rbit = run_total((valid_s == 1) & (((rm_s >> b) & 1) == 1)) > 0
+        lmask_u = lmask_u | (lbit.astype(U32) << b)
+        rmask_u = rmask_u | (rbit.astype(U32) << b)
 
-    real = ~kc.is_sentinel(uw)
-    keep = real & (count >= min_freq) & (has_ign | (nbc >= min_bc))
+    real = ~kc.is_sentinel(ws)
+    keep = (
+        ends & real & (count >= min_freq) & (has_ign | (nbc >= min_bc))
+    )
     n_valid, (wa, wb, wc, c2, b2, l2, r2) = seg.stable_compact(
-        keep, uw.a, uw.b, uw.c, count, nbc, lmask_u, rmask_u
+        keep, ws.a, ws.b, ws.c, count, nbc, lmask_u, rmask_u
     )
     m = jnp.arange(nb) < n_valid
     w2 = W3(wa, wb, wc).where(m, kc.SENTINEL)
@@ -218,10 +245,10 @@ def recompute_adjacencies(table: KmerTable) -> KmerTable:
     new_l = jnp.zeros_like(lmask)
     for b in range(4):
         succ, _ = kc.canonicalize(kc.successor_words(words, jnp.int32(b)))
-        _, found = kc.searchsorted_words(words, succ)
+        _, found = kc.lookup_words_merge(words, succ)
         new_r = new_r | jnp.where(found, U32(1 << b), U32(0))
         pred, _ = kc.canonicalize(kc.predecessor_words(words, jnp.int32(b)))
-        _, found = kc.searchsorted_words(words, pred)
+        _, found = kc.lookup_words_merge(words, pred)
         new_l = new_l | jnp.where(found, U32(1 << b), U32(0))
     return table._replace(left_mask=lmask & new_l, right_mask=rmask & new_r)
 

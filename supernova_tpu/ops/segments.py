@@ -67,17 +67,44 @@ def seg_or_mask(masks, seg_ids, num_segments: int, nbits: int):
     return out
 
 
-# --------- sorted-run reductions via cumsum + boundary gathers (no scatter
-# per reduction — TPU scatters serialize; cumsum/gather are bandwidth-bound)
+# --------- sorted-run reductions.
+# Primitive costs measured on v5e (48M rows): cumsum 0.05s, stable sort
+# 0.4-0.6s, scatter 0.4s, gather 1.4s, vectorized binary search 25s.
+# Hot reductions therefore use cumsum + cummax run-broadcast + ONE sort (or
+# scatter) for placement; binary search only at <= ~1M query scale.
+
+def positions_of_ones(flags, out_len: int):
+    """pos[j] = index of the (j+1)-th True in flags, or N if none.
+    NOTE: O(out_len * log N) binary search — use only when out_len is small
+    relative to N (reads, edges); never at occurrence scale."""
+    n = flags.shape[0]
+    cs = jnp.cumsum(flags.astype(jnp.int32))
+    j = jnp.arange(1, out_len + 1, dtype=jnp.int32)
+    return jnp.searchsorted(cs, j, side="left").astype(jnp.int32)
+
 
 def run_boundaries(starts):
     """starts bool (N,) -> start_pos (N+1,) int32: start_pos[s] = first row
-    of run s, = N for s >= n_runs (so end of run s is start_pos[s+1])."""
+    of run s, = N for s >= n_runs (so end of run s is start_pos[s+1]).
+    Scatter-based placement (cheaper than search/gather at this scale)."""
     n = starts.shape[0]
     sid = jnp.cumsum(starts.astype(jnp.int32)) - 1
     sp = jnp.full((n + 1,), n, jnp.int32)
     idx = jnp.where(starts, sid, n)
     return sp.at[idx].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+
+def run_broadcast_from_start(values, starts, fill=0):
+    """Per-row value of the row's run start, propagated forward without
+    gathers: requires `values` to be NON-DECREASING along the array (true
+    for cumsums) — then a cummax of the masked start values is exact."""
+    masked = jnp.where(starts, values, fill)
+    return jax.lax.cummax(masked)
+
+
+def run_end_mask(starts):
+    """Row is the last of its run."""
+    return jnp.concatenate([starts[1:], jnp.ones((1,), bool)])
 
 
 def run_sum(values, start_pos):
@@ -109,20 +136,38 @@ def run_first(values, start_pos):
 def stable_compact(valid, *arrays):
     """Stable partition: rows with valid=True first, preserving order.
 
-    Returns (n_valid scalar int32, compacted arrays).  One linear scatter
-    per array (destination = exclusive cumsum of valid); invalid rows keep
-    the output's zero fill.
+    Returns (n_valid scalar int32, compacted arrays).  One stable 1-key sort
+    carrying all columns (sorts are the fastest bulk-movement primitive on
+    TPU); invalid-tail rows are zeroed.
     """
     valid = jnp.asarray(valid)
     n = valid.shape[0]
-    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    idx = jnp.where(valid, pos, n)  # dropped for invalid rows
-    res = []
+    key = (~valid).astype(jnp.uint32)
+    cols = []
+    widths = []
     for a in arrays:
         a = jnp.asarray(a)
-        out = jnp.zeros_like(a)
-        res.append(out.at[idx].set(a, mode="drop"))
+        if a.ndim == 1:
+            cols.append(a)
+            widths.append(0)
+        else:
+            widths.append(a.shape[1])
+            for j in range(a.shape[1]):
+                cols.append(a[:, j])
+    out = jax.lax.sort((key, *cols), num_keys=1, is_stable=True)
     n_valid = jnp.sum(valid.astype(jnp.int32))
+    live = jnp.arange(n) < n_valid
+    res = []
+    pos = 1
+    for w, a in zip(widths, arrays):
+        a = jnp.asarray(a)
+        if w == 0:
+            res.append(jnp.where(live, out[pos], jnp.zeros((), a.dtype)))
+            pos += 1
+        else:
+            stacked = jnp.stack(out[pos : pos + w], axis=-1)
+            res.append(jnp.where(live[:, None], stacked, jnp.zeros((), a.dtype)))
+            pos += w
     return n_valid, tuple(res)
 
 
