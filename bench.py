@@ -22,7 +22,7 @@ REFERENCE_KMERS_PER_SEC = 20e6
 def main():
     import jax
 
-    from supernova_tpu.kmer.count import count_kmers, good_lengths
+    from supernova_tpu.kmer.count import count_kmers
 
     rng = np.random.default_rng(0)
     read_len = 150
@@ -35,21 +35,21 @@ def main():
     genome = rng.integers(0, 4, 1_000_000)
     starts = rng.integers(0, len(genome) - read_len, n_reads)
     flat = genome[np.add.outer(starts, np.arange(read_len))].reshape(-1)
-    codes_ext = np.zeros(nb + K, dtype=np.int32)
+    codes_ext = np.zeros(nb + 128, dtype=np.int32)
     codes_ext[:nb] = flat
-    offsets = np.arange(n_reads + 1, dtype=np.int32) * read_len
     pos_read = np.repeat(np.arange(n_reads, dtype=np.int32), read_len)
-    quals = np.full(nb, 37, dtype=np.int32)
-    read_bc = rng.integers(1, 1_000_000, n_reads).astype(np.int32)
+    glen_pos = np.full(nb, read_len, dtype=np.int32)
+    bc_pos = np.repeat(
+        rng.integers(1, 1_000_000, n_reads).astype(np.int32), read_len
+    )
 
     args = tuple(
-        map(jax.numpy.asarray, (codes_ext, offsets, pos_read, quals, read_bc))
+        map(jax.numpy.asarray, (codes_ext, pos_read, glen_pos, bc_pos))
     )
 
     @jax.jit
-    def step(codes_ext, read_offsets, pos_read, quals, read_bc):
-        glen = good_lengths(quals, read_offsets, pos_read)
-        t = count_kmers(codes_ext, read_offsets, pos_read, glen, read_bc)
+    def step(codes_ext, pos_read, glen_pos, bc_pos):
+        t = count_kmers(codes_ext, pos_read, glen_pos, bc_pos)
         return t.n_valid
 
     # warmup/compile (int() forces a full device round trip)

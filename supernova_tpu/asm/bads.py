@@ -1,0 +1,105 @@
+"""MarkBads + path extension.
+
+Reference analogues:
+  * MarkBads (10X/SecretOps.h:22-35): a read is "bad" when it has more than
+    MAX_Q30_MISMATCHES high-quality mismatches against the assembly; bad
+    reads are excluded from closures and patching evidence.
+  * ExtendPathsNew (10X/Extend.cc:15): extend read placements forward /
+    backward through unambiguous graph walks when the read continues past
+    its matched kmers (e.g. tail kmers were filtered), tolerating low-qual
+    mismatches.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..core.kmer_codec import K
+
+MAX_Q30_MISMATCHES = 5  # SecretOps.h MarkBads threshold
+Q_HI = 30
+
+
+def spell_read_span(bg, edges, offset, length) -> np.ndarray | None:
+    """Graph bases under a read placement (path edges overlap by K-1)."""
+    if len(edges) == 0:
+        return None
+    seq = bg.edges.row(int(edges[0]))
+    for e in edges[1:]:
+        seq = np.concatenate([seq, bg.edges.row(int(e))[K - 1 :]])
+    if offset < 0 or offset > len(seq):
+        return None
+    return seq[offset : offset + length]
+
+
+def mark_bads(
+    bg, rs, paths_edges, path_len, offset, max_mm: int = MAX_Q30_MISMATCHES
+) -> np.ndarray:
+    """-> bool (n_reads,): read disagrees with the assembly at > max_mm
+    high-quality positions."""
+    n = rs.n_reads
+    bad = np.zeros(n, dtype=bool)
+    for r in range(n):
+        pl = int(path_len[r])
+        if pl == 0:
+            continue
+        read = rs.read(r)
+        qual = rs.qual(r)
+        span = spell_read_span(bg, paths_edges[r, :pl], int(offset[r]), len(read))
+        if span is None or len(span) == 0:
+            continue
+        m = min(len(span), len(read))
+        mm = (read[:m] != span[:m]) & (qual[:m] >= Q_HI)
+        if int(mm.sum()) > max_mm:
+            bad[r] = True
+    return bad
+
+
+def extend_paths(
+    bg, rs, paths_edges, path_len, offset, max_mm_frac: float = 0.1
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Extend placements through unambiguous continuations when the read
+    runs past its current path span.  Returns (paths_edges, path_len,
+    n_extended); arrays are modified copies."""
+    paths_edges = paths_edges.copy()
+    path_len = path_len.copy()
+    mp = paths_edges.shape[1]
+    # successor map where unambiguous
+    outdeg = np.bincount(bg.from_v, minlength=bg.n_vertices)
+    unique_next = {}
+    for e in range(bg.n_edges):
+        v = int(bg.to_v[e])
+        if outdeg[v] == 1:
+            f = int(np.nonzero(bg.from_v == v)[0][0])
+            unique_next[e] = f
+    n_ext = 0
+    for r in range(rs.n_reads):
+        pl = int(path_len[r])
+        if pl == 0 or pl >= mp:
+            continue
+        read = rs.read(r)
+        span = spell_read_span(bg, paths_edges[r, :pl], int(offset[r]), len(read))
+        if span is None or len(span) >= len(read):
+            continue
+        covered = len(span)
+        cur = int(paths_edges[r, pl - 1])
+        extended = False
+        while covered < len(read) and pl < mp:
+            nxt = unique_next.get(cur)
+            if nxt is None:
+                break
+            seg = bg.edges.row(nxt)[K - 1 :]
+            take = min(len(seg), len(read) - covered)
+            mism = (read[covered : covered + take] != seg[:take]).sum()
+            if mism > max(1, int(max_mm_frac * take)):
+                break
+            paths_edges[r, pl] = nxt
+            pl += 1
+            covered += take
+            cur = nxt
+            extended = True
+        if extended:
+            path_len[r] = pl
+            n_ext += 1
+    return paths_edges, path_len, n_ext

@@ -96,12 +96,13 @@ def good_lengths(quals, read_offsets, pos_read, min_qual: int = MIN_QUAL):
 
 def extract_occurrences(
     codes_ext,  # (NB + K,) int32/uint8 flat base codes, zero-padded tail
-    read_offsets,  # (R+1,) int32
-    pos_read,  # (NB,) int32 read id per flat position
-    good_len,  # (R,) int32 qual-trimmed good length per read
-    read_bc,  # (R,) int32: BC_IGNORED, or barcode id > 0
+    pos_read,  # (NB,) int32 read id per flat position (nondecreasing)
+    glen_pos,  # (NB,) int32 qual-trimmed good length of the row's read
+    bc_pos,  # (NB,) int32 barcode of the row's read (BC_IGNORED or > 0)
 ):
     """Per-position canonical kmer occurrences (the Kmerizer::map phase).
+    Per-read attributes arrive pre-broadcast to positions (host np.repeat is
+    free; 48M-row device gathers are ~1s each on v5e).
     -> (canon W3 sentinel-for-invalid, bc (NB,), lm (NB,), rm (NB,),
         valid (NB,) bool)."""
     nb = pos_read.shape[0]
@@ -121,7 +122,7 @@ def extract_occurrences(
     )
     start = jax.lax.cummax(jnp.where(read_first, p, 0))
     pir = p - start  # position in read
-    glen = good_len[pos_read]
+    glen = glen_pos
     valid = (pir + K <= glen) & (glen >= K + 1)
 
     has_pred = pir > 0
@@ -133,9 +134,8 @@ def extract_occurrences(
     lm = jnp.where(flipped, rev4(rmask), lmask)
     rm = jnp.where(flipped, rev4(lmask), rmask)
 
-    bc = read_bc[pos_read]
     canon = canon.where(valid, kc.SENTINEL)
-    return canon, bc, lm, rm, valid
+    return canon, bc_pos, lm, rm, valid
 
 
 def pack_occurrence_attrs(bc, lm, rm, valid):
@@ -182,6 +182,8 @@ def reduce_occurrences(
     # stable 1-key sort compacts the kept end rows into the table.
     starts = seg.run_starts(ws.a, ws.b, ws.c)
     ends = seg.run_end_mask(starts)
+    p = jnp.arange(nb, dtype=jnp.int32)
+    run_start_pos = jax.lax.cummax(jnp.where(starts, p, 0))
 
     def run_total(indicator):
         ind = indicator.astype(jnp.int32)
@@ -189,18 +191,23 @@ def reduce_occurrences(
         base = seg.run_broadcast_from_start(cs - ind, starts)
         return cs - base  # run-relative count; total valid at end rows
 
+    def run_any(indicator):
+        # ANY-in-run needs one cummax: last indicator position vs run start
+        last = jax.lax.cummax(jnp.where(indicator, p, -1))
+        return last >= run_start_pos
+
     count = run_total(valid_s)
     new_pair = starts | (bc_s != jnp.roll(bc_s, 1))
     counted_bc = (
         (valid_s == 1) & (bc_s > 0) & (bc_s != BC_FIELD_IGNORED) & new_pair
     )
     nbc = run_total(counted_bc)
-    has_ign = run_total((valid_s == 1) & (bc_s == BC_FIELD_IGNORED)) > 0
+    has_ign = run_any((valid_s == 1) & (bc_s == BC_FIELD_IGNORED))
     lmask_u = jnp.zeros((nb,), U32)
     rmask_u = jnp.zeros((nb,), U32)
     for b in range(4):
-        lbit = run_total((valid_s == 1) & (((lm_s >> b) & 1) == 1)) > 0
-        rbit = run_total((valid_s == 1) & (((rm_s >> b) & 1) == 1)) > 0
+        lbit = run_any((valid_s == 1) & (((lm_s >> b) & 1) == 1))
+        rbit = run_any((valid_s == 1) & (((rm_s >> b) & 1) == 1))
         lmask_u = lmask_u | (lbit.astype(U32) << b)
         rmask_u = rmask_u | (rbit.astype(U32) << b)
 
@@ -221,16 +228,15 @@ def reduce_occurrences(
 @partial(jax.jit, static_argnames=("min_freq", "min_bc"))
 def count_kmers(
     codes_ext,
-    read_offsets,
     pos_read,
-    good_len,
-    read_bc,
+    glen_pos,
+    bc_pos,
     min_freq: int = MIN_FREQ,
     min_bc: int = MIN_BC,
 ) -> KmerTable:
     """Count + filter canonical 48-mers over all reads.  Fully on device."""
     canon, bc, lm, rm, valid = extract_occurrences(
-        codes_ext, read_offsets, pos_read, good_len, read_bc
+        codes_ext, pos_read, glen_pos, bc_pos
     )
     return reduce_occurrences(canon, bc, lm, rm, valid, min_freq, min_bc)
 
@@ -255,6 +261,26 @@ def recompute_adjacencies(table: KmerTable) -> KmerTable:
 
 # ----------------------------------------------------------------- host prep
 
+def good_lengths_np(quals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Host (numpy) qual-trim rule — same semantics as good_lengths."""
+    nb = len(quals)
+    n_reads = len(offsets) - 1
+    p = np.arange(nb, dtype=np.int64)
+    bad = np.asarray(quals) < MIN_QUAL
+    lens = np.diff(offsets)
+    pos_read = np.repeat(np.arange(n_reads), lens)
+    read_start = np.repeat(offsets[:-1], lens)
+    blocker = np.where(bad, p + 1, 0)
+    last_bad = np.maximum.accumulate(blocker) if nb else blocker
+    bound = np.maximum(last_bad, read_start)
+    streak = p + 1 - bound
+    ok_end = streak >= K
+    cand = np.where(ok_end, p + 1 - read_start, 0)
+    out = np.zeros(n_reads, dtype=np.int32)
+    np.maximum.at(out, pos_read, cand.astype(np.int32))
+    return out
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -270,10 +296,8 @@ def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024) -> dict
     nbp = _round_up(max(nb, 1), base_bucket)
     rp = _round_up(n_reads + 1, read_bucket)
 
-    codes_ext = np.zeros(nbp + K, dtype=np.int32)
+    codes_ext = np.zeros(nbp + max(K, 128), dtype=np.int32)
     codes_ext[:nb] = rs.codes
-    quals = np.zeros(nbp, dtype=np.int32)
-    quals[:nb] = rs.quals
     lens = np.diff(rs.offsets).astype(np.int64)
     pos_read = np.full(nbp, n_reads, dtype=np.int32)
     pos_read[:nb] = np.repeat(np.arange(n_reads, dtype=np.int32), lens)
@@ -282,11 +306,17 @@ def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024) -> dict
     read_bc = np.full(rp, BC_IGNORED, dtype=np.int32)
     if rs.barcoded:
         read_bc[:n_reads] = np.where(rs.bc > 0, rs.bc, BC_IGNORED)
+    glen = good_lengths_np(rs.quals, rs.offsets)
+    glen_pos = np.zeros(nbp, dtype=np.int32)
+    glen_pos[:nb] = np.repeat(glen, lens)
+    bc_pos = np.full(nbp, BC_IGNORED, dtype=np.int32)
+    bc_pos[:nb] = np.repeat(read_bc[:n_reads], lens)
     return dict(
         codes_ext=jnp.asarray(codes_ext),
         read_offsets=jnp.asarray(offsets),
         pos_read=jnp.asarray(pos_read),
-        quals=jnp.asarray(quals),
+        glen_pos=jnp.asarray(glen_pos),
+        bc_pos=jnp.asarray(bc_pos),
         read_bc=jnp.asarray(read_bc),
     )
 
@@ -294,13 +324,11 @@ def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024) -> dict
 def count_readset(rs, min_freq: int = MIN_FREQ, min_bc: int = MIN_BC) -> KmerTable:
     """End-to-end host entry: ReadSet -> filtered, adjacency-true KmerTable."""
     inp = prepare_reads(rs)
-    glen = good_lengths(inp["quals"], inp["read_offsets"], inp["pos_read"])
     table = count_kmers(
         inp["codes_ext"],
-        inp["read_offsets"],
         inp["pos_read"],
-        glen,
-        inp["read_bc"],
+        inp["glen_pos"],
+        inp["bc_pos"],
         min_freq=min_freq,
         min_bc=min_bc,
     )

@@ -33,7 +33,7 @@ from ..kmer.count import (
     MIN_FREQ,
     KmerTable,
     extract_occurrences,
-    good_lengths,
+    good_lengths_np,
     pack_occurrence_attrs,
     reduce_occurrences,
     unpack_occurrence_attrs,
@@ -63,10 +63,9 @@ def kmer_shard_hash(words: W3) -> jax.Array:
 
 def _sharded_count_local(
     codes_ext,
-    read_offsets,
     pos_read,
-    quals,
-    read_bc,
+    glen_pos,
+    bc_pos,
     n_dev: int,
     capacity: int,
     min_freq: int,
@@ -74,9 +73,8 @@ def _sharded_count_local(
     use_ragged: bool,
 ):
     """Per-device body (runs under shard_map over AXIS)."""
-    glen = good_lengths(quals, read_offsets, pos_read)
     canon, bc, lm, rm, valid = extract_occurrences(
-        codes_ext, read_offsets, pos_read, glen, read_bc
+        codes_ext, pos_read, glen_pos, bc_pos
     )
     nbl = canon.a.shape[0]
     packed = pack_occurrence_attrs(bc, lm, rm, valid)
@@ -158,11 +156,10 @@ def _sharded_count_local(
 )
 def sharded_count(
     mesh,
-    codes_ext,  # (n_dev * (NBL+K),) sharded rows
-    read_offsets,  # (n_dev * (RL+1),)
+    codes_ext,  # (n_dev * (NBL+pad),) sharded rows
     pos_read,  # (n_dev * NBL,)
-    quals,  # (n_dev * NBL,)
-    read_bc,  # (n_dev * RL,)
+    glen_pos,  # (n_dev * NBL,)
+    bc_pos,  # (n_dev * NBL,)
     n_dev: int,
     capacity: int,
     min_freq: int = MIN_FREQ,
@@ -191,9 +188,9 @@ def sharded_count(
     return jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(table_spec, P(AXIS)),
-    )(codes_ext, read_offsets, pos_read, quals, read_bc)
+    )(codes_ext, pos_read, glen_pos, bc_pos)
 
 
 # ------------------------------------------------------------------- host
@@ -222,29 +219,34 @@ def split_readset(rs, n_dev: int, base_bucket: int = 16384, read_bucket: int = 1
 
     def pack(idx, lens):
         nb = int(lens.sum())
-        codes = np.zeros(nbl + K, np.int32)
-        qu = np.zeros(nbl, np.int32)
+        codes = np.zeros(nbl + max(K, 128), np.int32)
         pr = np.full(nbl, len(idx), np.int32)
-        off = np.full(rl + 1, nb, np.int32)
-        bcv = np.full(rl, IGN, np.int32)
+        glen_pos = np.zeros(nbl, np.int32)
+        bc_pos = np.full(nbl, IGN, np.int32)
         if len(idx):
             starts = rs.offsets[idx]
             flat = np.concatenate(
                 [rs.codes[s : s + l] for s, l in zip(starts, lens)]
             )
             codes[:nb] = flat
-            qu[:nb] = np.concatenate(
+            quals = np.concatenate(
                 [rs.quals[s : s + l] for s, l in zip(starts, lens)]
             )
+            off = np.concatenate([[0], np.cumsum(lens)])
+            glen = good_lengths_np(quals, off)
             pr[:nb] = np.repeat(np.arange(len(idx), dtype=np.int32), lens)
-            off[: len(idx) + 1] = np.concatenate([[0], np.cumsum(lens)])
-            if rs.barcoded:
-                bcv[: len(idx)] = np.where(rs.bc[idx] > 0, rs.bc[idx], IGN)
-        return codes, off, pr, qu, bcv
+            glen_pos[:nb] = np.repeat(glen, lens)
+            bcv = (
+                np.where(rs.bc[idx] > 0, rs.bc[idx], IGN)
+                if rs.barcoded
+                else np.full(len(idx), IGN, np.int32)
+            )
+            bc_pos[:nb] = np.repeat(bcv, lens)
+        return codes, pr, glen_pos, bc_pos
 
     packed = [pack(i, l) for i, l in blocks]
     cat = lambda k: np.concatenate([p[k] for p in packed])
-    return cat(0), cat(1), cat(2), cat(3), cat(4), nbl, rl
+    return cat(0), cat(1), cat(2), cat(3), nbl, rl
 
 
 def merge_shard_tables(tables_stacked) -> "KmerTable":

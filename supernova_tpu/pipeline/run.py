@@ -223,10 +223,18 @@ class Pipeline:
             counts=aplace.dpath_counts(D, dpaths, dlen),
         )
 
-        # closure paths (a.cpaths analogue)
+        # closure paths (a.cpaths analogue); bad pairs excluded like dups
+        # (MakeClosures uses non-dup non-bad pairs, SecretOps.cc:1049)
+        from ..asm import bads as abads
         from ..asm import closures as aclos
 
-        cl = aclos.make_closures(bg, edges, plen, dup)
+        bad = abads.mark_bads(bg, rs, edges, plen, offset)
+        self.stats.log(
+            "bad_read_frac", float(bad.mean()) if len(bad) else 0.0,
+            "reads contradicting the assembly", stage="supergraph",
+        )
+        bad_pair = bad[0::2] | bad[1::2]
+        cl = aclos.make_closures(bg, edges, plen, dup | bad_pair)
         aclos.save_closures(self.outdir / "cpaths.npz", cl)
         self.stats.log("n_closures", len(cl), "closure paths", stage="supergraph")
 

@@ -31,22 +31,20 @@ def test_sharded_count_matches_single(rng):
     # single-device table BEFORE adjacency recompute (the sharded step's
     # contract is the raw filtered table)
     inp = kcount.prepare_reads(rs)
-    glen = kcount.good_lengths(inp["quals"], inp["read_offsets"], inp["pos_read"])
     single = dbuild.trim_table(
         kcount.count_kmers(
-            inp["codes_ext"], inp["read_offsets"], inp["pos_read"], glen,
-            inp["read_bc"],
+            inp["codes_ext"], inp["pos_read"], inp["glen_pos"], inp["bc_pos"]
         ),
         pad_multiple=256,
     )
 
     n_dev = 8
     mesh = make_mesh(n_dev)
-    codes, offs, pr, qu, bc, nbl, rl = split_readset(
+    codes, pr, glp, bcp, nbl, rl = split_readset(
         rs, n_dev, base_bucket=4096, read_bucket=128
     )
     tables, overflow = sharded_count(
-        mesh, codes, offs, pr, qu, bc, n_dev=n_dev, capacity=4 * nbl
+        mesh, codes, pr, glp, bcp, n_dev=n_dev, capacity=4 * nbl
     )
     assert int(np.asarray(overflow).sum()) == 0
     merged = merge_shard_tables(tables)
