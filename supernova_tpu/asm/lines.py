@@ -55,17 +55,26 @@ class Lines:
 
 def find_lines(D) -> Lines:
     """Group parallel D-edges into cells, then chain cells through simple
-    vertices into maximal lines."""
+    vertices into maximal lines.  Self-loop edges are captured into the
+    passing line as loop cells (CaptureSimpleLoops analogue, 10X/Capture.cc)
+    instead of breaking the chain."""
     ed = D.n_edges
-    # cells: group by (from, to)
+    self_loop = D.from_v == D.to_v
+    loops_at: dict = {}
+    for e in np.nonzero(self_loop)[0]:
+        loops_at.setdefault(int(D.from_v[e]), []).append(int(e))
+
+    chain_edges = np.nonzero(~self_loop)[0]
+    # cells: group by (from, to), self-loops excluded
     pair_key = D.from_v.astype(np.int64) * (D.n_vertices + 1) + D.to_v
-    order = np.argsort(pair_key, kind="stable")
+    order = chain_edges[np.argsort(pair_key[chain_edges], kind="stable")]
     cells: List[np.ndarray] = []
     cell_of_edge = np.full(ed, -1, dtype=np.int64)
     i = 0
-    while i < ed:
+    ne = len(order)
+    while i < ne:
         j = i
-        while j < ed and pair_key[order[j]] == pair_key[order[i]]:
+        while j < ne and pair_key[order[j]] == pair_key[order[i]]:
             j += 1
         members = np.sort(order[i:j])
         cells.append(members)
@@ -129,12 +138,26 @@ def find_lines(D) -> Lines:
             x = nxt[x]
         li = len(lines)
         els = []
-        for cc in chain:
+        for k, cc in enumerate(chain):
             line_of_cell[cc] = li
             for e in cells[cc]:
                 line_of_edge[e] = li
             els.append(cells[cc])
+            # capture self-loops at this cell's exit vertex into the line
+            v = int(cto[cc])
+            for le in loops_at.get(v, ()):
+                if line_of_edge[le] == -1:
+                    line_of_edge[le] = li
+                    els.append(np.array([le], dtype=np.int64))
         lines.append(Line(els))
+
+    # leftover self-loops (at vertices no chain passes) become their own lines
+    for v, les in loops_at.items():
+        for le in les:
+            if line_of_edge[le] == -1:
+                li = len(lines)
+                line_of_edge[le] = li
+                lines.append(Line([np.array([le], dtype=np.int64)]))
 
     # involution: line containing the dinv of our first edge
     linv = np.zeros(len(lines), dtype=np.int64)

@@ -195,6 +195,18 @@ class Pipeline:
         counts = pindex.edge_read_counts(edges, plen, bg.n_edges)
         keep = asg.trim_weak_edges(bg, counts)
         D = asg.build_supergraph(bg, keep)
+        # flatten lopsided (error-artifact) bubbles and rebuild once
+        from ..asm import bubbles as abub
+
+        support = asg.super_edge_support(D, counts)
+        keep2, n_flat = abub.flatten_bubbles(bg, keep, D, support)
+        if n_flat:
+            keep = keep2
+            D = asg.build_supergraph(bg, keep)
+            self.stats.log(
+                "bubbles_flattened", n_flat, "weak bubble arms removed",
+                stage="supergraph",
+            )
         D.validate()
         lines = alines.find_lines(D)
         self.stats.log("n_super_edges", D.n_edges, stage="supergraph")
