@@ -22,6 +22,10 @@ REFERENCE_KMERS_PER_SEC = 20e6
 def main():
     import jax
 
+    from supernova_tpu.core.jaxconfig import ensure_cache
+
+    ensure_cache()
+
     from supernova_tpu.kmer.count import count_kmers
 
     rng = np.random.default_rng(0)

@@ -34,6 +34,9 @@ class Pipeline:
         stats: StatLogger | None = None,
         resume: bool = False,
     ):
+        from ..core.jaxconfig import ensure_cache
+
+        ensure_cache()
         self.outdir = Path(outdir)
         self.outdir.mkdir(parents=True, exist_ok=True)
         self.stats = stats or StatLogger.load(self.outdir / "all_stats.json")
@@ -41,11 +44,12 @@ class Pipeline:
         self._t_start = time.time()
 
     def _timed(self, name, fn, *a, **kw):
-        """Per-stage wall-clock stats (etime_* schema, DF.cc:705-707)."""
-        t0 = time.time()
-        out = fn(*a, **kw)
-        self.stats.log(f"etime_{name}_h", (time.time() - t0) / 3600.0, stage=name)
-        return out
+        """Per-stage wall-clock + peak-HBM stats (etime_*/mem_peak_* schema,
+        DF.cc:705-707, via the STAGE tracing analogue)."""
+        from ..stats.trace import stage
+
+        with stage(name, self.stats):
+            return fn(*a, **kw)
 
     # ---------------------------------------------------------------- stages
 
