@@ -26,7 +26,6 @@ import numpy as np
 
 from ..core import kmer_codec as kc
 from ..core.kmer_codec import K, W3
-from ..ops import segments as seg
 
 I32 = jnp.int32
 MAX_PATH = 12  # max edges a 150bp read can plausibly traverse; overflow flagged

@@ -7,7 +7,7 @@ sequencing-error artifact, not a het site — delete it (and its rc twin).
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

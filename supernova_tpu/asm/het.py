@@ -6,7 +6,7 @@ distance between het sites).
 """
 from __future__ import annotations
 
-from typing import Dict, List
+
 
 import numpy as np
 

@@ -9,7 +9,7 @@ line is broken there.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Set
+from typing import List, Set
 
 import numpy as np
 

@@ -14,8 +14,7 @@ device).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from pathlib import Path
+from dataclasses import dataclass
 from typing import List
 
 import numpy as np

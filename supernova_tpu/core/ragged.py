@@ -13,7 +13,7 @@ Device code always works on fixed-size padded arrays + scalar valid counts;
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterable, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

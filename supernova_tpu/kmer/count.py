@@ -322,7 +322,13 @@ def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024) -> dict
 
 
 def count_readset(rs, min_freq: int = MIN_FREQ, min_bc: int = MIN_BC) -> KmerTable:
-    """End-to-end host entry: ReadSet -> filtered, adjacency-true KmerTable."""
+    """End-to-end host entry: ReadSet -> filtered, adjacency-true KmerTable.
+
+    The table is trimmed from occurrence-padded size down to ~n_valid BEFORE
+    the adjacency recompute — its 8 membership joins then run (and compile)
+    at distinct-kmer scale, not occurrence scale."""
+    from ..dbg.build import trim_table
+
     inp = prepare_reads(rs)
     table = count_kmers(
         inp["codes_ext"],
@@ -332,4 +338,4 @@ def count_readset(rs, min_freq: int = MIN_FREQ, min_bc: int = MIN_BC) -> KmerTab
         min_freq=min_freq,
         min_bc=min_bc,
     )
-    return recompute_adjacencies(table)
+    return recompute_adjacencies(trim_table(table))
