@@ -70,3 +70,23 @@ def valid_barcode_fraction(rs: ReadSet) -> float:
     if rs.n_reads == 0:
         return 0.0
     return float((rs.bc > 0).sum()) / rs.n_reads
+
+
+def subsample_pairs(rs: ReadSet, fraction: float, seed: int = 0) -> ReadSet:
+    """Deterministic read-pair downsampling (the reference's subsample /
+    downsample knobs, mro/_assembler.mro sample_def + DF downsampling via
+    FastFastbCount).  Keeps mates together and re-sorts by barcode."""
+    if fraction >= 1.0:
+        return rs
+    rng = np.random.default_rng(seed)
+    keep_pairs = np.nonzero(rng.random(rs.n_pairs) < fraction)[0]
+    reads, quals, bcs = [], [], []
+    for pair in keep_pairs:
+        r1, r2 = 2 * pair, 2 * pair + 1
+        reads.extend((rs.read(r1), rs.read(r2)))
+        quals.extend((rs.qual(r1), rs.qual(r2)))
+        bcs.append(rs.bc[r1])
+    return build_readset(
+        reads, quals, np.asarray(bcs, np.int32),
+        n_barcodes=rs.n_barcodes, barcoded=rs.barcoded,
+    )

@@ -58,3 +58,34 @@ def test_preflight_failures(tmp_path):
     assert not res.ok and res.errors
     res = preflight([str(tmp_path / "missing.fastq")], [str(tmp_path / "m2.fastq")], 10)
     assert not res.ok
+
+
+def test_subsample_and_fasth_roundtrip(tmp_path, rng):
+    import numpy as np
+
+    from supernova_tpu.ingest import fastq as fq
+    from supernova_tpu.ingest.ingest import subsample_pairs
+    from supernova_tpu.ingest.reads import build_readset
+
+    reads = [np.array([0, 1, 2, 3] * 10, np.uint8) for _ in range(40)]
+    quals = [np.full(40, 37, np.uint8) for _ in range(40)]
+    rs = build_readset(reads, quals, np.arange(1, 21, dtype=np.int32),
+                       n_barcodes=30)
+    sub = subsample_pairs(rs, 0.5, seed=1)
+    assert 0 < sub.n_pairs < rs.n_pairs
+    sub.validate()
+
+    recs = [
+        dict(
+            r1=reads[0], q1=quals[0], r2=reads[1], q2=quals[1],
+            bc=np.array([0, 1, 2, 3] * 4, np.uint8),
+            bcq=np.full(16, 30, np.uint8),
+            si=np.zeros(0, np.uint8), siq=np.zeros(0, np.uint8),
+        )
+    ]
+    p = tmp_path / "x.fasth.gz"
+    fq.write_fasth(p, recs)
+    back = list(fq.read_fasth(p))
+    assert len(back) == 1
+    assert np.array_equal(back[0]["r1"], recs[0]["r1"])
+    assert np.array_equal(back[0]["bcq"], recs[0]["bcq"])
