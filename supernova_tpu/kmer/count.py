@@ -170,6 +170,28 @@ def reduce_occurrences(
     packed = pack_occurrence_attrs(bc, lm, rm, valid)
 
     ws, (pk,), _ = kc.sort_by_words(canon, extra_keys=(packed,))
+
+    if jax.default_backend() == "tpu" and nb % 128 == 0:
+        # fused Pallas pass: all per-run statistics + the keep decision in
+        # one VMEM-resident sweep (see ops/pallas/run_reduce.py)
+        from ..ops.pallas.run_reduce import run_reduce_pallas
+
+        keep_u, count, stats = run_reduce_pallas(
+            ws.a, ws.b, ws.c, pk, min_freq, min_bc
+        )
+        keep = keep_u == 1
+        n_valid, (wa, wb, wc, c2, st2) = seg.stable_compact(
+            keep, ws.a, ws.b, ws.c, count, stats
+        )
+        m = jnp.arange(nb) < n_valid
+        w2 = W3(wa, wb, wc).where(m, kc.SENTINEL)
+        nbc2 = ((st2 >> np.uint32(9)) & np.uint32(4095)).astype(jnp.int32)
+        l2 = (st2 >> np.uint32(5)) & np.uint32(15)
+        r2 = (st2 >> np.uint32(1)) & np.uint32(15)
+        return KmerTable(
+            w2, c2 * m, nbc2 * m, l2 * m.astype(U32), r2 * m.astype(U32), n_valid
+        )
+
     bc_s = pk >> np.uint32(10)
     lm_s = (pk >> np.uint32(6)) & np.uint32(15)
     rm_s = (pk >> np.uint32(2)) & np.uint32(15)
