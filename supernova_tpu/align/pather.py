@@ -45,22 +45,25 @@ def path_reads(
     node_edge,  # (2M,) int32
     node_pos,  # (2M,) int32
     codes_ext,  # (NB+K,) int32
-    read_offsets,  # (RP+1,) int32
+    read_offsets,  # (RP+1,) int32 (read-boundary lookups only; RP-scale)
     pos_read,  # (NB,) int32
-    read_len,  # (RP,) int32 true read lengths
+    rlen_pos,  # (NB,) int32 read length of the row's read (host-broadcast)
     max_path: int = MAX_PATH,
 ) -> ReadPaths:
     nb = pos_read.shape[0]
-    rp = read_len.shape[0]
+    rp = read_offsets.shape[0] - 1
     p = jnp.arange(nb, dtype=I32)
 
     words = kc.sliding_words(codes_ext, nb)
     canon, flipped = kc.canonicalize(words)
     row, found = kc.lookup_words_merge(kmer_words, canon)
 
-    start = read_offsets[pos_read].astype(I32)
+    read_first0 = jnp.concatenate(
+        [jnp.ones((1,), bool), pos_read[1:] != pos_read[:-1]]
+    )
+    start = jax.lax.cummax(jnp.where(read_first0, p, 0))
     pir = p - start
-    inb = pir + K <= read_len[pos_read]
+    inb = pir + K <= rlen_pos
     hit = found & inb
 
     node = 2 * row + flipped.astype(I32)
@@ -142,9 +145,6 @@ def path_readset(bg, rs, max_path: int = MAX_PATH) -> ReadPaths:
     from ..kmer.count import prepare_reads
 
     inp = prepare_reads(rs)
-    rp = inp["read_offsets"].shape[0] - 1
-    read_len = np.zeros(rp, dtype=np.int32)
-    read_len[: rs.n_reads] = rs.lengths()
     return path_reads(
         kc.np_to_soa(bg.kmer_words),
         jnp.asarray(bg.node_edge),
@@ -152,6 +152,6 @@ def path_readset(bg, rs, max_path: int = MAX_PATH) -> ReadPaths:
         inp["codes_ext"],
         inp["read_offsets"],
         inp["pos_read"],
-        jnp.asarray(read_len),
+        inp["rlen_pos"],
         max_path=max_path,
     )

@@ -337,12 +337,15 @@ def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024) -> dict
     glen_pos[:nb] = np.repeat(glen, lens)
     bc_pos = np.full(nbp, BC_IGNORED, dtype=np.int32)
     bc_pos[:nb] = np.repeat(read_bc[:n_reads], lens)
+    rlen_pos = np.zeros(nbp, dtype=np.int32)
+    rlen_pos[:nb] = np.repeat(lens.astype(np.int32), lens)
     return dict(
         codes_ext=jnp.asarray(codes_ext),
         read_offsets=jnp.asarray(offsets),
         pos_read=jnp.asarray(pos_read),
         glen_pos=jnp.asarray(glen_pos),
         bc_pos=jnp.asarray(bc_pos),
+        rlen_pos=jnp.asarray(rlen_pos),
         read_bc=jnp.asarray(read_bc),
     )
 

@@ -30,7 +30,7 @@ def sharded_path(
     codes_ext,  # (n_dev * (NBL+pad),) sharded
     read_offsets,  # (n_dev * (RL+1),) sharded (block-local offsets)
     pos_read,  # (n_dev * NBL,) sharded (block-local read ids)
-    read_len,  # (n_dev * RL,) sharded
+    rlen_pos,  # (n_dev * NBL,) sharded
     max_path: int = MAX_PATH,
 ) -> ReadPaths:
     fn = partial(path_reads, max_path=max_path)
@@ -47,7 +47,7 @@ def sharded_path(
             P(AXIS),
         ),
         out_specs=ReadPaths(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-    )(kmer_words, node_edge, node_pos, codes_ext, read_offsets, pos_read, read_len)
+    )(kmer_words, node_edge, node_pos, codes_ext, read_offsets, pos_read, rlen_pos)
 
 
 def split_for_pathing(rs, n_dev: int, base_bucket: int = 16384, read_bucket: int = 1024):
@@ -76,7 +76,7 @@ def split_for_pathing(rs, n_dev: int, base_bucket: int = 16384, read_bucket: int
         codes = np.zeros(nbl + max(K, 128), np.int32)
         pr = np.full(nbl, len(idx), np.int32)
         off = np.full(rl + 1, nb, np.int32)
-        rlen = np.zeros(rl, np.int32)
+        rlen = np.zeros(nbl, np.int32)
         if len(idx):
             starts = rs.offsets[idx]
             codes[:nb] = np.concatenate(
@@ -84,7 +84,7 @@ def split_for_pathing(rs, n_dev: int, base_bucket: int = 16384, read_bucket: int
             )
             pr[:nb] = np.repeat(np.arange(len(idx), dtype=np.int32), lens)
             off[: len(idx) + 1] = np.concatenate([[0], np.cumsum(lens)])
-            rlen[: len(idx)] = lens
+            rlen[:nb] = np.repeat(lens.astype(np.int32), lens)
         return codes, off, pr, rlen
 
     packed = [pack(i, l) for i, l in blocks]
