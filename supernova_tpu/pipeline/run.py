@@ -197,20 +197,41 @@ class Pipeline:
             stage="supergraph",
         )
         counts = pindex.edge_read_counts(edges, plen, bg.n_edges)
-        keep = asg.trim_weak_edges(bg, counts)
-        D = asg.build_supergraph(bg, keep)
-        # flatten lopsided (error-artifact) bubbles and rebuild once
-        from ..asm import bubbles as abub
 
-        support = asg.super_edge_support(D, counts)
-        keep2, n_flat = abub.flatten_bubbles(bg, keep, D, support)
-        if n_flat:
-            keep = keep2
+        # closure paths first (a.cpaths analogue); bad pairs excluded like
+        # dups (MakeClosures uses non-dup non-bad pairs, SecretOps.cc:1049)
+        from ..asm import bads as abads
+        from ..asm import closures as aclos
+
+        bad = abads.mark_bads(bg, rs, edges, plen, offset)
+        self.stats.log(
+            "bad_read_frac", float(bad.mean()) if len(bad) else 0.0,
+            "reads contradicting the assembly", stage="supergraph",
+        )
+        bad_pair = bad[0::2] | bad[1::2]
+        cl = aclos.make_closures(bg, edges, plen, dup | bad_pair)
+        aclos.save_closures(self.outdir / "cpaths.npz", cl)
+        self.stats.log("n_closures", len(cl), "closure paths", stage="supergraph")
+
+        keep = asg.trim_weak_edges(bg, counts)
+        if cl:
+            # faithful MC construction: glue closures into D
+            D = asg.closures_to_graph(bg, cl)
+            self.stats.log("supergraph_mode", "closures", stage="supergraph")
+        else:
             D = asg.build_supergraph(bg, keep)
-            self.stats.log(
-                "bubbles_flattened", n_flat, "weak bubble arms removed",
-                stage="supergraph",
-            )
+            # flatten lopsided (error-artifact) bubbles and rebuild once
+            from ..asm import bubbles as abub
+
+            support = asg.super_edge_support(D, counts)
+            keep2, n_flat = abub.flatten_bubbles(bg, keep, D, support)
+            if n_flat:
+                keep = keep2
+                D = asg.build_supergraph(bg, keep)
+                self.stats.log(
+                    "bubbles_flattened", n_flat, "weak bubble arms removed",
+                    stage="supergraph",
+                )
         D.validate()
         lines = alines.find_lines(D)
         self.stats.log("n_super_edges", D.n_edges, stage="supergraph")
@@ -238,21 +259,6 @@ class Pipeline:
             dlen=dlen,
             counts=aplace.dpath_counts(D, dpaths, dlen),
         )
-
-        # closure paths (a.cpaths analogue); bad pairs excluded like dups
-        # (MakeClosures uses non-dup non-bad pairs, SecretOps.cc:1049)
-        from ..asm import bads as abads
-        from ..asm import closures as aclos
-
-        bad = abads.mark_bads(bg, rs, edges, plen, offset)
-        self.stats.log(
-            "bad_read_frac", float(bad.mean()) if len(bad) else 0.0,
-            "reads contradicting the assembly", stage="supergraph",
-        )
-        bad_pair = bad[0::2] | bad[1::2]
-        cl = aclos.make_closures(bg, edges, plen, dup | bad_pair)
-        aclos.save_closures(self.outdir / "cpaths.npz", cl)
-        self.stats.log("n_closures", len(cl), "closure paths", stage="supergraph")
 
         # barcode molecules on lines (lbpx analogue)
         if rs.barcoded:
