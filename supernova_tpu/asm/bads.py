@@ -37,16 +37,47 @@ def mark_bads(
     bg, rs, paths_edges, path_len, offset, max_mm: int = MAX_Q30_MISMATCHES
 ) -> np.ndarray:
     """-> bool (n_reads,): read disagrees with the assembly at > max_mm
-    high-quality positions."""
+    high-quality positions.
+
+    Vectorized for single-edge placements (the vast majority); multi-edge
+    placements fall back to per-read spelling."""
     n = rs.n_reads
     bad = np.zeros(n, dtype=bool)
-    for r in range(n):
-        pl = int(path_len[r])
-        if pl == 0:
-            continue
+    if n == 0:
+        return bad
+    plen = np.asarray(path_len[:n])
+    off = np.asarray(offset[:n])
+    rlen = np.diff(rs.offsets).astype(np.int64)
+    lmax = int(rlen.max())
+    gv = bg.edges.values
+    goff = bg.edges.offsets
+
+    single = np.nonzero(plen == 1)[0]
+    if len(single):
+        e = paths_edges[single, 0].astype(np.int64)
+        span_start = goff[e] + off[single]
+        span_len = np.minimum(rlen[single], goff[e + 1] - span_start)
+        ok = (off[single] >= 0) & (span_len > 0)
+        si = single[ok]
+        if len(si):
+            e = e[ok]
+            span_start = span_start[ok]
+            span_len = span_len[ok]
+            cols = np.arange(lmax)
+            gidx = span_start[:, None] + cols[None, :]
+            inb = cols[None, :] < span_len[:, None]
+            graph_b = gv[np.minimum(gidx, len(gv) - 1)]
+            ridx = rs.offsets[si][:, None] + cols[None, :]
+            rinb = cols[None, :] < rlen[si][:, None]
+            read_b = rs.codes[np.minimum(ridx, len(rs.codes) - 1)]
+            qual_b = rs.quals[np.minimum(ridx, len(rs.codes) - 1)]
+            mm = (read_b != graph_b) & (qual_b >= Q_HI) & inb & rinb
+            bad[si] = mm.sum(axis=1) > max_mm
+
+    for r in np.nonzero(plen > 1)[0]:
         read = rs.read(r)
         qual = rs.qual(r)
-        span = spell_read_span(bg, paths_edges[r, :pl], int(offset[r]), len(read))
+        span = spell_read_span(bg, paths_edges[r, : plen[r]], int(off[r]), len(read))
         if span is None or len(span) == 0:
             continue
         m = min(len(span), len(read))

@@ -50,18 +50,30 @@ def read_line_positions(
         for j, el in enumerate(ln.elements):
             for d in el:
                 edge_elem[int(d)] = (li, j)
-    out: Dict[Tuple[int, int], List[int]] = {}
+    # vectorized: map first placed D-edge -> (line, element start coord)
     n = dpaths.shape[0]
-    for r in range(n):
-        bc = int(read_bc[r])
-        if bc <= 0 or dlen[r] == 0:
-            continue
-        d = int(dpaths[r, 0])
-        le = edge_elem.get(d)
-        if le is None:
-            continue
-        li, j = le
-        out.setdefault((bc, li), []).append(offs[li][j])
+    nd = max(edge_elem.keys(), default=-1) + 1
+    line_of = np.full(nd + 1, -1, np.int64)
+    pos_of = np.zeros(nd + 1, np.int64)
+    for d, (li, j) in edge_elem.items():
+        line_of[d] = li
+        pos_of[d] = offs[li][j]
+    bc = np.asarray(read_bc)[:n]
+    d0 = np.where(np.asarray(dlen) > 0, dpaths[:, 0], nd).astype(np.int64)
+    d0 = np.clip(d0, 0, nd)
+    li = line_of[d0]
+    keep = (bc > 0) & (li >= 0)
+    out: Dict[Tuple[int, int], List[int]] = {}
+    kb, kl, kp = bc[keep], li[keep], pos_of[d0[keep]]
+    order = np.lexsort((kp, kl, kb))
+    kb, kl, kp = kb[order], kl[order], kp[order]
+    if len(kb):
+        starts = np.concatenate(
+            [[True], (kb[1:] != kb[:-1]) | (kl[1:] != kl[:-1])]
+        )
+        idxs = np.nonzero(starts)[0].tolist() + [len(kb)]
+        for a, b in zip(idxs, idxs[1:]):
+            out[(int(kb[a]), int(kl[a]))] = kp[a:b].tolist()
     return out
 
 

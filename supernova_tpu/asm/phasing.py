@@ -110,25 +110,37 @@ def phase_line(
 
 def build_edge_bc_counts(D, paths_edges, path_len, read_bc) -> Dict[int, Dict[int, int]]:
     """D-edge -> {barcode: supporting read count}, from base-graph read paths
-    (a read supports a D-edge if its path touches any constituent base edge)."""
-    base_to_super = {}
-    for d in range(D.n_edges):
-        for e in D.epaths.row(d):
-            base_to_super[int(e)] = d
-    out: Dict[int, Dict[int, int]] = {}
+    (a read supports a D-edge if its path touches any constituent base edge).
+    Vectorized: unique (read, D-edge) pairs counted per (D-edge, barcode)."""
+    from .place import super_of_base_array
+
     r, mp = paths_edges.shape
-    for i in range(r):
-        bc = int(read_bc[i])
-        if bc <= 0:
-            continue
-        seen = set()
-        for j in range(int(path_len[i])):
-            e = int(paths_edges[i, j])
-            d = base_to_super.get(e)
-            if d is not None and d not in seen:
-                seen.add(d)
-                out.setdefault(d, {})
-                out[d][bc] = out[d].get(bc, 0) + 1
+    n_base = D.bg.n_edges
+    d_of = super_of_base_array(D, n_base)
+    slot_ok = np.arange(mp)[None, :] < np.asarray(path_len)[:, None]
+    mapped = np.where(
+        slot_ok & (paths_edges >= 0),
+        d_of[np.clip(paths_edges, 0, n_base - 1)],
+        -1,
+    )
+    read_ids = np.broadcast_to(np.arange(r)[:, None], (r, mp))
+    bc = np.asarray(read_bc)[:r]
+    keep = (mapped >= 0) & (bc[:, None] > 0)
+    dd = mapped[keep]
+    rr = read_ids[keep]
+    # one support unit per distinct (read, D-edge)
+    pair_key = rr.astype(np.int64) * (D.n_edges + 1) + dd
+    uniq = np.unique(pair_key)
+    ur = uniq // (D.n_edges + 1)
+    ud = uniq % (D.n_edges + 1)
+    ubc = bc[ur]
+    db_key = ud * np.int64(2**32) + ubc
+    keys, counts = np.unique(db_key, return_counts=True)
+    out: Dict[int, Dict[int, int]] = {}
+    for k, c in zip(keys, counts):
+        d = int(k // 2**32)
+        b = int(k % 2**32)
+        out.setdefault(d, {})[b] = int(c)
     return out
 
 

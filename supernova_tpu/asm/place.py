@@ -22,28 +22,40 @@ def base_to_super_map(D) -> Dict[int, Tuple[int, int]]:
     return out
 
 
+def super_of_base_array(D, n_base: int) -> np.ndarray:
+    """base edge -> D edge id, -1 if uncovered (vectorized map)."""
+    out = np.full(n_base, -1, np.int64)
+    for d in range(D.n_edges):
+        out[D.epaths.row(d)] = d
+    return out
+
+
 def place_reads(D, paths_edges: np.ndarray, path_len: np.ndarray):
     """-> (dpaths (R, MP) int32 D-edge ids -1-padded, dpath_len (R,)).
-    Run-compresses consecutive base edges mapping to the same D-edge."""
-    b2s = base_to_super_map(D)
+    Run-compresses consecutive base edges mapping to the same D-edge.
+    Vectorized over reads (MP is a small constant)."""
     r, mp = paths_edges.shape
+    n_base = D.bg.n_edges
+    d_of = super_of_base_array(D, n_base)
+    slot_ok = np.arange(mp)[None, :] < np.asarray(path_len)[:, None]
+    mapped = np.where(
+        slot_ok & (paths_edges >= 0),
+        d_of[np.clip(paths_edges, 0, n_base - 1)],
+        -1,
+    )
     dpaths = np.full((r, mp), -1, np.int32)
     dlen = np.zeros(r, np.int32)
-    for i in range(r):
-        prev = -1
-        k = 0
-        for j in range(int(path_len[i])):
-            e = int(paths_edges[i, j])
-            ds = b2s.get(e)
-            if ds is None:
-                continue
-            d = ds[0]
-            if d != prev:
-                if k < mp:
-                    dpaths[i, k] = d
-                k += 1
-                prev = d
-        dlen[i] = min(k, mp)
+    prev = np.full(r, -1, np.int64)
+    for j in range(mp):
+        d = mapped[:, j]
+        emit = (d >= 0) & (d != prev)
+        k = dlen[emit]
+        rows = np.nonzero(emit)[0]
+        ok = k < mp
+        dpaths[rows[ok], k[ok]] = d[emit][ok]
+        dlen[emit] += 1
+        prev = np.where(d >= 0, d, prev)
+    np.minimum(dlen, mp, out=dlen)
     return dpaths, dlen
 
 
