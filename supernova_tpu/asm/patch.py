@@ -48,34 +48,54 @@ def find_edge_pairs(
     dead_start = indeg[bg.from_v] == 0
 
     n_reads = paths_edges.shape[0]
+    n_pairs = n_reads // 2
+    plen = np.asarray(path_len)
+    E = bg.n_edges
+
+    # vectorized pair-link extraction: r1's last path edge x inv of r2's
+    r1 = np.arange(0, 2 * n_pairs, 2)
+    r2 = r1 + 1
+    l1 = plen[r1]
+    l2 = plen[r2]
+    ok = (l1 > 0) & (l2 > 0)
+    if dup is not None:
+        ok &= ~np.asarray(dup)[:n_pairs]
+    e1 = np.where(ok, paths_edges[r1, np.maximum(l1 - 1, 0)], -1)
+    e2v = np.where(ok, paths_edges[r2, np.maximum(l2 - 1, 0)], -1)
+    e2 = np.where(e2v >= 0, bg.inv[np.clip(e2v, 0, E - 1)], -1)
+    ok &= (e1 >= 0) & (e2 >= 0) & (e1 != e2)
+    ok &= dead_end[np.clip(e1, 0, E - 1)] & dead_start[np.clip(e2, 0, E - 1)]
+
+    pairs_idx = np.nonzero(ok)[0]
     links: Dict[Tuple[int, int], List[int]] = {}
-    for pair in range(n_reads // 2):
-        if dup is not None and dup[pair]:
-            continue
-        r1, r2 = 2 * pair, 2 * pair + 1
-        if path_len[r1] == 0 or path_len[r2] == 0:
-            continue
-        # r1 walks forward; its path's last edge is where the fragment ends
-        e1 = int(paths_edges[r1, path_len[r1] - 1])
-        # r2 is the rc mate: in fragment orientation its path inverts
-        e2 = int(bg.inv[int(paths_edges[r2, path_len[r2] - 1])])
-        if e1 == e2 or e1 < 0 or e2 < 0:
-            continue
-        if dead_end[e1] and dead_start[e2]:
-            links.setdefault((e1, e2), []).extend((r1, r2))
+    for p in pairs_idx:
+        links.setdefault((int(e1[p]), int(e2[p])), []).extend(
+            (int(r1[p]), int(r2[p]))
+        )
+
     # reads touching either flanking edge also feed the local assembly
-    # (RunStages.cc:270-330 selects the read subset touching the edge pair)
-    touch: Dict[int, List[int]] = {}
-    for r in range(n_reads):
-        for j in range(int(path_len[r])):
-            touch.setdefault(int(paths_edges[r, j]), []).append(r)
+    # (RunStages.cc:270-330); index only the edges that flank a gap
+    flank = {e for pair in links for e in pair}
+    touch: Dict[int, List[int]] = {e: [] for e in flank}
+    if flank:
+        mp = paths_edges.shape[1]
+        slot_ok = np.arange(mp)[None, :] < plen[:, None]
+        fe = paths_edges.copy()
+        fe[~slot_ok] = -1
+        flat = fe.reshape(-1)
+        rows = np.repeat(np.arange(n_reads), mp)
+        in_flank = np.isin(flat, list(flank))
+        for e, r in zip(flat[in_flank], rows[in_flank]):
+            lst = touch[int(e)]
+            if len(lst) < 200:
+                lst.append(int(r))
 
     out = []
-    for (e1, e2), rids in sorted(links.items()):
+    for (a, b), rids in sorted(links.items()):
         if len(rids) // 2 >= min_support:
-            extra = touch.get(e1, [])[:200] + touch.get(e2, [])[:200]
+            extra = touch.get(a, []) + touch.get(b, [])
             all_rids = sorted(set(rids) | set(extra))
-            out.append(GapPair(e1, e2, len(rids) // 2, all_rids))
+            out.append(GapPair(a, b, len(rids) // 2, all_rids))
     return out
 
 
