@@ -57,13 +57,16 @@ def _score(x: np.ndarray, sgn: np.ndarray) -> float:
 
 
 def phase_line(
-    line, edge_bc_counts: Dict[int, Dict[int, int]], max_iters: int = 20
+    line, edge_bc_counts: Dict[int, Dict[int, int]], max_iters: int = 20, dinv=None
 ) -> LinePhasing:
-    """Phase one line.  edge_bc_counts: D-edge -> {barcode: read count}."""
+    """Phase one line.  edge_bc_counts: D-edge -> {barcode: read count}.
+    Cells whose two arms are rc twins are inversion artifacts, not het sites
+    (ZapInversionBubbles, 10X/Super.h), and are excluded."""
     bubbles = [
         Bubble(i, el[:2].copy())
         for i, el in enumerate(line.elements)
         if len(el) == 2
+        and (dinv is None or int(dinv[int(el[0])]) != int(el[1]))
     ]
     if not bubbles:
         return LinePhasing([], np.zeros(0, np.int8), [], 0.0)

@@ -342,7 +342,9 @@ class Pipeline:
         phasings = {}
         for sc in scaffolds:
             for li in sc.line_ids:
-                phasings[li] = aph.phase_line(lines.lines[li], bc_counts)
+                phasings[li] = aph.phase_line(
+                    lines.lines[li], bc_counts, dinv=D.dinv
+                )
 
         from ..asm.het import estimate_hetdist
 
