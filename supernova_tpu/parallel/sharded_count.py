@@ -188,6 +188,7 @@ def sharded_count(
     return jax.shard_map(
         fn,
         mesh=mesh,
+        check_vma=False,  # pallas calls inside the body don't carry vma info
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(table_spec, P(AXIS)),
     )(codes_ext, pos_read, glen_pos, bc_pos)

@@ -37,6 +37,7 @@ def sharded_path(
     return jax.shard_map(
         fn,
         mesh=mesh,
+        check_vma=False,  # pallas calls inside the body don't carry vma info
         in_specs=(
             W3(P(), P(), P()),  # dictionary replicated
             P(),
