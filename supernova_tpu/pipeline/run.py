@@ -445,6 +445,18 @@ class Pipeline:
                 h["bins"],
                 h["counts"],
             )
+        pb_lens = []
+        from ..asm.phasing import phase_block_lengths
+
+        for li, ph2 in phasings.items():
+            pb_lens.extend(phase_block_lengths(D, lines.lines[li], ph2))
+        h = hist.length_histogram(np.array(pb_lens or [0]))
+        hist.write_hist_json(
+            statsdir / "histogram_phase_block.json",
+            "phase block lengths",
+            h["bins"],
+            h["counts"],
+        )
         rb = hist.reads_per_barcode_histogram(rs)
         hist.write_hist_json(
             statsdir / "histogram_reads_per_barcode.json",
@@ -471,6 +483,8 @@ class Pipeline:
             "total elapsed hours", cs=True,
         )
         self.stats.dump_json(self.outdir / "all_stats.json")
+        (self.outdir / "stats").mkdir(exist_ok=True)
+        self.stats.dump_text(self.outdir / "stats" / "summary.txt")
         self.stats.dump_json(self.outdir / "summary.json", cs_only=True)
         self.stats.dump_csv(self.outdir / "summary_cs.csv")
         self.stats.dump_alerts(self.outdir / "alerts.json")

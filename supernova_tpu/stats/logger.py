@@ -98,6 +98,22 @@ class StatLogger:
                 lines.append(f"{e.name},{e.value},{e.gloss}")
         Path(path).write_text("\n".join(lines) + "\n")
 
+    def dump_text(self, path: str | Path):
+        """Human-readable summary table (the reference's summary.txt /
+        printed report, AssemblyStats.cc:743-800)."""
+        lines = ["-" * 64, "SUMMARY", "-" * 64]
+        for e in self.entries.values():
+            if not e.cs:
+                continue
+            v = e.value
+            if isinstance(v, float):
+                v = f"{v:,.2f}"
+            elif isinstance(v, int):
+                v = f"{v:,}"
+            lines.append(f"{str(v):>18}  {e.name:<22} {e.gloss}")
+        lines.append("-" * 64)
+        Path(path).write_text("\n".join(lines) + "\n")
+
     def dump_alerts(self, path: str | Path):
         Path(path).write_text(json.dumps(self.raised, indent=1) + "\n")
 

@@ -25,12 +25,6 @@ def test_seg_reductions():
     assert np.asarray(seg.seg_max(vals, ids, 6))[:3].tolist() == [2, 5, 6]
 
 
-def test_seg_or_mask():
-    ids = jnp.asarray(np.array([0, 0, 1], dtype=np.int32))
-    masks = jnp.asarray(np.array([0b0101, 0b0011, 0b1000], dtype=np.uint32))
-    out = np.asarray(seg.seg_or_mask(masks, ids, 3, 4))
-    assert out[:2].tolist() == [0b0111, 0b1000]
-
 
 def test_stable_compact():
     valid = jnp.asarray(np.array([False, True, False, True, True]))
