@@ -59,6 +59,7 @@ def scaffold_lines(
     line_lens: np.ndarray,
     min_shared: int = MIN_SHARED_BC,
     min_line_len: int = 1,
+    line_positions: Dict[int, Dict[int, list]] | None = None,
 ) -> List[Scaffold]:
     """Greedy mutual-best joining of canonical lines by shared-barcode count.
 
@@ -119,9 +120,76 @@ def scaffold_lines(
             prev, cur = cur, nxts[0]
             chain.append(cur)
             seen.add(cur)
+        # orient each join from molecule position gradients (LineOO-style)
+        if line_positions is not None and len(chain) > 1:
+            oriented = [chain[0]]
+            for k in range(1, len(chain)):
+                a = oriented[-1]
+                b = chain[k]
+                fixed = k > 1  # a's orientation already committed
+                best = None
+                a_opts = (a,) if fixed else (a, int(lines.linv[a]))
+                for ao in a_opts:
+                    for bo in (b, int(lines.linv[b])):
+                        pa = line_positions.get(ao, {})
+                        pb = line_positions.get(bo, {})
+                        t, n = junction_tightness(pa, pb, int(line_lens[ao]))
+                        if n >= 2 and (best is None or t < best[0]):
+                            best = (t, ao, bo)
+                if best is not None:
+                    _, ao, bo = best
+                    oriented[-1] = ao
+                    oriented.append(bo)
+                else:
+                    oriented.append(b)
+            chain = oriented
         scaffolds.append(Scaffold(chain, [DEFAULT_GAP_N] * (len(chain) - 1)))
     # isolated lines already covered (len-1 chains)
     return scaffolds
+
+
+def junction_tightness(
+    pos_a: dict, pos_b: dict, len_a: int
+) -> Tuple[float, int]:
+    """Tightness of joining line a's END to line b's START, from shared
+    barcodes' molecule positions (LineOO/BarcodePos-style evidence):
+    median over shared barcodes of (len_a - max_pos_on_a) + min_pos_on_b.
+    Returns (tightness, n_shared); smaller = better supported junction."""
+    shared = pos_a.keys() & pos_b.keys()
+    if not shared:
+        return float("inf"), 0
+    vals = [
+        (len_a - max(pos_a[bc])) + min(pos_b[bc]) for bc in shared
+    ]
+    return float(np.median(vals)), len(shared)
+
+
+def orient_join(
+    a: int,
+    b: int,
+    lines,
+    line_positions: Dict[int, Dict[int, list]],
+    line_lens: np.ndarray,
+) -> Tuple[int, int, float] | None:
+    """Pick the best of the four orientation combos for joining lines a, b
+    (each may be walked as itself or its rc twin linv).  Returns
+    (a_oriented, b_oriented, tightness) or None if no positional evidence.
+
+    Positions on the rc twin ARE the twin line's own coordinates, so each
+    combo just swaps in the twin's position map and length."""
+    linv = lines.linv
+    cands = []
+    for ao in (a, int(linv[a])):
+        for bo in (b, int(linv[b])):
+            pa = line_positions.get(ao, {})
+            pb = line_positions.get(bo, {})
+            t, n = junction_tightness(pa, pb, int(line_lens[ao]))
+            if n >= 2:
+                cands.append((t, ao, bo))
+    if not cands:
+        return None
+    t, ao, bo = min(cands)
+    return ao, bo, t
 
 
 def _reaches(neighbor, start, target, limit=10_000):

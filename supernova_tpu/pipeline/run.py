@@ -267,6 +267,11 @@ class Pipeline:
             positions = amol.read_line_positions(D, lines, dpaths, dlen, rs.bc)
             mols = amol.infer_molecules(positions)
             self._molecules = mols
+            # line -> {bc: [positions]} for orientation-aware scaffolding
+            lp: dict = {}
+            for (b, li), ps in positions.items():
+                lp.setdefault(li, {})[b] = ps
+            self._line_positions = lp
             if mols:
                 self.stats.log(
                     "lw_mean_mol_len",
@@ -317,7 +322,10 @@ class Pipeline:
             )
         line_bcs = asc.line_barcode_sets(lines, line_bc_edges, good)
         line_lens = lines.lengths(D)
-        scaffolds = asc.scaffold_lines(lines, line_bcs, line_lens)
+        scaffolds = asc.scaffold_lines(
+            lines, line_bcs, line_lens,
+            line_positions=getattr(self, "_line_positions", None),
+        )
         self.stats.log("n_scaffolds", len(scaffolds), stage="scaffold")
 
         # Gaprika-style gap estimates from barcode molecules
