@@ -10,18 +10,25 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..core.kmer_codec import K
 from ..ops.alignment import MIS, align_pairs_np
 
 
 def estimate_hetdist(D, lines, max_bubbles: int = 200) -> float | None:
     """-> estimated mean distance between het SNPs, or None if no bubbles."""
+    def path_bases(path):
+        parts = [D.edge_bases(int(path[0]))]
+        for d in path[1:]:
+            parts.append(D.edge_bases(int(d))[K - 1 :])
+        return np.concatenate(parts)
+
     pairs = []
     total_span = 0
     for ln in lines.lines:
         for el in ln.elements:
             if len(el) == 2 and len(pairs) < max_bubbles:
-                a = D.edge_bases(int(el[0]))
-                b = D.edge_bases(int(el[1]))
+                a = path_bases(el.paths[0])
+                b = path_bases(el.paths[1])
                 if len(a) < 20_000 and len(b) < 20_000:
                     pairs.append((a.astype(np.int32), b.astype(np.int32)))
                     total_span += (len(a) + len(b)) // 2

@@ -21,7 +21,7 @@ def element_barcodes(D, line, sup_bcs: List[np.ndarray]) -> List[Set[int]]:
     out = []
     for el in line.elements:
         s: Set[int] = set()
-        for d in el:
+        for d in el.edge_ids():
             s |= set(sup_bcs[int(d)].tolist())
         out.append(s)
     return out
@@ -54,7 +54,7 @@ def break_lines(lines, D, sup_bcs: List[np.ndarray], min_span: int = MIN_SPAN_BC
         if not weak:
             new_lines.append(ln)
             continue
-        cur: List[np.ndarray] = []
+        cur: list = []
         for j, el in enumerate(ln.elements):
             if j in weak and cur:
                 new_lines.append(Line(cur))
@@ -67,10 +67,10 @@ def break_lines(lines, D, sup_bcs: List[np.ndarray], min_span: int = MIN_SPAN_BC
     line_of_edge = np.full(n_edges, -1, np.int64)
     for i, ln in enumerate(new_lines):
         for el in ln.elements:
-            for e in el:
+            for e in el.edge_ids():
                 line_of_edge[int(e)] = i
     linv = np.zeros(len(new_lines), np.int64)
     for i, ln in enumerate(new_lines):
-        e0 = int(ln.elements[0][0])
+        e0 = int(ln.elements[0].paths[0][0])
         linv[i] = line_of_edge[int(D.dinv[e0])]
     return Lines(new_lines, line_of_edge, linv)

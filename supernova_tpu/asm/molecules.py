@@ -13,6 +13,8 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from ..core.kmer_codec import K
+
 MOL_GAP = 50_000  # reads farther apart than this are different molecules
 READ_LEN_TAIL = 150
 
@@ -30,10 +32,16 @@ class Molecule:
 
 
 def element_offsets(D, line) -> List[int]:
-    """Start coordinate of each element along the line (max arm lengths)."""
+    """Start coordinate of each element along the line (longest cell path)."""
     pos = [0]
     for el in line.elements:
-        pos.append(pos[-1] + max(D.edge_len(int(d)) for d in el))
+        pos.append(
+            pos[-1]
+            + max(
+                sum(D.edge_len(int(d)) for d in p) - (len(p) - 1) * (K - 1)
+                for p in el.paths
+            )
+        )
     return pos
 
 
@@ -48,7 +56,7 @@ def read_line_positions(
     for li, ln in enumerate(lines.lines):
         offs.append(element_offsets(D, ln))
         for j, el in enumerate(ln.elements):
-            for d in el:
+            for d in el.edge_ids():
                 edge_elem[int(d)] = (li, j)
     # vectorized: map first placed D-edge -> (line, element start coord)
     n = dpaths.shape[0]

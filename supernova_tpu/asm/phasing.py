@@ -20,7 +20,7 @@ import numpy as np
 @dataclass
 class Bubble:
     element_idx: int  # position within the line's element list
-    arms: np.ndarray  # (2,) D-edge ids (arm order = element order)
+    arms: List[np.ndarray]  # two D-edge paths (arm order = cell path order)
 
 
 @dataclass
@@ -31,22 +31,30 @@ class LinePhasing:
     score: float
 
 
+def _arm_counts(
+    arm: np.ndarray, edge_bc_counts: Dict[int, Dict[int, int]]
+) -> Dict[int, int]:
+    """Summed barcode read counts over an arm's constituent D-edges."""
+    out: Dict[int, int] = {}
+    for d in arm:
+        for bc, n in edge_bc_counts.get(int(d), {}).items():
+            out[bc] = out.get(bc, 0) + n
+    return out
+
+
 def _support_matrix(bubbles: List[Bubble], edge_bc_counts: Dict[int, Dict[int, int]]):
     """s[b, m] = reads(arm0) - reads(arm1) for molecule (barcode) m."""
-    all_bcs = sorted(
-        {
-            bc
-            for bub in bubbles
-            for arm in bub.arms
-            for bc in edge_bc_counts.get(int(arm), {})
-        }
-    )
+    per_arm = [
+        (_arm_counts(bub.arms[0], edge_bc_counts), _arm_counts(bub.arms[1], edge_bc_counts))
+        for bub in bubbles
+    ]
+    all_bcs = sorted({bc for a0, a1 in per_arm for bc in {**a0, **a1}})
     bc_idx = {bc: i for i, bc in enumerate(all_bcs)}
     s = np.zeros((len(bubbles), len(all_bcs)), dtype=np.int32)
-    for bi, bub in enumerate(bubbles):
-        for bc, n in edge_bc_counts.get(int(bub.arms[0]), {}).items():
+    for bi, (a0, a1) in enumerate(per_arm):
+        for bc, n in a0.items():
             s[bi, bc_idx[bc]] += n
-        for bc, n in edge_bc_counts.get(int(bub.arms[1]), {}).items():
+        for bc, n in a1.items():
             s[bi, bc_idx[bc]] -= n
     return s, all_bcs
 
@@ -63,10 +71,15 @@ def phase_line(
     Cells whose two arms are rc twins are inversion artifacts, not het sites
     (ZapInversionBubbles, 10X/Super.h), and are excluded."""
     bubbles = [
-        Bubble(i, el[:2].copy())
+        Bubble(i, [el.paths[0].copy(), el.paths[1].copy()])
         for i, el in enumerate(line.elements)
         if len(el) == 2
-        and (dinv is None or int(dinv[int(el[0])]) != int(el[1]))
+        and (
+            dinv is None
+            or not np.array_equal(
+                np.asarray(dinv)[el.paths[0][::-1]], el.paths[1]
+            )
+        )
     ]
     if not bubbles:
         return LinePhasing([], np.zeros(0, np.int8), [], 0.0)
@@ -159,10 +172,18 @@ def phase_block_lengths(D, line, ph: LinePhasing) -> List[int]:
             elens[d] = D.edge_len(int(d))
         return elens[d]
 
-    # prefix positions of elements along the line (max arm per element)
+    # prefix positions of elements along the line (longest path per element)
+    from ..core.kmer_codec import K
+
     pos = [0]
     for el in line.elements:
-        pos.append(pos[-1] + max(elen(d) for d in el))
+        pos.append(
+            pos[-1]
+            + max(
+                sum(elen(d) for d in p) - (len(p) - 1) * (K - 1)
+                for p in el.paths
+            )
+        )
     out = []
     for a, b in ph.blocks:
         lo = ph.bubbles[a].element_idx

@@ -30,10 +30,14 @@ def _open(path, mode):
     return open(path, mode)
 
 
-def _element_seq(D, el: np.ndarray, choice: int) -> str:
-    """Sequence of one line element; `choice` picks the arm for cells."""
-    d = int(el[min(choice, len(el) - 1)])
-    return D.edge_seq(d)
+def _element_seq(D, el, choice: int) -> str:
+    """Sequence of one line element; `choice` picks the path for cells.
+    Consecutive D-edges on a cell path overlap by K-1."""
+    path = el.paths[min(choice, len(el.paths) - 1)]
+    seq = D.edge_seq(int(path[0]))
+    for d in path[1:]:
+        seq += D.edge_seq(int(d))[K - 1 :]
+    return seq
 
 
 def line_sequence(D, line, arm_choice: Dict[int, int]) -> str:

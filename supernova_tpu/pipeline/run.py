@@ -233,6 +233,26 @@ class Pipeline:
                     stage="supergraph",
                 )
         D.validate()
+
+        # inversion-artifact cleanup (ZapInversionBubbles +
+        # KillInversionArtifacts), then recompaction
+        from ..asm import inversion as ainv
+        from ..asm import place as aplace
+
+        dpaths, dlen = aplace.place_reads(D, edges, plen)
+        dels = ainv.kill_inversion_artifacts(
+            D, dpaths, dlen, rs.bc if rs.barcoded else None
+        )
+        dels += ainv.zap_inversion_bubbles(D, alines.find_lines(D))
+        if dels:
+            D = ainv.delete_edges(D, sorted(set(dels)))
+            D.validate()
+            dpaths, dlen = aplace.place_reads(D, edges, plen)
+            self.stats.log(
+                "inversion_edges_deleted", len(set(dels)),
+                "inversion-artifact D-edges removed", stage="supergraph",
+            )
+
         lines = alines.find_lines(D)
         self.stats.log("n_super_edges", D.n_edges, stage="supergraph")
         self.stats.log("n_lines", lines.n_lines, stage="supergraph")
@@ -249,10 +269,7 @@ class Pipeline:
                 "n_lines_after_break", lines.n_lines, stage="supergraph"
             )
 
-        # PlaceReads on D (dpaths + counts)
-        from ..asm import place as aplace
-
-        dpaths, dlen = aplace.place_reads(D, edges, plen)
+        # dpaths already computed above (re-placed after any inversion cleanup)
         np.savez_compressed(
             self.outdir / "dpaths.npz",
             dpaths=dpaths,
