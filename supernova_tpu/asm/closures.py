@@ -19,22 +19,77 @@ import numpy as np
 MIN_SINGLETON_KMERS = 200  # SecretOps.cc:1086-1113
 
 
-def _join_pair(p1: List[int], p2rc: List[int]) -> List[int] | None:
-    """Join r1's path with rc(r2's path) on their overlap (Closer logic:
-    the pair brackets one fragment, so the two walks must overlap or abut).
-    Returns the joined path or None if inconsistent."""
+def _offset_consistent(p1: List[int], p2: List[int], off: int) -> bool:
+    """True if p1[j] == p2[j+off] wherever both are defined (ClosePair's
+    is_match, 10X/Closer.cc:151-158)."""
+    for j1 in range(len(p1)):
+        j2 = j1 + off
+        if 0 <= j2 < len(p2) and p1[j1] != p2[j2]:
+            return False
+    return True
+
+
+def _join_pair(bg, p1: List[int], p2rc: List[int], bridges=None) -> List[int] | None:
+    """Join r1's path with rc(r2's path) (ClosePair easy closures,
+    10X/Closer.cc:95-137): direct graph adjacency, then offset-consistent
+    shared-edge joins (unique ones only), then a one-read bridge through
+    another read's path containing both flanking edges."""
     if not p1:
         return p2rc or None
     if not p2rc:
         return p1
-    # find the longest suffix of p1 that is a prefix of p2rc
-    max_ov = min(len(p1), len(p2rc))
-    for ov in range(max_ov, 0, -1):
-        if p1[-ov:] == p2rc[:ov]:
-            return p1 + p2rc[ov:]
-    # no overlap: paths may abut end-to-start on the graph; emit nothing
-    # (the fragment gap is closed by the patch stage, not here)
+    # easy closure: mates abut on the graph
+    if bg.to_v[p1[-1]] == bg.from_v[p2rc[0]]:
+        return p1 + p2rc
+    if p1[-1] == p2rc[0]:
+        return p1 + p2rc[1:]
+    # offset-consistent shared-edge joins; accept only a unique join
+    joins = set()
+    for i1, e in enumerate(p1):
+        for i2, f in enumerate(p2rc):
+            if e == f and _offset_consistent(p1, p2rc, i2 - i1):
+                joins.add(tuple(p1[: i1 + 1]) + tuple(p2rc[i2 + 1 :]))
+    if len(joins) == 1:
+        return list(joins.pop())
+    if joins:
+        return None  # ambiguous
+    # one-read bridge: another read's path walks e1 ... e2
+    if bridges is not None:
+        e1, e2 = p1[-1], p2rc[0]
+        middles = set()
+        for q in bridges.get((e1, e2), ())[:20]:
+            middles.add(tuple(q))
+        if len(middles) == 1:
+            return p1 + list(middles.pop()) + p2rc
     return None
+
+
+def _build_bridges(paths_edges, path_len, flank_pairs) -> dict:
+    """(e1, e2) -> list of middle segments from read paths containing e1
+    then e2 (the read-assisted closure evidence, Closer.cc second half)."""
+    want_e1: dict = {}
+    for e1, e2 in flank_pairs:
+        want_e1.setdefault(e1, set()).add(e2)
+    out: dict = {}
+    n = paths_edges.shape[0]
+    for r in range(n):
+        pl = int(path_len[r])
+        if pl < 2:
+            continue
+        p = paths_edges[r, :pl]
+        for a in range(pl - 1):
+            e1 = int(p[a])
+            targets = want_e1.get(e1)
+            if not targets:
+                continue
+            for b in range(a + 1, pl):
+                e2 = int(p[b])
+                if e2 in targets:
+                    key = (e1, e2)
+                    lst = out.setdefault(key, [])
+                    if len(lst) < 20:
+                        lst.append([int(x) for x in p[a + 1 : b]])
+    return out
 
 
 def make_closures(
@@ -47,6 +102,9 @@ def make_closures(
     closures = set()
     used = np.zeros(bg.n_edges, dtype=bool)
 
+    # collect pair paths + the flank pairs needing a read bridge
+    pair_paths = []
+    flank_pairs = set()
     for pair in range(n_reads // 2):
         if dup is not None and dup[pair]:
             continue
@@ -54,7 +112,13 @@ def make_closures(
         p1 = [int(e) for e in paths_edges[r1, : path_len[r1]]]
         p2 = [int(e) for e in paths_edges[r2, : path_len[r2]]]
         p2rc = [int(inv[e]) for e in reversed(p2)]
-        joined = _join_pair(p1, p2rc)
+        pair_paths.append((p1, p2rc))
+        if p1 and p2rc:
+            flank_pairs.add((p1[-1], p2rc[0]))
+    bridges = _build_bridges(paths_edges, np.asarray(path_len), flank_pairs)
+
+    for p1, p2rc in pair_paths:
+        joined = _join_pair(bg, p1, p2rc, bridges)
         if joined:
             closures.add(tuple(joined))
             for e in joined:

@@ -124,20 +124,13 @@ def phase_line(
     return LinePhasing(bubbles, x_out, blocks, _score(x, sgn) if nb else 0.0)
 
 
-def build_edge_bc_counts(D, paths_edges, path_len, read_bc) -> Dict[int, Dict[int, int]]:
-    """D-edge -> {barcode: supporting read count}, from base-graph read paths
-    (a read supports a D-edge if its path touches any constituent base edge).
-    Vectorized: unique (read, D-edge) pairs counted per (D-edge, barcode)."""
-    from .place import super_of_base_array
-
-    r, mp = paths_edges.shape
-    n_base = D.bg.n_edges
-    d_of = super_of_base_array(D, n_base)
-    slot_ok = np.arange(mp)[None, :] < np.asarray(path_len)[:, None]
+def build_edge_bc_counts(D, dpaths, dlen, read_bc) -> Dict[int, Dict[int, int]]:
+    """D-edge -> {barcode: supporting read count}, from the reads' D
+    placements (dpaths).  Vectorized: unique (read, D-edge) pairs counted
+    per (D-edge, barcode)."""
+    r, mp = dpaths.shape
     mapped = np.where(
-        slot_ok & (paths_edges >= 0),
-        d_of[np.clip(paths_edges, 0, n_base - 1)],
-        -1,
+        np.arange(mp)[None, :] < np.asarray(dlen)[:r, None], dpaths, -1
     )
     read_ids = np.broadcast_to(np.arange(r)[:, None], (r, mp))
     bc = np.asarray(read_bc)[:r]

@@ -1,20 +1,28 @@
-"""PlaceReads: lift base-graph read paths onto the supergraph D.
+"""PlaceReads / PlaceReadsSmart: lift base-graph read paths onto D.
 
-Analogue of 10X/PlaceReads.cc (Align/Align2: compressed read paths onto D)
-— since every D-edge is a path of base edges, a read's D-path is its base
-path translated through base->super membership and run-compressed.  The
-"smart" barcode-aware placement (PlaceReadsSmart) refines ambiguous
-placements with line/barcode context in a later round.
+Analogue of 10X/PlaceReads.cc (Align/Align2 place compressed read paths on
+D; PlaceReadsSmart refines ambiguous placements with barcode context).
+Because nucleation (asm/nucleate.py) duplicates repeat base edges into
+multiple D-edges, base->D is multivalued; placement is:
+
+  pass 1 (vectorized): reads whose path touches only uniquely-mapped base
+    edges lift directly (run-compressed through the unique map);
+  pass 2 (smart): reads touching duplicated base edges enumerate their
+    consistent lifts (a lift walks one D epath and crosses D junctions
+    only where the graph allows) and pick the lift with the most support
+    from same-barcode pass-1 placements (ties -> smallest D-edge id,
+    deterministic) — the barcode-aware choice of PlaceReadsSmart.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 
 def base_to_super_map(D) -> Dict[int, Tuple[int, int]]:
-    """base edge -> (D edge, index within its path)."""
+    """base edge -> (D edge, index within its path); last wins when a base
+    edge is duplicated (use build_base_candidates for the full map)."""
     out: Dict[int, Tuple[int, int]] = {}
     for d in range(D.n_edges):
         for j, e in enumerate(D.epaths.row(d)):
@@ -22,33 +30,121 @@ def base_to_super_map(D) -> Dict[int, Tuple[int, int]]:
     return out
 
 
-def super_of_base_array(D, n_base: int) -> np.ndarray:
-    """base edge -> D edge id, -1 if uncovered (vectorized map)."""
-    out = np.full(n_base, -1, np.int64)
+def build_base_candidates(D, n_base: int):
+    """-> (cand: base edge -> [(D edge, pos), ...], n_cand (E,) int64)."""
+    cand: Dict[int, List[Tuple[int, int]]] = {}
     for d in range(D.n_edges):
-        out[D.epaths.row(d)] = d
+        for j, e in enumerate(D.epaths.row(d)):
+            cand.setdefault(int(e), []).append((d, j))
+    n_cand = np.zeros(n_base, np.int64)
+    for e, cs in cand.items():
+        n_cand[e] = len(cs)
+    return cand, n_cand
+
+
+def super_of_base_array(D, n_base: int) -> np.ndarray:
+    """base edge -> D edge id; -1 if uncovered or duplicated (ambiguous)."""
+    return _unique_map(D, n_base)
+
+
+def _unique_map(D, n_base: int):
+    """base edge -> D edge where unique, -1 where uncovered or duplicated."""
+    out = np.full(n_base, -1, np.int64)
+    count = np.zeros(n_base, np.int8)
+    for d in range(D.n_edges):
+        row = np.unique(D.epaths.row(d))
+        out[row] = d
+        count[row] = np.minimum(count[row] + 1, 2)
+    # a base edge appearing twice within ONE D-edge is still a unique map
+    out[count > 1] = -1
     return out
 
 
-def place_reads(D, paths_edges: np.ndarray, path_len: np.ndarray):
-    """-> (dpaths (R, MP) int32 D-edge ids -1-padded, dpath_len (R,)).
-    Run-compresses consecutive base edges mapping to the same D-edge.
-    Vectorized over reads (MP is a small constant)."""
+def _lift_read(
+    p: List[int],
+    D,
+    cand: Dict[int, List[Tuple[int, int]]],
+    bc_score,
+) -> List[int]:
+    """All-consistent-lifts DP over one base path; returns the chosen
+    D-edge sequence (run-compressed)."""
+    # split into graph-adjacent runs
+    runs: List[List[int]] = []
+    cur = [p[0]]
+    for a, b in zip(p, p[1:]):
+        if D.bg.to_v[a] == D.bg.from_v[b]:
+            cur.append(b)
+        else:
+            runs.append(cur)
+            cur = [b]
+    runs.append(cur)
+
+    out: List[int] = []
+    for run in runs:
+        # DP states: (d, pos); score = # same-barcode supporting placements
+        states: List[Tuple[Tuple[int, int], float, List[int]]] = [
+            ((d, q), bc_score(d), [d]) for d, q in cand.get(run[0], [])
+        ]
+        for e in run[1:]:
+            opts = cand.get(e, [])
+            new: Dict[Tuple[int, int], Tuple[float, List[int]]] = {}
+            for (d, q), sc, seq in states:
+                plen_d = len(D.epaths.row(d))
+                for d2, q2 in opts:
+                    ok = (d2 == d and q2 == q + 1) or (
+                        q == plen_d - 1
+                        and q2 == 0
+                        and D.to_v[d] == D.from_v[d2]
+                    )
+                    if not ok:
+                        continue
+                    seq2 = seq if d2 == d else seq + [d2]
+                    sc2 = sc + (bc_score(d2) if d2 != d else 0.0)
+                    key = (d2, q2)
+                    if key not in new or sc2 > new[key][0] or (
+                        sc2 == new[key][0] and seq2 < new[key][1]
+                    ):
+                        new[key] = (sc2, seq2)
+            states = [(k, v[0], v[1]) for k, v in sorted(new.items())]
+            if not states:
+                break
+        if states:
+            best = max(states, key=lambda s: (s[1], [-x for x in s[2]]))
+            seq = best[2]
+        else:
+            seq = []
+        for d in seq:
+            if not out or out[-1] != d:
+                out.append(d)
+    return out
+
+
+def place_reads(
+    D,
+    paths_edges: np.ndarray,
+    path_len: np.ndarray,
+    read_bc: np.ndarray | None = None,
+):
+    """-> (dpaths (R, MP) int32 D-edge ids -1-padded, dpath_len (R,))."""
     r, mp = paths_edges.shape
     n_base = D.bg.n_edges
-    d_of = super_of_base_array(D, n_base)
-    slot_ok = np.arange(mp)[None, :] < np.asarray(path_len)[:, None]
-    mapped = np.where(
-        slot_ok & (paths_edges >= 0),
-        d_of[np.clip(paths_edges, 0, n_base - 1)],
-        -1,
-    )
+    d_of = _unique_map(D, n_base)
+    cand, n_cand = build_base_candidates(D, n_base)
+    plen = np.asarray(path_len)[:r]
+
+    slot_ok = np.arange(mp)[None, :] < plen[:, None]
+    safe = np.clip(paths_edges, 0, n_base - 1)
+    valid = slot_ok & (paths_edges >= 0)
+    ambiguous_row = (valid & (n_cand[safe] > 1)).any(axis=1)
+
+    # pass 1: vectorized run-compression through the unique map
+    mapped = np.where(valid, d_of[safe], -1)
     dpaths = np.full((r, mp), -1, np.int32)
     dlen = np.zeros(r, np.int32)
     prev = np.full(r, -1, np.int64)
     for j in range(mp):
         d = mapped[:, j]
-        emit = (d >= 0) & (d != prev)
+        emit = (d >= 0) & (d != prev) & ~ambiguous_row
         k = dlen[emit]
         rows = np.nonzero(emit)[0]
         ok = k < mp
@@ -56,6 +152,31 @@ def place_reads(D, paths_edges: np.ndarray, path_len: np.ndarray):
         dlen[emit] += 1
         prev = np.where(d >= 0, d, prev)
     np.minimum(dlen, mp, out=dlen)
+
+    # pass 2: smart resolution of ambiguous reads by barcode support
+    amb = np.nonzero(ambiguous_row)[0]
+    if len(amb):
+        support: Dict[Tuple[int, int], int] = {}
+        if read_bc is not None:
+            bc = np.asarray(read_bc)[:r]
+            flat = dpaths.reshape(-1)
+            rows2 = np.repeat(np.arange(r), mp)
+            sel = flat >= 0
+            for d, b in zip(flat[sel], bc[rows2[sel]]):
+                if b > 0:
+                    support[(int(b), int(d))] = support.get((int(b), int(d)), 0) + 1
+        for rr in amb:
+            p = [int(e) for e in paths_edges[rr, : plen[rr]] if e >= 0]
+            if not p:
+                continue
+            if read_bc is not None and int(np.asarray(read_bc)[rr]) > 0:
+                b = int(np.asarray(read_bc)[rr])
+                score = lambda d: float(support.get((b, d), 0))
+            else:
+                score = lambda d: 0.0
+            seq = _lift_read(p, D, cand, score)
+            dlen[rr] = min(len(seq), mp)
+            dpaths[rr, : dlen[rr]] = seq[: dlen[rr]]
     return dpaths, dlen
 
 

@@ -224,103 +224,16 @@ def build_supergraph(bg, keep: np.ndarray | None = None) -> SuperGraph:
     )
 
 
-def closures_to_graph(bg, closures) -> SuperGraph:
-    """ClosuresToGraph analogue (10X/mergers/ClosuresToGraph.h +
-    NucleateGraph): glue closure paths along their shared base edges into
-    the supergraph D.
+def closures_to_graph(bg, closures, min_over_bases: int | None = None) -> SuperGraph:
+    """ClosuresToGraph analogue (10X/mergers/ClosuresToGraph.h): glue
+    closure paths into the supergraph D by position-level nucleation —
+    see asm/nucleate.py for the full construction (GetMatches overlap
+    rules + boundary union-find + Vectorify), which duplicates repeat
+    base edges into their distinct closure contexts."""
+    from .nucleate import nucleate_graph
 
-    Construction: closures induce an arc multigraph over base edges (arc
-    e->f for each consecutive pair in some closure); D-edges are the maximal
-    unbranched chains of that arc graph.  Because the closure set is doubled
-    under the involution, the arc set is rc-symmetric and dinv follows.
-    Base edges untouched by any closure are dropped — MC keeps only
-    closure-covered edges plus long singletons, which make_closures already
-    adds (SecretOps.cc:1086-1113)."""
-    E = bg.n_edges
-    arcs = set()
-    covered = np.zeros(E, dtype=bool)
-    for c in closures:
-        for e in c:
-            covered[int(e)] = True
-        for a, b in zip(c, c[1:]):
-            # paths fragmented by errors can join non-adjacent edges; only
-            # graph-adjacent arcs glue (the rest is the patch stage's job)
-            if bg.to_v[int(a)] == bg.from_v[int(b)]:
-                arcs.add((int(a), int(b)))
-
-    out_arcs = {}
-    in_arcs = {}
-    for a, b in arcs:
-        out_arcs.setdefault(a, []).append(b)
-        in_arcs.setdefault(b, []).append(a)
-
-    nxt = np.full(E, -1, dtype=np.int64)
-    prv = np.full(E, -1, dtype=np.int64)
-    for a, bs in out_arcs.items():
-        if len(bs) == 1:
-            b = bs[0]
-            if len(in_arcs.get(b, ())) == 1 and b != a:
-                nxt[a] = b
-                prv[b] = a
-
-    live = np.nonzero(covered)[0]
-    # break cycles at min edge id (deterministic)
-    visited = np.zeros(E, dtype=bool)
-    for e in live:
-        if visited[e] or prv[e] != -1:
-            continue
-        c = e
-        while c != -1 and not visited[c]:
-            visited[c] = True
-            c = nxt[c]
-    for e in live:
-        if not visited[e]:
-            cyc, x = [int(e)], nxt[e]
-            visited[e] = True
-            while x != e:
-                visited[x] = True
-                cyc.append(int(x))
-                x = nxt[x]
-            m = min(cyc)
-            prv[m] = -1
-            nxt[cyc[cyc.index(m) - 1]] = -1
-
-    paths: List[np.ndarray] = []
-    edge_of_base = np.full(E, -1, dtype=np.int64)
-    for e in live:
-        if prv[e] != -1:
-            continue
-        chain = [int(e)]
-        c = nxt[e]
-        while c != -1:
-            chain.append(int(c))
-            c = nxt[c]
-        d = len(paths)
-        for b in chain:
-            edge_of_base[b] = d
-        paths.append(np.asarray(chain, dtype=np.int64))
-
-    ed = len(paths)
-    dinv = np.zeros(ed, dtype=np.int64)
-    for d, p in enumerate(paths):
-        dinv[d] = edge_of_base[int(bg.inv[p[-1]])]
-
-    from_v = np.array([bg.from_v[p[0]] for p in paths], dtype=np.int64)
-    to_v = np.array([bg.to_v[p[-1]] for p in paths], dtype=np.int64)
-    used_v = np.unique(np.concatenate([from_v, to_v])) if ed else np.zeros(0, np.int64)
-    remap = {int(v): i for i, v in enumerate(used_v)}
-    from_v = np.array([remap[int(v)] for v in from_v], dtype=np.int64)
-    to_v = np.array([remap[int(v)] for v in to_v], dtype=np.int64)
-    return SuperGraph(
-        epaths=Ragged.from_rows(paths, dtype=np.int64)
-        if ed
-        else Ragged(np.zeros(0, np.int64), np.zeros(1, np.int64)),
-        dinv=dinv,
-        from_v=from_v,
-        to_v=to_v,
-        n_vertices=len(used_v),
-        bg=bg,
-    )
+    # min_over_bases=None -> adaptive gate (see nucleate_graph docstring)
+    return nucleate_graph(bg, closures, min_over_bases=min_over_bases)
 
 
 def super_edge_support(D: SuperGraph, base_counts: np.ndarray) -> np.ndarray:

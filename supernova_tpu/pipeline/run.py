@@ -234,22 +234,30 @@ class Pipeline:
                 )
         D.validate()
 
-        # inversion-artifact cleanup (ZapInversionBubbles +
-        # KillInversionArtifacts), then recompaction
+        # Cleaner passes: hang trimming, weak bubble arms (3:0 rule),
+        # inversion-bubble zapping, iterated to a fixpoint; then
+        # KillInversionArtifacts (needs barcode support)
+        from ..asm import clean as aclean
         from ..asm import inversion as ainv
         from ..asm import place as aplace
 
-        dpaths, dlen = aplace.place_reads(D, edges, plen)
-        dels = ainv.kill_inversion_artifacts(
-            D, dpaths, dlen, rs.bc if rs.barcoded else None
-        )
-        dels += ainv.zap_inversion_bubbles(D, alines.find_lines(D))
-        if dels:
-            D = ainv.delete_edges(D, sorted(set(dels)))
+        rbc = rs.bc if rs.barcoded else None
+        place_fn = lambda Dx: aplace.place_reads(Dx, edges, plen, read_bc=rbc)
+        D, n_cleaned = aclean.clean_supergraph(D, place_fn)
+        if n_cleaned:
             D.validate()
-            dpaths, dlen = aplace.place_reads(D, edges, plen)
             self.stats.log(
-                "inversion_edges_deleted", len(set(dels)),
+                "super_edges_cleaned", n_cleaned,
+                "D-edges removed by cleanup passes", stage="supergraph",
+            )
+        dpaths, dlen = place_fn(D)
+        dels = ainv.kill_inversion_artifacts(D, dpaths, dlen, rbc)
+        if dels:
+            D = ainv.delete_edges(D, dels)
+            D.validate()
+            dpaths, dlen = place_fn(D)
+            self.stats.log(
+                "inversion_edges_deleted", len(dels),
                 "inversion-artifact D-edges removed", stage="supergraph",
             )
 
@@ -270,6 +278,7 @@ class Pipeline:
             )
 
         # dpaths already computed above (re-placed after any inversion cleanup)
+        self._dpaths, self._dlen = dpaths, dlen
         np.savez_compressed(
             self.outdir / "dpaths.npz",
             dpaths=dpaths,
@@ -363,7 +372,7 @@ class Pipeline:
                         amol.estimate_gap(by_bl, la, int(line_lens[la]), lb),
                     )
 
-        bc_counts = aph.build_edge_bc_counts(D, edges, plen, rs.bc)
+        bc_counts = aph.build_edge_bc_counts(D, self._dpaths, self._dlen, rs.bc)
         phasings = {}
         for sc in scaffolds:
             for li in sc.line_ids:
