@@ -192,9 +192,10 @@ def _compact_chains(
     return chains
 
 
-def delete_edges(D, dels: List[int]):
+def delete_edges(D, dels: List[int], force: bool = False):
     """Remove D-edges (involution-symmetrized) and recompact chains through
-    now-simple vertices.  Returns a new SuperGraph over the same BaseGraph."""
+    now-simple vertices.  Returns a new SuperGraph over the same BaseGraph.
+    `force` recompacts even with no deletions (after structural edits)."""
     from .supergraph import SuperGraph
     from ..core.ragged import Ragged
 
@@ -204,7 +205,7 @@ def delete_edges(D, dels: List[int]):
         drop[int(d)] = True
         drop[int(D.dinv[d])] = True
     keep = ~drop
-    if keep.all() or not keep.any():
+    if (keep.all() and not force) or not keep.any():
         return D
     live = np.nonzero(keep)[0]
     chains = _compact_chains(ED, live, D.from_v, D.to_v, D.n_vertices)

@@ -261,6 +261,22 @@ class Pipeline:
                 "inversion-artifact D-edges removed", stage="supergraph",
             )
 
+        # PullApart (read-pair repeat separation) + Decycle
+        from ..asm import pullapart as apull
+
+        D2, n_pulls = apull.pull_apart(D, dpaths, dlen)
+        if n_pulls:
+            D = D2
+            D.validate()
+            dpaths, dlen = place_fn(D)
+            self.stats.log("n_pullaparts", n_pulls, stage="supergraph")
+        dc = apull.decycle(D, dpaths, dlen)
+        if dc:
+            D = ainv.delete_edges(D, dc)
+            D.validate()
+            dpaths, dlen = place_fn(D)
+            self.stats.log("n_decycled", len(dc), stage="supergraph")
+
         lines = alines.find_lines(D)
         self.stats.log("n_super_edges", D.n_edges, stage="supergraph")
         self.stats.log("n_lines", lines.n_lines, stage="supergraph")
