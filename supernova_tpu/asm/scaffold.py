@@ -28,6 +28,7 @@ DEFAULT_GAP_N = 100  # {-2} gap placeholder size
 class Scaffold:
     line_ids: List[int]  # lines walked forward, in order
     gaps: List[int]  # gap sizes between consecutive lines (len-1)
+    fills: List | None = None  # per-gap sequence fills (Stackaroo), or None
 
 
 def good_barcodes(read_bc: np.ndarray) -> np.ndarray:

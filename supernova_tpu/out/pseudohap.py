@@ -63,6 +63,27 @@ def _phase_choices(line, phasing, hap: int) -> Dict[int, int]:
     return out
 
 
+def join_parts(parts, sc, k: int | None = None) -> str:
+    """Join per-line sequences of a scaffold: Stackaroo fills (sc.fills)
+    splice real sequence, otherwise {-2}-style N gaps."""
+    from ..asm.patch import PATCH_K
+
+    if k is None:
+        k = PATCH_K
+    fills = getattr(sc, "fills", None)
+    seq = ""
+    for i, p in enumerate(parts):
+        if i == 0:
+            seq = p
+            continue
+        fill = fills[i - 1] if fills else None
+        if fill is not None and len(p) > k:
+            seq += fill + p[k:]
+        else:
+            seq += "N" * sc.gaps[i - 1] + p
+    return seq
+
+
 def _wrap(f, seq: str, width=80):
     for i in range(0, len(seq), width):
         f.write(seq[i : i + width] + "\n")
@@ -112,11 +133,7 @@ def write_pseudohap_fasta(D, lines, scaffolds, phasings, path):
                 ph = phasings.get(li)
                 choice = _phase_choices(lines.lines[li], ph, 0) if ph else {}
                 parts.append(line_sequence(D, lines.lines[li], choice))
-            seq = ""
-            for i, p in enumerate(parts):
-                if i:
-                    seq += "N" * sc.gaps[i - 1]
-                seq += p
+            seq = join_parts(parts, sc)
             f.write(f">scaffold_{si} len={len(seq)}\n")
             _wrap(f, seq)
     return len(scaffolds)
@@ -134,11 +151,7 @@ def write_pseudohap2_fasta(D, lines, scaffolds, phasings, path, idx_path=None):
                     ph = phasings.get(li)
                     choice = _phase_choices(lines.lines[li], ph, hap) if ph else {}
                     parts.append(line_sequence(D, lines.lines[li], choice))
-                seq = ""
-                for i, p in enumerate(parts):
-                    if i:
-                        seq += "N" * sc.gaps[i - 1]
-                    seq += p
+                seq = join_parts(parts, sc)
                 f.write(f">scaffold_{si}_hap{hap + 1} len={len(seq)}\n")
                 _wrap(f, seq)
                 index.append(

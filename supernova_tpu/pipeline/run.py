@@ -388,6 +388,24 @@ class Pipeline:
                         amol.estimate_gap(by_bl, la, int(line_lens[la]), lb),
                     )
 
+        # Stackaroo: convert bridgeable {-2} gaps into sequence
+        from ..asm import stackaroo as astk
+        from ..out import pseudohap as oph
+
+        line_seqs = {
+            li: oph.line_sequence(D, lines.lines[li], {})
+            for sc in scaffolds
+            for li in sc.line_ids
+        }
+        n_filled = astk.stackaroo(
+            D, lines, scaffolds, rs, self._dpaths, self._dlen, line_seqs
+        )
+        if n_filled:
+            self.stats.log(
+                "gaps_filled_post", n_filled,
+                "scaffold gaps closed by read stacks", stage="scaffold",
+            )
+
         bc_counts = aph.build_edge_bc_counts(D, self._dpaths, self._dlen, rs.bc)
         phasings = {}
         for sc in scaffolds:
@@ -469,12 +487,7 @@ class Pipeline:
             parts = [
                 ph.line_sequence(D, lines.lines[li], {}) for li in sc.line_ids
             ]
-            seq = ""
-            for i, p in enumerate(parts):
-                if i:
-                    seq += "N" * sc.gaps[i - 1]
-                seq += p
-            scaffold_seqs.append(seq)
+            scaffold_seqs.append(ph.join_parts(parts, sc))
 
         # histogram JSONs (CP.cc:1916-1922 analogues)
         from ..asm.report import contig_lengths_from_seq

@@ -1,0 +1,75 @@
+"""Stackaroo: scaffold gaps bridged by read stacks become sequence."""
+import numpy as np
+
+from supernova_tpu.align import pather
+from supernova_tpu.asm import place as aplace
+from supernova_tpu.asm import lines as alines
+from supernova_tpu.asm import stackaroo as astk
+from supernova_tpu.asm import supergraph as asg
+from supernova_tpu.asm.scaffold import Scaffold
+from supernova_tpu.core import dna
+from supernova_tpu.dbg import build as dbuild
+from supernova_tpu.dbg import graph as dgraph
+from supernova_tpu.ingest.reads import build_readset
+from supernova_tpu.kmer import count as kcount
+from supernova_tpu.out import pseudohap as oph
+from supernova_tpu.sim import genome as sim
+
+from tests.test_dbg import perfect_readset
+
+
+def test_stackaroo_fills_scaffold_gap(rng):
+    g = sim.random_genome(rng, 6000)
+    seg_a, seg_b = g[:3000], g[3100:]
+    # assembly reads cover only the two segments -> two lines with a gap
+    rs_ab = perfect_readset(np.concatenate([seg_a]), step=31)
+    rs_b = perfect_readset(np.concatenate([seg_b]), step=31)
+    reads = [rs_ab.read(i) for i in range(rs_ab.n_reads)] + [
+        rs_b.read(i) for i in range(rs_b.n_reads)
+    ]
+    quals = [np.full(len(r), 37, np.uint8) for r in reads]
+    rs_asm = build_readset(
+        reads, quals, np.zeros(len(reads) // 2, np.int32), n_barcodes=0,
+        barcoded=False,
+    )
+    table = dbuild.trim_table(kcount.count_readset(rs_asm, min_freq=2), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    D = asg.build_supergraph(bg)
+    lines = alines.find_lines(D)
+
+    # gap-bridging read set: tiles the junction region of the full genome
+    bridge = [g[s : s + 150] for s in range(2700, 3300, 13)]
+    bridge_reads = []
+    for r in bridge:
+        bridge_reads.append(r.copy())
+        bridge_reads.append(dna.revcomp(r).copy())
+    quals = [np.full(150, 37, np.uint8) for _ in bridge_reads]
+    rs_gap = build_readset(
+        bridge_reads, quals, np.zeros(len(bridge_reads) // 2, np.int32),
+        n_barcodes=0, barcoded=False,
+    )
+    rp = pather.path_readset(bg, rs_gap)
+    edges = np.asarray(rp.edges)[: rs_gap.n_reads]
+    plen = np.asarray(rp.path_len)[: rs_gap.n_reads]
+    dpaths, dlen = aplace.place_reads(D, edges, plen)
+
+    # find the oriented lines spelling seg_a (forward) and seg_b (forward)
+    sa = dna.codes_to_seq(seg_a)
+    sb = dna.codes_to_seq(seg_b)
+    la = lb = None
+    line_seqs = {}
+    for li in range(lines.n_lines):
+        s = oph.line_sequence(D, lines.lines[li], {})
+        line_seqs[li] = s
+        if s == sa:
+            la = li
+        if s == sb:
+            lb = li
+    assert la is not None and lb is not None
+
+    sc = Scaffold([la, lb], [100])
+    n = astk.stackaroo(D, lines, [sc], rs_gap, dpaths, dlen, line_seqs)
+    assert n == 1
+    joined = oph.join_parts([line_seqs[la], line_seqs[lb]], sc)
+    assert "N" not in joined
+    assert joined == dna.codes_to_seq(g)
