@@ -124,41 +124,98 @@ def write_megabubbles_fasta(D, lines, scaffolds, phasings, path):
     return rid
 
 
+def scaffold_records(D, lines, sc, phasings, hap: int):
+    """Walk one scaffold in mash mode (ScafLinePrinter::WalkScaffoldLines
+    with SetMashMegaBubbles(True), ScafLinePrinter.cc:296-341): cells with
+    <= 2 arms contribute the `hap` (choose) arm inline; many-arm cells are
+    "busted" — the running record breaks and each arm becomes its own
+    record (BustMegabubble, :277-293).  -> [(tag, seq)] with tag "main" or
+    "bubble_arm"."""
+    records = []
+    cur = ""
+    fills = getattr(sc, "fills", None)
+    from ..asm.patch import PATCH_K
+
+    for ix, li in enumerate(sc.line_ids):
+        line = lines.lines[li]
+        phx = phasings.get(li)
+        choice = _phase_choices(line, phx, hap) if phx else {}
+        seg = ""
+        busted = False
+        for i, el in enumerate(line.elements):
+            if len(el.paths) > 2:
+                # bust: flush the running record, emit every arm separately
+                joined = _join_gap(cur, seg, sc, ix, fills, PATCH_K) if not busted else seg
+                if joined:
+                    records.append(("main", joined))
+                for p in el.paths:
+                    records.append(("bubble_arm", _path_seq(D, p)))
+                cur, seg, busted = "", "", True
+                continue
+            s = _element_seq(D, el, choice.get(i, 0))
+            seg = s if not seg else seg + s[K - 1 :]
+        if busted:
+            if seg:
+                records.append(("main", seg))
+            cur = ""
+        else:
+            cur = _join_gap(cur, seg, sc, ix, fills, PATCH_K)
+    if cur:
+        records.append(("main", cur))
+    return records
+
+
+def _path_seq(D, path) -> str:
+    seq = D.edge_seq(int(path[0]))
+    for d in path[1:]:
+        seq += D.edge_seq(int(d))[K - 1 :]
+    return seq
+
+
+def _join_gap(cur: str, seg: str, sc, ix: int, fills, k: int) -> str:
+    """Append a line's segment to the running scaffold sequence, splicing
+    the preceding gap (Stackaroo fill or N run)."""
+    if ix == 0 or not cur:
+        return seg if not cur else cur + seg
+    fill = fills[ix - 1] if fills else None
+    if fill is not None and len(seg) > k:
+        return cur + fill + seg[k:]
+    return cur + "N" * sc.gaps[ix - 1] + seg
+
+
 def write_pseudohap_fasta(D, lines, scaffolds, phasings, path):
-    """One record per scaffold; phased arm choice (hap 0)."""
+    """Mashed megabubbles, one allele (choose=0) — MakeFasta.cc:186-193."""
+    rid = 0
     with _open(path, "wt") as f:
         for si, sc in enumerate(scaffolds):
-            parts = []
-            for li in sc.line_ids:
-                ph = phasings.get(li)
-                choice = _phase_choices(lines.lines[li], ph, 0) if ph else {}
-                parts.append(line_sequence(D, lines.lines[li], choice))
-            seq = join_parts(parts, sc)
-            f.write(f">scaffold_{si} len={len(seq)}\n")
-            _wrap(f, seq)
-    return len(scaffolds)
+            for tag, seq in scaffold_records(D, lines, sc, phasings, 0):
+                f.write(f">scaffold_{si}_{rid} {tag} len={len(seq)}\n")
+                _wrap(f, seq)
+                rid += 1
+    return rid
 
 
 def write_pseudohap2_fasta(D, lines, scaffolds, phasings, path, idx_path=None):
-    """Two records per scaffold with complementary arm choices + .idx."""
+    """Two complementary allele walks + .idx haplotype index
+    (MakeFasta.cc:194-210)."""
     index = []
+    rid = 0
     with _open(path, "wt") as f:
-        rid = 0
         for si, sc in enumerate(scaffolds):
+            per_hap = {}
             for hap in (0, 1):
-                parts = []
-                for li in sc.line_ids:
-                    ph = phasings.get(li)
-                    choice = _phase_choices(lines.lines[li], ph, hap) if ph else {}
-                    parts.append(line_sequence(D, lines.lines[li], choice))
-                seq = join_parts(parts, sc)
-                f.write(f">scaffold_{si}_hap{hap + 1} len={len(seq)}\n")
-                _wrap(f, seq)
-                index.append(
-                    {"record": rid, "scaffold": si, "haplotype": hap + 1,
-                     "partner": rid + 1 if hap == 0 else rid - 1}
-                )
-                rid += 1
+                per_hap[hap] = scaffold_records(D, lines, sc, phasings, hap)
+            for hap in (0, 1):
+                for j, (tag, seq) in enumerate(per_hap[hap]):
+                    f.write(
+                        f">scaffold_{si}_hap{hap + 1}_{j} {tag} len={len(seq)}\n"
+                    )
+                    _wrap(f, seq)
+                    index.append(
+                        {"record": rid, "scaffold": si, "haplotype": hap + 1,
+                         "segment": j, "tag": tag}
+                    )
+                    rid += 1
     if idx_path is None:
         idx_path = str(path).replace(".fasta", ".idx").replace(".gz", "")
     Path(idx_path).write_text(json.dumps(index, indent=1) + "\n")

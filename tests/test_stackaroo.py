@@ -73,3 +73,31 @@ def test_stackaroo_fills_scaffold_gap(rng):
     joined = oph.join_parts([line_seqs[la], line_seqs[lb]], sc)
     assert "N" not in joined
     assert joined == dna.codes_to_seq(g)
+
+
+def test_pseudohap_busts_many_arm_cells():
+    """Cells with >2 arms become separate records (BustMegabubble)."""
+    from types import SimpleNamespace
+
+    from supernova_tpu.asm.lines import Cell, Line
+    from supernova_tpu.asm.scaffold import Scaffold
+
+    seqs = {
+        0: "A" * 60, 1: "C" * 60, 2: "G" * 60, 3: "T" * 60, 4: "AC" * 30,
+    }
+    D = SimpleNamespace(edge_seq=lambda d: seqs[int(d)])
+    line = Line([
+        Cell([np.array([0])]),
+        Cell([np.array([1]), np.array([2]), np.array([3])]),  # 3 arms
+        Cell([np.array([4])]),
+    ])
+    lines = SimpleNamespace(lines=[line])
+    sc = Scaffold([0], [])
+    from supernova_tpu.out.pseudohap import scaffold_records
+
+    recs = scaffold_records(D, lines, sc, {}, 0)
+    tags = [t for t, _ in recs]
+    assert tags.count("bubble_arm") == 3
+    assert tags[0] == "main" and tags[-1] == "main"
+    assert recs[0][1] == "A" * 60
+    assert recs[-1][1] == "AC" * 30
