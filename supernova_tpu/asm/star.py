@@ -1,0 +1,271 @@
+"""Star: join lines across barcode-only gaps by order-scoring advantage.
+
+Reference analogues (all behavior, no code, from 10X/Star.cc + LineOO.cc):
+  * ScoreOrder (LineOO.cc:264-317): score an ordering of lines by merging
+    their barcode positions into concatenated coordinates; each barcode's
+    consecutive positions that jump across a line boundary add
+    (position gap)/(barcode mean gap) when >= MIN_ADD=2 — lower is better.
+  * Star (Star.cc:20-230): for each long line (MIN_STAR=5000) whose right
+    end is a dead end, take its LineProx barcode neighbors (MAX_VIEW=10),
+    drop CN-mismatched (MAX_CN_DIFF=0.5) or short (MIN_BAR_TO=2000)
+    candidates, keep candidates whose best of the four orientation orders
+    puts L1 first with advantage >= MIN_ADVANTAGE (60), cap at
+    MAX_RIGHTS=6, pick the winner by order scoring with the same
+    advantage gate, and join with a {-2} barcode-only gap.
+  * BarcodePos BC_VIEW: only positions within 50 kb of line ends count.
+  * LineProx (LineOO.cc): neighbor candidates ranked by shared barcodes.
+
+Host-side; scoring arrays are small (lines x barcode positions).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+MIN_STAR = 5000
+MIN_BAR_TO = 2000
+MAX_VIEW = 10
+MAX_RIGHTS = 6
+MAX_CN_DIFF = 0.5
+BC_VIEW = 50_000
+MIN_ADVANTAGE = 60.0
+MIN_ADD = 2.0
+
+
+def restrict_positions(
+    lbp: Dict[int, List[Tuple[int, int]]], llens: np.ndarray, view: int = BC_VIEW
+) -> Dict[int, List[Tuple[int, int]]]:
+    """Keep positions within `view` of either line end (BarcodePos BC_VIEW)."""
+    out: Dict[int, List[Tuple[int, int]]] = {}
+    for li, pairs in lbp.items():
+        n = int(llens[li])
+        out[li] = [
+            (bc, p) for bc, p in pairs if p <= view or n - p <= view
+        ]
+    return out
+
+
+def score_order(
+    order: Sequence[int],
+    lbp: Dict[int, List[Tuple[int, int]]],
+    llens: np.ndarray,
+) -> float:
+    """ScoreOrder (LineOO.cc:264-317); lower is better."""
+    recs: List[Tuple[int, int, int]] = []  # (bc, line index in order, pos)
+    pos = 0
+    for i, li in enumerate(order):
+        for bc, p in lbp.get(li, ()):
+            recs.append((bc, i, pos + p))
+        pos += int(llens[li])
+    recs.sort()
+    ad = 0.0
+    k = 0
+    n = len(recs)
+    while k < n:
+        l = k + 1
+        while l < n and recs[l][0] == recs[k][0]:
+            l += 1
+        cnt = l - k - 1
+        if cnt > 0:
+            span = recs[l - 1][2] - recs[k][2]
+            mean_gap = span / cnt if span > 0 else 1.0
+            if mean_gap > 0:
+                for z in range(k + 1, l):
+                    if recs[z][1] > recs[z - 1][1]:
+                        plus = (recs[z][2] - recs[z - 1][2]) / mean_gap
+                        if plus >= MIN_ADD:
+                            ad += plus
+        k = l
+    return ad
+
+
+def line_prox(
+    line_bcs: List[np.ndarray], canon: Sequence[int], max_view: int = MAX_VIEW
+) -> Dict[int, List[Tuple[int, int]]]:
+    """LineProx analogue: per line, candidate neighbors ranked by shared
+    good-barcode count -> {line: [(shared, other), ...]}."""
+    out: Dict[int, List[Tuple[int, int]]] = {}
+    with_bc = [i for i in canon if len(line_bcs[i])]
+    for i in with_bc:
+        cands = []
+        for j in with_bc:
+            if j == i:
+                continue
+            s = len(np.intersect1d(line_bcs[i], line_bcs[j], assume_unique=True))
+            if s:
+                cands.append((s, j))
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        out[i] = cands[: 2 * max_view]
+    return out
+
+
+def line_coverage(llens: np.ndarray, lbp: Dict[int, List[Tuple[int, int]]]) -> np.ndarray:
+    """LineCN-style relative coverage: barcode positions per base,
+    normalized so the median long line sits at 1.0."""
+    cov = np.zeros(len(llens))
+    for li, pairs in lbp.items():
+        if llens[li] > 0:
+            cov[li] = len(pairs) / llens[li]
+    longs = cov[(llens >= MIN_BAR_TO) & (cov > 0)]
+    med = np.median(longs) if len(longs) else 0.0
+    return cov / med if med > 0 else cov
+
+
+def right_dead_ends(lines, D) -> Dict[int, bool]:
+    """line id -> True if the line's right end extends nowhere in D
+    (Star's dead-end condition, Star.cc:104-108)."""
+    indeg = np.bincount(D.to_v, minlength=D.n_vertices)
+    outdeg = np.bincount(D.from_v, minlength=D.n_vertices)
+    out: Dict[int, bool] = {}
+    for li, ln in enumerate(lines.lines):
+        last = int(ln.elements[-1].paths[0][-1])
+        v = int(D.to_v[last])
+        out[li] = outdeg[v] == 0 and indeg[v] == 1
+    return out
+
+
+def build_scaffolds(
+    n_lines: int,
+    linv: np.ndarray,
+    joins: List[Tuple[int, int, float]],
+    llens: np.ndarray,
+    min_emit_len: int = 1,
+):
+    """Chain star joins into scaffolds (involution-consistent, best
+    advantage wins conflicts, cycles refused).  -> List[Scaffold] over
+    oriented line ids, one per rc pair."""
+    from .scaffold import DEFAULT_GAP_N, Scaffold
+
+    succ: Dict[int, int] = {}
+    pred: Dict[int, int] = {}
+
+    def reaches(a, b):
+        seen = set()
+        while a in succ and a not in seen:
+            seen.add(a)
+            a = succ[a]
+            if a == b:
+                return True
+        return False
+
+    for L1, R, ad in sorted(joins, key=lambda t: (-t[2], t[0], t[1])):
+        rL1, rR = int(linv[L1]), int(linv[R])
+        if L1 in succ or R in pred or rR in succ or rL1 in pred:
+            continue
+        if L1 == R or reaches(R, L1):
+            continue
+        succ[L1] = R
+        pred[R] = L1
+        if (rR, rL1) != (L1, R):
+            succ[rR] = rL1
+            pred[rL1] = rR
+
+    emitted = set()
+    scaffolds = []
+    heads = [li for li in range(n_lines) if li in succ and li not in pred]
+    singles = [
+        li for li in range(n_lines) if li not in succ and li not in pred
+    ]
+    for h in heads:
+        chain = [h]
+        x = h
+        while x in succ:
+            x = succ[x]
+            chain.append(x)
+        mirror = tuple(int(linv[c]) for c in reversed(chain))
+        if mirror in emitted:
+            continue
+        emitted.add(tuple(chain))
+        scaffolds.append(Scaffold(chain, [DEFAULT_GAP_N] * (len(chain) - 1)))
+    for li in singles:
+        if li <= int(linv[li]) and llens[li] >= min_emit_len:
+            scaffolds.append(Scaffold([li], []))
+    return scaffolds
+
+
+def star_scaffold(
+    lines,
+    D,
+    llens: np.ndarray,
+    line_bcs: List[np.ndarray],
+    line_positions: Dict[int, Dict[int, list]],
+    min_advantage: float = MIN_ADVANTAGE,
+):
+    """Full Star scaffolding: neighbor candidates -> order-scored joins ->
+    chains (the reference iterates passes over a D updated with {-2} gap
+    edges; here chaining subsumes one round — multi-pass lands with the
+    gap-edge representation)."""
+    n = lines.n_lines
+    linv = lines.linv
+    lbp_all = {
+        li: [(bc, p) for bc, ps in line_positions.get(li, {}).items() for p in ps]
+        for li in range(n)
+    }
+    lbp = restrict_positions(lbp_all, llens)
+    canon = list(range(n))
+    lhood = line_prox(line_bcs, canon)
+    rdead = right_dead_ends(lines, D)
+    joins = star_joins(canon, llens, linv, lbp, lhood, rdead,
+                       min_advantage=min_advantage)
+    return build_scaffolds(n, linv, joins, llens)
+
+
+def star_joins(
+    canon: Sequence[int],
+    llens: np.ndarray,
+    linv: np.ndarray,
+    lbp: Dict[int, List[Tuple[int, int]]],
+    lhood: Dict[int, List[Tuple[int, int]]],
+    right_dead: Dict[int, bool],
+    min_star: int = MIN_STAR,
+    min_advantage: float = MIN_ADVANTAGE,
+) -> List[Tuple[int, int, float]]:
+    """One star pass -> [(L1, R, advantage)] right-joins.  `right_dead[li]`
+    marks lines whose right end extends nowhere in D (oriented line ids)."""
+    cov = line_coverage(llens, lbp)
+    joins: List[Tuple[int, int, float]] = []
+    order_ids = sorted(
+        (li for li in canon if llens[li] >= min_star and right_dead.get(li, False)),
+        key=lambda li: -int(llens[li]),
+    )
+    for L1 in order_ids:
+        rights: List[Tuple[int, float]] = []
+        for s, L2 in lhood.get(L1, ())[:MAX_VIEW]:
+            if L2 == L1 or L2 == int(linv[L1]):
+                continue
+            if llens[L2] < MIN_BAR_TO:
+                continue
+            if cov[L1] > 0 and cov[L2] > 0 and abs(cov[L1] - cov[L2]) > MAX_CN_DIFF:
+                continue
+            rl2 = int(linv[L2])
+            orders = [
+                (score_order([L2, L1], lbp, llens), 0, L2),
+                (score_order([rl2, L1], lbp, llens), 1, rl2),
+                (score_order([L1, L2], lbp, llens), 2, L2),
+                (score_order([L1, rl2], lbp, llens), 3, rl2),
+            ]
+            orders.sort()
+            ad = orders[1][0] - orders[0][0]
+            if ad < min_advantage:
+                continue
+            if orders[0][1] <= 1:  # winner puts L2 before L1
+                continue
+            rights.append((orders[0][2], ad))
+        if not rights:
+            continue
+        rights.sort(key=lambda t: -int(llens[t[0]]))
+        rights = rights[:MAX_RIGHTS]
+        if len(rights) == 1:
+            R, ad = rights[0]
+        else:
+            # leftmost right: the candidate scoring best directly after L1
+            scored = sorted(
+                (score_order([L1, r], lbp, llens), r, a) for r, a in rights
+            )
+            ad = scored[1][0] - scored[0][0] if len(scored) > 1 else scored[0][2]
+            if ad < min_advantage:
+                continue
+            R = scored[0][1]
+        joins.append((L1, R, float(ad)))
+    return joins

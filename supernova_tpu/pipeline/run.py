@@ -364,10 +364,20 @@ class Pipeline:
             )
         line_bcs = asc.line_barcode_sets(lines, line_bc_edges, good)
         line_lens = lines.lengths(D)
-        scaffolds = asc.scaffold_lines(
-            lines, line_bcs, line_lens,
-            line_positions=getattr(self, "_line_positions", None),
-        )
+        lp = getattr(self, "_line_positions", None)
+        scaffolds = None
+        if rs.barcoded and lp:
+            from ..asm import star as astar
+
+            scaffolds = astar.star_scaffold(lines, D, line_lens, line_bcs, lp)
+            if any(len(sc.line_ids) > 1 for sc in scaffolds):
+                self.stats.log("scaffold_mode", "star", stage="scaffold")
+            else:
+                scaffolds = None  # too little evidence at reference gates
+        if scaffolds is None:
+            scaffolds = asc.scaffold_lines(
+                lines, line_bcs, line_lens, line_positions=lp,
+            )
         self.stats.log("n_scaffolds", len(scaffolds), stage="scaffold")
 
         # Gaprika-style gap estimates from barcode molecules

@@ -1,0 +1,56 @@
+"""Star scaffolding: order scoring + advantage-gated joins."""
+import numpy as np
+
+from supernova_tpu.asm import star as astar
+
+
+def _setup():
+    # lines 0,1,2 with rc twins 3,4,5; truth: 0 then 1; 2 unrelated
+    llens = np.array([10_000] * 6)
+    linv = np.array([3, 4, 5, 0, 1, 2])
+    lbp = {i: [] for i in range(6)}
+    for bc in range(1, 31):
+        # junction barcodes: cluster at 0's end and 1's start
+        for j in range(5):
+            lbp[0].append((bc, 9000 + 200 * j))
+            lbp[1].append((bc, 200 * j))
+    for bc in range(100, 110):
+        # far-apart barcodes shared with line 2 (mid-line, not junction)
+        for j in range(5):
+            lbp[0].append((bc, 4000 + 200 * j))
+            lbp[2].append((bc, 4000 + 200 * j))
+    # rc twins carry the mirrored positions (as in real placements)
+    for i in range(3):
+        lbp[int(linv[i])] = [
+            (bc, int(llens[i]) - p) for bc, p in lbp[i]
+        ]
+    return llens, linv, lbp
+
+
+def test_score_order_prefers_true_order():
+    llens, linv, lbp = _setup()
+    good = astar.score_order([0, 1], lbp, llens)
+    bad = astar.score_order([1, 0], lbp, llens)
+    assert good < bad
+    assert bad - good > astar.MIN_ADVANTAGE
+
+
+def test_star_joins_picks_true_neighbor():
+    llens, linv, lbp = _setup()
+    lhood = {0: [(30, 1), (10, 2)]}
+    rdead = {i: True for i in range(6)}
+    joins = astar.star_joins(range(6), llens, linv, lbp, lhood, rdead)
+    assert [(a, b) for a, b, _ in joins] == [(0, 1)]
+
+    scaffolds = astar.build_scaffolds(6, linv, joins, llens)
+    chains = sorted(tuple(sc.line_ids) for sc in scaffolds if len(sc.line_ids) > 1)
+    assert chains == [(0, 1)] or chains == [(4, 3)]
+
+
+def test_build_scaffolds_involution_consistent():
+    llens = np.array([6000] * 4)
+    linv = np.array([2, 3, 0, 1])
+    joins = [(0, 1, 100.0)]
+    scs = astar.build_scaffolds(4, linv, joins, llens)
+    multi = [sc for sc in scs if len(sc.line_ids) > 1]
+    assert len(multi) == 1  # the rc-mirror chain is not emitted twice
