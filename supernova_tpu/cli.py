@@ -34,7 +34,12 @@ def cmd_run(args) -> int:
         return 1
 
     rs = ingest_10x_fastqs(args.r1, args.r2, wl, max_pairs=args.max_pairs)
-    pl = Pipeline(args.out)
+    ds = None
+    if getattr(args, "downsample_reads", None):
+        ds = {"target_reads": args.downsample_reads}
+    elif getattr(args, "downsample_gb", None):
+        ds = {"gigabases": args.downsample_gb}
+    pl = Pipeline(args.out, downsample=ds)
     flavors = tuple(args.flavors.split(","))
     try:
         pl.run_full(rs, flavors=flavors)
@@ -114,6 +119,10 @@ def main(argv=None) -> int:
     r.add_argument("--out", required=True)
     r.add_argument("--flavors", default="raw,megabubbles,pseudohap,pseudohap2")
     r.add_argument("--max-pairs", type=int, default=None)
+    r.add_argument("--downsample-reads", type=int, default=None,
+                   help="downsample to this many reads (reference's target_reads)")
+    r.add_argument("--downsample-gb", type=float, default=None,
+                   help="downsample to this many gigabases")
     r.set_defaults(fn=cmd_run)
 
     s = sub.add_parser("simulate", help="generate a synthetic linked-read dataset")

@@ -350,6 +350,32 @@ def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024) -> dict
     )
 
 
+def estimate_coverage(table: KmerTable, read_len: float = 150.0):
+    """Kmer-spectrum coverage estimate: the main peak of the multiplicity
+    spectrum (past the error slope) is the kmer coverage; read coverage and
+    genome size follow (the reference alarms on coverage <15 / >90,
+    alarms-supernova.json:5-15, estimated the same way).
+    -> (read_cov, genome_size_est) or (None, None) if no clear peak."""
+    import numpy as np
+
+    n = int(table.n_valid)
+    if n == 0:
+        return None, None
+    counts = np.asarray(table.count)[:n]
+    # homozygous canonical kmers dominate the table, so the median count is
+    # a robust kmer-coverage estimate (multi-modal peak finding is fragile
+    # on linked-read molecule-coverage spectra)
+    kmer_cov = float(np.median(counts))
+    if kmer_cov <= 0:
+        return None, None
+    from ..core.kmer_codec import K
+
+    # raw coverage in the 10x convention: total bases / haploid genome size
+    read_cov = kmer_cov * read_len / max(read_len - K + 1, 1.0)
+    genome_est = int(counts.sum() / kmer_cov)
+    return read_cov, genome_est
+
+
 def count_readset(rs, min_freq: int = MIN_FREQ, min_bc: int = MIN_BC) -> KmerTable:
     """End-to-end host entry: ReadSet -> filtered, adjacency-true KmerTable.
 

@@ -33,7 +33,16 @@ class Pipeline:
         outdir: str | Path,
         stats: StatLogger | None = None,
         resume: bool = False,
+        downsample: dict | None = None,
+        auto_downsample: bool = True,
     ):
+        """downsample: {"target_reads": N} or {"gigabases": G} — the
+        reference's user downsampling knob (mro/assembler_cs.mro:12,
+        df/__init__.py:91-119).  auto_downsample: when the kmer-spectrum
+        coverage estimate exceeds the reference's >90x alarm threshold
+        (alarms-supernova.json:5-15), subsample to the ideal 56x and
+        recount (the reference only alarms; excess coverage lets error
+        kmers past the frequency filter and shreds the graph)."""
         from ..core.jaxconfig import ensure_cache
 
         ensure_cache()
@@ -41,6 +50,8 @@ class Pipeline:
         self.outdir.mkdir(parents=True, exist_ok=True)
         self.stats = stats or StatLogger.load(self.outdir / "all_stats.json")
         self.resume = resume
+        self.downsample = downsample
+        self.auto_downsample = auto_downsample
         self._t_start = time.time()
 
     def _timed(self, name, fn, *a, **kw):
@@ -54,6 +65,22 @@ class Pipeline:
     # ---------------------------------------------------------------- stages
 
     def stage_ingest(self, rs: ReadSet) -> ReadSet:
+        # user downsampling (target_reads / gigabases)
+        if self.downsample:
+            from ..ingest.ingest import subsample_pairs
+
+            frac = 1.0
+            if self.downsample.get("target_reads"):
+                frac = self.downsample["target_reads"] / max(rs.n_reads, 1)
+            elif self.downsample.get("gigabases"):
+                actual_gb = float(len(rs.codes)) / 1e9
+                frac = self.downsample["gigabases"] / max(actual_gb, 1e-12)
+            if frac < 1.0:
+                rs = subsample_pairs(rs, frac)
+                self.stats.log(
+                    "downsample_frac", frac, "user downsample fraction",
+                    stage="ingest",
+                )
         ck = self.outdir / "reads.npz"
         if not ck.exists():
             rs.save(ck)
@@ -117,6 +144,40 @@ class Pipeline:
             n_valid=np.int64(n),
         )
         return table
+
+    def _count_with_cov_guard(self, rs: ReadSet):
+        """Count, estimate coverage from the spectrum, and (auto mode)
+        downsample + recount past the >90x alarm.  -> (table, rs)."""
+        table = self.stage_count(rs)
+        from ..kmer.count import estimate_coverage
+
+        rl = float(np.mean(rs.lengths())) if rs.n_reads else 150.0
+        cov, gsize = estimate_coverage(table, rl)
+        if cov:
+            self.stats.log(
+                "est_coverage", cov, "kmer-spectrum coverage estimate",
+                cs=True, stage="count",
+            )
+            if gsize:
+                self.stats.log(
+                    "est_genome_size", gsize,
+                    "kmer-spectrum genome size estimate", stage="count",
+                )
+            # scale gate: the estimate is only trustworthy with a real
+            # spectrum (toy sims have too few distinct kmers)
+            if self.auto_downsample and cov > 90.0 and int(table.n_valid) >= 50_000:
+                from ..ingest.ingest import subsample_pairs
+
+                frac = 56.0 / cov
+                self.stats.log(
+                    "downsample_frac_auto", frac,
+                    "auto downsample to 56x (coverage alarm >90x)",
+                    stage="count",
+                )
+                rs = subsample_pairs(rs, frac)
+                (self.outdir / "kmers.npz").unlink(missing_ok=True)
+                table = self.stage_count(rs)
+        return table, rs
 
     def stage_graph(self, table) -> dgraph.BaseGraph:
         ck = self.outdir / "graph.npz"
@@ -460,7 +521,7 @@ class Pipeline:
         if exits:
             self.finalize()
             raise RuntimeError(f"preflight exit alerts: {exits}")
-        table = self.stage_count(rs)
+        table, rs = self._count_with_cov_guard(rs)
         bg = self.stage_graph(table)
         self.stage_paths(bg, rs)
         path = self.stage_fasta(bg, flavor)
@@ -478,7 +539,7 @@ class Pipeline:
         if exits:
             self.finalize()
             raise RuntimeError(f"preflight exit alerts: {exits}")
-        table = self._timed("count", self.stage_count, rs)
+        table, rs = self._timed("count", self._count_with_cov_guard, rs)
         bg = self._timed("graph", self.stage_graph, table)
         rp = self._timed("paths", self.stage_paths, bg, rs)
         bg, rp = self._timed("patch", self.stage_patch, bg, rp, rs)
