@@ -87,50 +87,72 @@ def mark_bads(
     return bad
 
 
+def unique_next_edges(bg) -> np.ndarray:
+    """-> (E,) unique continuation edge after each edge, -1 if ambiguous."""
+    outdeg = np.bincount(bg.from_v, minlength=bg.n_vertices)
+    uniq_out = np.full(bg.n_vertices, -1, np.int64)
+    uniq_out[bg.from_v] = np.arange(bg.n_edges)
+    uniq_out[outdeg != 1] = -1
+    return uniq_out[bg.to_v]
+
+
 def extend_paths(
     bg, rs, paths_edges, path_len, offset, max_mm_frac: float = 0.1
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Extend placements through unambiguous continuations when the read
     runs past its current path span.  Returns (paths_edges, path_len,
-    n_extended); arrays are modified copies."""
-    paths_edges = paths_edges.copy()
-    path_len = path_len.copy()
+    n_extended); arrays are modified copies.  Candidate reads (span shorter
+    than the read AND an unambiguous next edge) are selected vectorized;
+    only those walk the per-read loop."""
+    paths_edges = np.asarray(paths_edges).copy()
+    path_len = np.asarray(path_len).copy()
+    offset = np.asarray(offset)
+    n = rs.n_reads
     mp = paths_edges.shape[1]
-    # successor map where unambiguous
-    outdeg = np.bincount(bg.from_v, minlength=bg.n_vertices)
-    unique_next = {}
-    for e in range(bg.n_edges):
-        v = int(bg.to_v[e])
-        if outdeg[v] == 1:
-            f = int(np.nonzero(bg.from_v == v)[0][0])
-            unique_next[e] = f
+    if n == 0:
+        return paths_edges, path_len, 0
+    nxt_edge = unique_next_edges(bg)
+    elens = bg.edges.lengths()
+    rlen = np.diff(rs.offsets).astype(np.int64)[:n]
+
+    pl = path_len[:n]
+    slot_ok = np.arange(mp)[None, :] < pl[:, None]
+    safe = np.clip(paths_edges[:n], 0, bg.n_edges - 1)
+    span = (
+        np.where(slot_ok, elens[safe], 0).sum(axis=1)
+        - np.maximum(pl - 1, 0) * (K - 1)
+        - np.clip(offset[:n], 0, None)
+    )
+    last = safe[np.arange(n), np.maximum(pl - 1, 0)]
+    cand = np.nonzero(
+        (pl >= 1) & (pl < mp) & (span < rlen) & (nxt_edge[last] >= 0)
+    )[0]
+
     n_ext = 0
-    for r in range(rs.n_reads):
-        pl = int(path_len[r])
-        if pl == 0 or pl >= mp:
-            continue
+    for r in cand:
+        plr = int(path_len[r])
         read = rs.read(r)
-        span = spell_read_span(bg, paths_edges[r, :pl], int(offset[r]), len(read))
-        if span is None or len(span) >= len(read):
+        sp = spell_read_span(bg, paths_edges[r, :plr], int(offset[r]), len(read))
+        if sp is None or len(sp) >= len(read):
             continue
-        covered = len(span)
-        cur = int(paths_edges[r, pl - 1])
+        covered = len(sp)
+        cur = int(paths_edges[r, plr - 1])
         extended = False
-        while covered < len(read) and pl < mp:
-            nxt = unique_next.get(cur)
-            if nxt is None:
+        while covered < len(read) and plr < mp:
+            nxt = int(nxt_edge[cur])
+            if nxt < 0:
                 break
             seg = bg.edges.row(nxt)[K - 1 :]
             take = min(len(seg), len(read) - covered)
             mism = (read[covered : covered + take] != seg[:take]).sum()
             if mism > max(1, int(max_mm_frac * take)):
                 break
-            paths_edges[r, pl] = nxt
-            pl += 1
+            paths_edges[r, plr] = nxt
+            plr += 1
             covered += take
             cur = nxt
             extended = True
         if extended:
-            path_len[r] = pl
+            path_len[r] = plr
             n_ext += 1
     return paths_edges, path_len, n_ext

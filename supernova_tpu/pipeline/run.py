@@ -200,6 +200,17 @@ class Pipeline:
         edges = np.asarray(rp.edges)[: rs.n_reads]
         plen = np.asarray(rp.path_len)[: rs.n_reads]
         offset = np.asarray(rp.offset)[: rs.n_reads]
+        # ExtendPathsNew: extend through unambiguous walks (Extend.cc:15)
+        from ..asm import bads as abads
+
+        edges, plen, n_ext = abads.extend_paths(bg, rs, edges, plen, offset)
+        if n_ext:
+            import jax.numpy as jnp
+
+            rp = rp._replace(
+                edges=jnp.asarray(edges), path_len=jnp.asarray(plen)
+            )
+            self.stats.log("paths_extended", n_ext, stage="paths")
         np.savez_compressed(
             self.outdir / "paths.npz", edges=edges, path_len=plen, offset=offset
         )
