@@ -39,7 +39,7 @@ def cmd_run(args) -> int:
         ds = {"target_reads": args.downsample_reads}
     elif getattr(args, "downsample_gb", None):
         ds = {"gigabases": args.downsample_gb}
-    pl = Pipeline(args.out, downsample=ds)
+    pl = Pipeline(args.out, downsample=ds, resume=getattr(args, "resume", False))
     flavors = tuple(args.flavors.split(","))
     try:
         pl.run_full(rs, flavors=flavors)
@@ -123,6 +123,8 @@ def main(argv=None) -> int:
                    help="downsample to this many reads (reference's target_reads)")
     r.add_argument("--downsample-gb", type=float, default=None,
                    help="downsample to this many gigabases")
+    r.add_argument("--resume", action="store_true",
+                   help="reuse stage checkpoints in --out (START=x re-entry)")
     r.set_defaults(fn=cmd_run)
 
     s = sub.add_parser("simulate", help="generate a synthetic linked-read dataset")
