@@ -46,7 +46,102 @@ def cmd_run(args) -> int:
     except RuntimeError as e:
         print(f"ERROR: {e}", file=sys.stderr)
         return 185  # controlled exit, like Martian::exit (Martian.h:13)
+    except MemoryError:
+        _crash_forensics(args.out)
+        print(
+            "ERROR: out of memory — rerun with --downsample-reads or on a "
+            "larger host (reference exit code 99 semantics)",
+            file=sys.stderr,
+        )
+        return 99
+    except Exception:
+        _crash_forensics(args.out)
+        raise
     print(json.dumps(json.loads((Path(args.out) / "summary.json").read_text()), indent=1))
+    return 0
+
+
+def _crash_forensics(outdir) -> None:
+    """On stage failure, record host/device state for postmortem — the
+    reference logs dmesg + top-RSS ps on non-zero stage returns
+    (mro/stages/denovo/df/__init__.py:30-90)."""
+    import datetime
+    import platform
+    import subprocess
+
+    lines = [f"crash forensics @ {datetime.datetime.now().isoformat()}"]
+    lines.append(f"host: {platform.node()} {platform.platform()}")
+    try:
+        mem = Path("/proc/meminfo").read_text().splitlines()[:4]
+        lines += [f"meminfo: {m}" for m in mem]
+    except Exception:
+        pass
+    try:
+        ps = subprocess.run(
+            ["ps", "--sort=-rss", "-eo", "pid,pmem,rss,comm"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.splitlines()[:7]
+        lines += ps
+    except Exception:
+        pass
+    try:
+        import jax
+
+        lines.append(f"jax devices: {jax.devices()}")
+    except Exception:
+        pass
+    try:
+        p = Path(outdir)
+        p.mkdir(parents=True, exist_ok=True)
+        (p / "crash_forensics.log").write_text("\n".join(lines) + "\n")
+    except Exception:
+        pass
+    for line in lines:
+        print(line, file=sys.stderr)
+
+
+def cmd_sitecheck(args) -> int:
+    """Environment diagnostics — the reference's `supernova sitecheck`
+    (tenkit/bin/sitecheck)."""
+    import platform
+    import shutil as sh
+
+    info = {
+        "host": platform.node(),
+        "platform": platform.platform(),
+        "python": sys.version.split()[0],
+        "cpus": __import__("os").cpu_count(),
+    }
+    try:
+        mem = Path("/proc/meminfo").read_text().splitlines()
+        info["mem_total"] = mem[0].split()[1] + " kB"
+    except Exception:
+        pass
+    try:
+        du = sh.disk_usage(".")
+        info["disk_free_gb"] = round(du.free / 2**30, 1)
+    except Exception:
+        pass
+    for mod in ("jax", "jaxlib", "numpy"):
+        try:
+            info[f"{mod}_version"] = __import__(mod).__version__
+        except Exception:
+            info[f"{mod}_version"] = None
+    try:
+        import jax
+
+        info["jax_backend"] = jax.default_backend()
+        info["jax_devices"] = [str(d) for d in jax.devices()]
+    except Exception as e:
+        info["jax_error"] = str(e)
+    try:
+        import resource
+
+        soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+        info["open_fd_limit"] = [soft, hard]
+    except Exception:
+        pass
+    print(json.dumps(info, indent=1))
     return 0
 
 
@@ -142,6 +237,9 @@ def main(argv=None) -> int:
     e.add_argument("--truth", nargs="+", required=True, help=".npy code arrays")
     e.add_argument("--min-len", type=int, default=300)
     e.set_defaults(fn=cmd_evaluate)
+
+    sc = sub.add_parser("sitecheck", help="environment diagnostics")
+    sc.set_defaults(fn=cmd_sitecheck)
 
     b = sub.add_parser("bench", help="run the kmer-count benchmark")
     b.set_defaults(fn=cmd_bench)
