@@ -14,6 +14,8 @@ from typing import List, Set
 import numpy as np
 
 MIN_SPAN_BC = 2
+BC_FLANK = 20_000  # CP.cc:290 flank window
+BC_IGNORE = 2_000  # CP.cc:291 dead zone next to the junction
 
 
 def element_barcodes(D, line, sup_bcs: List[np.ndarray]) -> List[Set[int]]:
@@ -44,13 +46,69 @@ def find_weak_junctions(
     return weak
 
 
-def break_lines(lines, D, sup_bcs: List[np.ndarray], min_span: int = MIN_SPAN_BC):
-    """Split lines at weak junctions.  Returns a new Lines object."""
+def find_weak_junctions_positional(
+    D,
+    line,
+    line_pos: dict,
+    min_span: int = MIN_SPAN_BC,
+    flank: int = BC_FLANK,
+    ignore: int = BC_IGNORE,
+) -> List[int]:
+    """Positional KillMisassembledCells rule (Super.cc:306-330, CP.cc
+    BC_REQUIRE/FLANK/IGNORE): at each junction, barcodes with positions in
+    the left window [jc-flank, jc-ignore] and right window
+    [jc+ignore, jc+flank] must intersect in >= min_span barcodes (molecule
+    ends make positions inside the dead zone uninformative).  `line_pos` is
+    {barcode: [positions]} in line coordinates.  -> weak element indices."""
+    from .molecules import element_offsets
+
+    offs = element_offsets(D, line)
+    total = offs[-1]
+    weak: List[int] = []
+    for j in range(1, len(line.elements)):
+        jc = offs[j]
+        if jc < ignore or total - jc < ignore:
+            continue  # too close to the line end to judge
+        lo_l, hi_l = jc - flank, jc - ignore
+        lo_r, hi_r = jc + ignore, jc + flank
+        left: Set[int] = set()
+        right: Set[int] = set()
+        for bc, ps in line_pos.items():
+            for p in ps:
+                if lo_l <= p <= hi_l:
+                    left.add(bc)
+                elif lo_r <= p <= hi_r:
+                    right.add(bc)
+        if not left or not right:
+            continue
+        if len(left & right) < min_span:
+            weak.append(j)
+    return weak
+
+
+def break_lines(
+    lines,
+    D,
+    sup_bcs: List[np.ndarray],
+    min_span: int = MIN_SPAN_BC,
+    line_positions=None,
+):
+    """Split lines at weak junctions (set-based rule + positional
+    flank-window rule when barcode positions are supplied).  Returns a new
+    Lines object.  line_positions: {(barcode, line): [positions]}."""
     from .lines import Line, Lines
 
     new_lines: List[Line] = []
-    for ln in lines.lines:
+    for li, ln in enumerate(lines.lines):
         weak = set(find_weak_junctions(D, ln, sup_bcs, min_span))
+        if line_positions is not None:
+            lp = {
+                bc: ps
+                for (bc, lj), ps in line_positions.items()
+                if lj == li
+            }
+            if lp:
+                weak |= set(find_weak_junctions_positional(D, ln, lp, min_span))
         if not weak:
             new_lines.append(ln)
             continue

@@ -357,10 +357,12 @@ class Pipeline:
         # barcodes (KillMisassembledCells analogue)
         if rs.barcoded:
             from ..asm import misassembly as amis
+            from ..asm import molecules as amol0
 
             ebcx = pindex.edge_barcodes(edges, plen, rs.bc, bg.n_edges)
             sup_bcs = asg.super_edge_barcodes(D, ebcx)
-            lines = amis.break_lines(lines, D, sup_bcs)
+            pos0 = amol0.read_line_positions(D, lines, dpaths, dlen, rs.bc)
+            lines = amis.break_lines(lines, D, sup_bcs, line_positions=pos0)
             self.stats.log(
                 "n_lines_after_break", lines.n_lines, stage="supergraph"
             )

@@ -72,3 +72,26 @@ def test_break_lines(rng):
     new = break_lines(lines, FakeD(), sup_bcs, min_span=1)
     assert new.n_lines == 4
     assert np.array_equal(new.linv[new.linv], np.arange(4))
+
+
+def test_positional_weak_junction():
+    """Flank-window rule: junction with no spanning barcodes flagged."""
+    from types import SimpleNamespace
+
+    from supernova_tpu.asm.lines import Cell, Line
+    from supernova_tpu.asm.misassembly import find_weak_junctions_positional
+
+    D = SimpleNamespace(edge_len=lambda d: 30_000)
+    line = Line([Cell([np.array([0])]), Cell([np.array([1])])])
+    # junction at 30_000; barcodes 1..5 left window only, 6..10 right only
+    lp = {}
+    for bc in range(1, 6):
+        lp[bc] = [30_000 - 10_000, 30_000 - 5_000]
+    for bc in range(6, 11):
+        lp[bc] = [30_000 + 5_000, 30_000 + 10_000]
+    assert find_weak_junctions_positional(D, line, lp) == [1]
+
+    # spanning barcodes present -> junction supported
+    lp[20] = [30_000 - 6_000, 30_000 + 6_000]
+    lp[21] = [30_000 - 9_000, 30_000 + 3_000]
+    assert find_weak_junctions_positional(D, line, lp) == []
