@@ -196,6 +196,33 @@ class Pipeline:
         return bg
 
     def stage_paths(self, bg, rs):
+        ck = self.outdir / "paths.npz"
+        if self.resume and ck.exists():
+            import jax.numpy as jnp
+
+            z = np.load(ck)
+            same = len(z["path_len"]) == rs.n_reads and (
+                "n_edges" in z and int(z["n_edges"]) == bg.n_edges
+            )
+            if same:  # same reads AND same graph -> reuse
+                rp = pather.ReadPaths(
+                    jnp.asarray(z["edges"]),
+                    jnp.asarray(z["path_len"]),
+                    jnp.asarray(z["offset"]),
+                    jnp.zeros(rs.n_reads, jnp.int32),
+                    jnp.zeros(rs.n_reads, bool),
+                )
+                counts = pindex.edge_read_counts(
+                    z["edges"], z["path_len"], bg.n_edges
+                )
+                ebcx = pindex.edge_barcodes(
+                    z["edges"], z["path_len"], rs.bc, bg.n_edges
+                )
+                np.savez_compressed(
+                    self.outdir / "ebcx.npz",
+                    values=ebcx.values, offsets=ebcx.offsets, counts=counts,
+                )
+                return rp
         rp = pather.path_readset(bg, rs)
         edges = np.asarray(rp.edges)[: rs.n_reads]
         plen = np.asarray(rp.path_len)[: rs.n_reads]
@@ -212,7 +239,8 @@ class Pipeline:
             )
             self.stats.log("paths_extended", n_ext, stage="paths")
         np.savez_compressed(
-            self.outdir / "paths.npz", edges=edges, path_len=plen, offset=offset
+            self.outdir / "paths.npz", edges=edges, path_len=plen,
+            offset=offset, n_edges=np.int64(bg.n_edges),
         )
         placed = float((plen > 0).mean()) if rs.n_reads else 0.0
         self.stats.log("placed_perc", placed * 100, "% reads pathed", stage="paths")
