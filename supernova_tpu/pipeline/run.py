@@ -594,6 +594,12 @@ class Pipeline:
         for flavor in flavors:
             outputs[flavor] = self.stage_fasta(bg, flavor, ctx=ctx)
 
+        # GFA graph exports (tada gfa / scaf-graph analogues)
+        from ..out import gfa as ogfa
+
+        ogfa.write_gfa(bg, self.outdir / "graph.gfa.gz")
+        ogfa.write_gfa_super(D, self.outdir / "supergraph.gfa.gz")
+
         scaffold_seqs = []
         for sc in scaffolds:
             parts = [

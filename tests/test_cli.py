@@ -100,3 +100,44 @@ def test_subsample_and_fasth_roundtrip(tmp_path, rng):
     assert len(back) == 1
     assert np.array_equal(back[0]["r1"], recs[0]["r1"])
     assert np.array_equal(back[0]["bcq"], recs[0]["bcq"])
+
+
+def test_gfa_export(tmp_path, rng):
+    from supernova_tpu.dbg import build as dbuild
+    from supernova_tpu.dbg import graph as dgraph
+    from supernova_tpu.kmer import count as kcount
+    from supernova_tpu.out import gfa as ogfa
+    from supernova_tpu.asm import supergraph as asg
+    from supernova_tpu.sim import genome as sim
+    import gzip
+
+    from tests.test_dbg import perfect_readset
+
+    g = sim.random_genome(rng, 3000)
+    _, hb = sim.diploidize(rng, g, het_rate=0.003)
+    rs_a = perfect_readset(g)
+    rs_b = perfect_readset(hb)
+    from supernova_tpu.ingest.reads import build_readset
+
+    reads = [rs_a.read(i) for i in range(rs_a.n_reads)] + [
+        rs_b.read(i) for i in range(rs_b.n_reads)
+    ]
+    quals = [np.full(len(r), 37, np.uint8) for r in reads]
+    rs = build_readset(reads, quals, np.zeros(len(reads) // 2, np.int32),
+                       n_barcodes=0, barcoded=False)
+    table = dbuild.trim_table(kcount.count_readset(rs, min_freq=2), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    n = ogfa.write_gfa(bg, tmp_path / "g.gfa.gz")
+    assert n * 2 == bg.n_edges or n * 2 == bg.n_edges + 1  # one seg per rc pair
+    lines_txt = gzip.open(tmp_path / "g.gfa.gz", "rt").read().splitlines()
+    segs = {l.split("\t")[1] for l in lines_txt if l.startswith("S")}
+    assert len(segs) == n
+    for l in lines_txt:
+        if l.startswith("L"):
+            parts = l.split("\t")
+            assert parts[1] in segs and parts[3] in segs
+            assert parts[5] == "47M"
+    D = asg.build_supergraph(bg)
+    n2 = ogfa.write_gfa_super(D, tmp_path / "d.gfa")
+    txt = (tmp_path / "d.gfa").read_text()
+    assert n2 >= 1 and "PT:Z:" in txt
