@@ -168,16 +168,52 @@ def nucleate_graph(
     # boundary node ids: (c, b) -> cstart[c] + b, b in [0, len_c]
     cstart = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens + 1, out=cstart[1:])
-    uf = _UF(int(cstart[-1]))
 
     # caller-supplied boundary unions (merge mode: the source graph's own
     # vertex structure, each group keyed by closure tuple + boundary pos)
+    extra_pairs: List[Tuple[int, int]] = []
     if extra_unions:
         for grp in extra_unions:
             ids = [(idx[tuple(int(e) for e in c)], p) for c, p in grp]
             b0 = int(cstart[ids[0][0]] + ids[0][1])
             for c, p in ids[1:]:
-                uf.union(b0, int(cstart[c] + p))
+                extra_pairs.append((b0, int(cstart[c] + p)))
+
+    # native glue core (hot loops in C++; bit-identical partition) with a
+    # pure-python fallback
+    from ..native import load_nucleate
+
+    lib = load_nucleate()
+    if lib is not None:
+        vals32 = np.ascontiguousarray(
+            np.concatenate([np.asarray(c, np.int32) for c in cls])
+        )
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        parent = np.arange(int(cstart[-1]), dtype=np.int64)
+        ep = (
+            np.ascontiguousarray(np.asarray(extra_pairs, np.int64).reshape(-1))
+            if extra_pairs
+            else np.zeros(0, np.int64)
+        )
+        lo = max(MIN_OVER_FLOOR_BASES - (K - 1), 1)
+        rc = lib.nucleate_glue(
+            vals32, offs, n,
+            np.ascontiguousarray(kmers), bg.n_edges,
+            np.ascontiguousarray(cinv),
+            int(min_over), int(lo),
+            int(bool(adaptive)), int(bool(interior_matches)),
+            int(_MAX_LONG_PARTNERS),
+            ep, len(extra_pairs),
+            parent,
+        )
+        assert rc == 0
+        total = int(cstart[-1])
+        return _quotient(bg, cls, cinv, lens, cstart, parent, total)
+
+    uf = _UF(int(cstart[-1]))
+    for a, b in extra_pairs:
+        uf.union(a, b)
 
     def union_match(c1: int, s1: int, c2: int, s2: int, L: int):
         """Glue boundaries of a length-L edge match + its rc image."""
@@ -230,11 +266,13 @@ def nucleate_graph(
                     done.add((i2, b - j2))
                     candidates.append((i1, s1, i2, s2, L, over))
 
-    # adaptive gate: 30th percentile of candidate overlaps, clamped
+    # adaptive gate: 30th-percentile order statistic of candidate overlaps,
+    # clamped (same definition as the native core)
     if adaptive and candidates:
-        overs = np.array([c[-1] for c in candidates], dtype=np.int64)
+        overs = np.sort(np.array([c[-1] for c in candidates], dtype=np.int64))
         lo = max(MIN_OVER_FLOOR_BASES - (K - 1), 1)
-        min_over = int(np.clip(np.percentile(overs, 30), lo, min_over))
+        p30 = int(overs[int(0.30 * (len(overs) - 1))])
+        min_over = int(np.clip(p30, lo, min_over))
     for i1, s1, i2, s2, L, over in candidates:
         if over >= min_over:
             union_match(i1, s1, i2, s2, L)
@@ -299,7 +337,16 @@ def nucleate_graph(
 
     # quotient: boundary classes (full path compression)
     parent = _compress(uf.parent)
+    return _quotient(bg, cls, cinv, lens, cstart, parent, total)
 
+
+def _quotient(bg, cls, cinv, lens, cstart, parent, total):
+    """Boundary classes -> D0 edge instances -> Vectorify -> SuperGraph."""
+    from .inversion import _compact_chains
+    from .supergraph import SuperGraph
+
+    n = len(cls)
+    inv = bg.inv
     # edge instances -> deduped D0 edges keyed on (class_l, class_r, edge)
     inst_c = np.repeat(np.arange(n, dtype=np.int64), lens)
     inst_j = np.concatenate([np.arange(l, dtype=np.int64) for l in lens]) if n else np.zeros(0, np.int64)

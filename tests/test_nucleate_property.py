@@ -82,3 +82,25 @@ def test_adaptive_gate_bounds(rng):
     # adaptive gate must stay within [floor, reference default]
     D = anuc.nucleate_graph(bg, closures, min_over_bases=None)
     D.validate()
+
+
+def test_native_matches_python(rng, monkeypatch):
+    """The C++ glue core and the python fallback produce identical D."""
+    from supernova_tpu import native as snative
+
+    if snative.load_nucleate() is None:
+        pytest.skip("native toolchain unavailable")
+    g, bg = _graph(rng, 4000, repeats=2, rep_len=150)
+    closures = _random_walks(rng, bg, 80)
+    D_native = anuc.nucleate_graph(bg, closures, min_over_bases=None)
+    monkeypatch.setattr(snative, "load_nucleate", lambda: None)
+    D_python = anuc.nucleate_graph(bg, closures, min_over_bases=None)
+    assert D_native.n_edges == D_python.n_edges
+    s1 = sorted(
+        tuple(D_native.epaths.row(d).tolist()) for d in range(D_native.n_edges)
+    )
+    s2 = sorted(
+        tuple(D_python.epaths.row(d).tolist()) for d in range(D_python.n_edges)
+    )
+    assert s1 == s2
+    assert np.array_equal(np.sort(D_native.dinv), np.sort(D_python.dinv))
