@@ -296,6 +296,16 @@ class Pipeline:
             "dup_frac", adups.dup_fraction(dup), "duplicate pair fraction",
             stage="supergraph",
         )
+        med_ins, proper = adups.insert_size_stats(bg, edges, plen, offset)
+        if med_ins is not None:
+            self.stats.log(
+                "median_ins_sz", med_ins, "median insert size", cs=True,
+                stage="supergraph",
+            )
+            self.stats.log(
+                "proper_pairs_perc", 100.0 * proper,
+                "% placed pairs properly paired", cs=True, stage="supergraph",
+            )
         counts = pindex.edge_read_counts(edges, plen, bg.n_edges)
 
         # closure paths first (a.cpaths analogue); bad pairs excluded like

@@ -40,6 +40,18 @@ DEFAULT_ALERTS: List[Alert] = [
           "N50 reads per barcode {value:.0f} > 3000; ideal ~1000."),
     Alert("q30_r2_perc", "value < 65", "alarm",
           "Q30 fraction on R2 is {value:.1f}%; ideal >= 75%."),
+    # insert-size envelope (alarms-supernova.json:130-152, TR stage)
+    Alert("median_ins_sz", "value < 100", "exit",
+          "median insert size {value:.0f} < 100; library unusable."),
+    Alert("median_ins_sz", "value < 300", "alarm",
+          "median insert size {value:.0f} < 300; ideal 350-400."),
+    Alert("proper_pairs_perc", "value < 75", "alarm",
+          "proper pair fraction {value:.1f}%; ideal >= 85%."),
+    # coverage envelope (alarms-supernova.json:73-85)
+    Alert("est_coverage", "value < 15", "alarm",
+          "estimated raw coverage {value:.0f}x < 15x; ideal 38-56x."),
+    Alert("est_coverage", "value > 90", "alarm",
+          "estimated raw coverage {value:.0f}x > 90x; ideal 38-56x."),
 ]
 
 
