@@ -196,6 +196,27 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Graph statistics from a graph checkpoint (`tada stats` analogue)."""
+    from .dbg.graph import BaseGraph
+    from .stats.logger import n50
+
+    bg = BaseGraph.load(args.graph)
+    lens = bg.edges.lengths()
+    canon = np.arange(bg.n_edges) <= bg.inv
+    out = {
+        "n_edges": int(bg.n_edges),
+        "n_vertices": int(bg.n_vertices),
+        "edge_N50": int(n50(lens[canon])),
+        "total_bases": int(lens[canon].sum()),
+        "total_kmers": int(bg.total_kmers() // 2),
+        "n_circles": int(np.asarray(bg.is_circle).sum()),
+        "checksum": bg.checksum(),
+    }
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -237,6 +258,10 @@ def main(argv=None) -> int:
     e.add_argument("--truth", nargs="+", required=True, help=".npy code arrays")
     e.add_argument("--min-len", type=int, default=300)
     e.set_defaults(fn=cmd_evaluate)
+
+    st = sub.add_parser("stats", help="graph statistics from a checkpoint")
+    st.add_argument("--graph", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     sc = sub.add_parser("sitecheck", help="environment diagnostics")
     sc.set_defaults(fn=cmd_sitecheck)
