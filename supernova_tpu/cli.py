@@ -196,6 +196,42 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_mkoutput(args) -> int:
+    """Re-emit FASTA flavors from a finished run (the reference's standalone
+    `supernova mkoutput` / MakeFasta binary, 10X/tools/MakeFasta.cc)."""
+    import pickle
+
+    from .out import fasta as fout
+    from .out import pseudohap as oph
+
+    state_p = Path(args.dir) / "assembly_state.pkl"
+    if not state_p.exists():
+        print(f"ERROR: {state_p} not found (run the pipeline first)", file=sys.stderr)
+        return 1
+    with open(state_p, "rb") as f:
+        st = pickle.load(f)
+    D, lines, scaffolds, phasings = (
+        st["D"], st["lines"], st["scaffolds"], st["phasings"]
+    )
+    outdir = Path(args.out or args.dir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    for flavor in args.flavors.split(","):
+        out = outdir / f"assembly.{flavor}.fasta.gz"
+        if flavor == "raw":
+            fout.write_raw_fasta(D.bg, out)
+        elif flavor == "megabubbles":
+            oph.write_megabubbles_fasta(D, lines, scaffolds, phasings, out)
+        elif flavor == "pseudohap":
+            oph.write_pseudohap_fasta(D, lines, scaffolds, phasings, out)
+        elif flavor == "pseudohap2":
+            oph.write_pseudohap2_fasta(D, lines, scaffolds, phasings, out)
+        else:
+            print(f"ERROR: unknown flavor {flavor}", file=sys.stderr)
+            return 1
+        print(str(out))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Graph statistics from a graph checkpoint (`tada stats` analogue)."""
     from .dbg.graph import BaseGraph
@@ -258,6 +294,12 @@ def main(argv=None) -> int:
     e.add_argument("--truth", nargs="+", required=True, help=".npy code arrays")
     e.add_argument("--min-len", type=int, default=300)
     e.set_defaults(fn=cmd_evaluate)
+
+    mo = sub.add_parser("mkoutput", help="re-emit FASTA flavors from a finished run")
+    mo.add_argument("--dir", required=True, help="pipeline output directory")
+    mo.add_argument("--out", default=None, help="destination (default: --dir)")
+    mo.add_argument("--flavors", default="pseudohap")
+    mo.set_defaults(fn=cmd_mkoutput)
 
     st = sub.add_parser("stats", help="graph statistics from a checkpoint")
     st.add_argument("--graph", required=True)

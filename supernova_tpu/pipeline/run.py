@@ -610,6 +610,16 @@ class Pipeline:
         ogfa.write_gfa(bg, self.outdir / "graph.gfa.gz")
         ogfa.write_gfa_super(D, self.outdir / "supergraph.gfa.gz")
 
+        # final assembly state (the final/a.sup* family analogue): enough to
+        # re-emit any FASTA flavor without recomputing (mkoutput)
+        import pickle
+
+        with open(self.outdir / "assembly_state.pkl", "wb") as f:
+            pickle.dump(
+                {"D": D, "lines": lines, "scaffolds": scaffolds,
+                 "phasings": phasings}, f,
+            )
+
         scaffold_seqs = []
         for sc in scaffolds:
             parts = [
