@@ -86,10 +86,12 @@ def trim_weak_edges(
     min_tip_kmers: int = 2 * K,
     weak_support: int = 0,
     strong_support: int = 10,
+    tips: bool = True,
 ) -> np.ndarray:
     """Edge deletion mask: hairy tips (dead-end edges <= 2K kmers,
-    cmd_main_asm.rs:54-68) and unsupported fork branches whose sibling is
-    strongly supported (Lawnmower's lopsided rule, 10X/Lawnmower.cc:3-25).
+    cmd_main_asm.rs:54-68; disabled with tips=False — genuine sequence ends
+    are tips too) and unsupported fork branches whose sibling is strongly
+    supported (Lawnmower's lopsided rule, 10X/Lawnmower.cc:3-25).
     Deletions are involution-symmetric.  Returns bool (E,) keep mask."""
     E = bg.n_edges
     keep = np.ones(E, dtype=bool)
@@ -99,7 +101,12 @@ def trim_weak_edges(
     outdeg = np.bincount(bg.from_v, minlength=bg.n_vertices)
 
     # hairy tips: hanging edges (dead-end at either endpoint) that are short
-    tip = ((indeg[bg.from_v] == 0) | (outdeg[bg.to_v] == 0)) & (kmers <= min_tip_kmers)
+    if tips:
+        tip = ((indeg[bg.from_v] == 0) | (outdeg[bg.to_v] == 0)) & (
+            kmers <= min_tip_kmers
+        )
+    else:
+        tip = np.zeros(E, dtype=bool)
     # but keep isolated edges (both ends bare and long enough handled above)
     # weak fork branches
     weak = np.zeros(E, dtype=bool)

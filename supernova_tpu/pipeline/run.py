@@ -324,6 +324,18 @@ class Pipeline:
         self.stats.log("n_closures", len(cl), "closure paths", stage="supergraph")
 
         keep = asg.trim_weak_edges(bg, counts)
+        # TR trimming ahead of MC: closures riding Lawnmower-trimmed WEAK
+        # FORK branches are error evidence — drop them (dead-end tips stay:
+        # genuine sequence ends are tips too)
+        keep_forks = asg.trim_weak_edges(bg, counts, tips=False)
+        if cl and not keep_forks.all():
+            n0 = len(cl)
+            cl = [c for c in cl if bool(keep_forks[np.asarray(c, np.int64)].all())]
+            if n0 != len(cl):
+                self.stats.log(
+                    "closures_trimmed", n0 - len(cl),
+                    "closures dropped on trimmed edges", stage="supergraph",
+                )
         if cl:
             # faithful MC construction: glue closures into D
             D = asg.closures_to_graph(bg, cl)
