@@ -11,7 +11,7 @@ from __future__ import annotations
 import gzip
 import io
 from pathlib import Path
-from typing import Iterator, List, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

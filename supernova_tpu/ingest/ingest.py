@@ -11,7 +11,6 @@ Barcode id convention: 0 = unbarcoded/invalid, whitelist index i -> id i+1
 """
 from __future__ import annotations
 
-from typing import Iterable
 
 import numpy as np
 

@@ -10,7 +10,7 @@ correction + barcode sort).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Iterable, List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -9,8 +9,6 @@ from __future__ import annotations
 import gzip
 from pathlib import Path
 
-from ..core import dna
-
 
 def _open(path, mode):
     path = str(path)

@@ -8,8 +8,6 @@ segments record their base-edge paths in a PT tag.
 from __future__ import annotations
 
 import gzip
-from pathlib import Path
-
 import numpy as np
 
 from ..core.kmer_codec import K

@@ -10,7 +10,6 @@ placement; the algorithms only see the flattened axis.
 from __future__ import annotations
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXIS = "shard"

@@ -26,7 +26,6 @@ unchanged), which is the bit-exactness hook the tests use.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
