@@ -153,6 +153,72 @@ def build_edge_bc_counts(D, dpaths, dlen, read_bc) -> Dict[int, Dict[int, int]]:
     return out
 
 
+def build_edge_molecule_counts(
+    D, lines, dpaths, dlen, read_bc, gap: int = 50_000
+) -> Dict[int, Dict[tuple, int]]:
+    """D-edge -> {molecule: count} with molecules as (bc, line, k) — the
+    barcode's reads on a line are clustered into molecules by position gaps
+    (Flipper phases MOLECULES, not barcodes; a barcode with two molecules on
+    one long line must not fake bridging evidence)."""
+    from .molecules import element_offsets
+
+    r, mp = dpaths.shape
+    dlen = np.asarray(dlen)[:r]
+    bc = np.asarray(read_bc)[:r]
+
+    # per D-edge: line + element start coordinate
+    nd = D.n_edges
+    line_of = np.full(nd, -1, np.int64)
+    pos_of = np.zeros(nd, np.int64)
+    for li, ln in enumerate(lines.lines):
+        offs = element_offsets(D, ln)
+        for j, el in enumerate(ln.elements):
+            for d in el.edge_ids():
+                line_of[int(d)] = li
+                pos_of[int(d)] = offs[j]
+
+    d0 = np.where(dlen > 0, dpaths[:, 0], -1).astype(np.int64)
+    ok = (d0 >= 0) & (bc > 0)
+    safe = np.clip(d0, 0, nd - 1)
+    li = np.where(ok, line_of[safe], -1)
+    pos = np.where(ok, pos_of[safe], 0)
+    keep = ok & (li >= 0)
+    rid = np.nonzero(keep)[0]
+    kb, kl, kp = bc[keep], li[keep], pos[keep]
+    order = np.lexsort((kp, kl, kb))
+    kb, kl, kp, rid = kb[order], kl[order], kp[order], rid[order]
+    if len(kb) == 0:
+        return {}
+    new_grp = np.concatenate(
+        [[True], (kb[1:] != kb[:-1]) | (kl[1:] != kl[:-1])]
+    )
+    far = np.concatenate([[False], (kp[1:] - kp[:-1]) > gap])
+    new_mol = new_grp | far
+    mol_idx = np.cumsum(new_mol) - 1  # global molecule serial
+
+    # read -> molecule key (bc, line, serial)
+    mol_of_read: Dict[int, tuple] = {}
+    for i in range(len(rid)):
+        mol_of_read[int(rid[i])] = (int(kb[i]), int(kl[i]), int(mol_idx[i]))
+
+    out: Dict[int, Dict[tuple, int]] = {}
+    rows, cols = np.nonzero(
+        (np.arange(mp)[None, :] < dlen[:, None]) & (dpaths >= 0)
+    )
+    seen = set()
+    for rr, cc in zip(rows, cols):
+        key = mol_of_read.get(int(rr))
+        if key is None:
+            continue
+        d = int(dpaths[rr, cc])
+        pair = (rr, d)
+        if pair in seen:  # one support unit per (read, D-edge)
+            continue
+        seen.add(pair)
+        out.setdefault(d, {})[key] = out.setdefault(d, {}).get(key, 0) + 1
+    return out
+
+
 def phase_block_lengths(D, line, ph: LinePhasing) -> List[int]:
     """Approximate phase-block lengths in bases (distance between the first
     and last bubble of each block along the line)."""

@@ -540,7 +540,14 @@ class Pipeline:
                 "scaffold gaps closed by read stacks", stage="scaffold",
             )
 
-        bc_counts = aph.build_edge_bc_counts(D, self._dpaths, self._dlen, rs.bc)
+        if getattr(self, "_molecules", None):
+            bc_counts = aph.build_edge_molecule_counts(
+                D, lines, self._dpaths, self._dlen, rs.bc
+            )
+        else:
+            bc_counts = aph.build_edge_bc_counts(
+                D, self._dpaths, self._dlen, rs.bc
+            )
         phasings = {}
         for sc in scaffolds:
             for li in sc.line_ids:
