@@ -37,16 +37,62 @@ _MAX_LONG_PARTNERS = 40  # cap pairwise extension work on very hot edges
 
 
 LOOK_MERGE_BASES = 250 + 47  # ShortMergers LOOK_MERGE=250 kmers -> bases
+LOOK = 6  # ShortMergers exploration depth (CleanThe.cc:2353)
+
+
+def _local_pairs(D, min_kmers: int, look: int = LOOK) -> set:
+    """Candidate merge pairs: edges >= min_kmers kmers encountered within a
+    `look`-hop forward exploration of a common vertex
+    (ExploreRightToDepth, ShortMergers.cc:293-306) — merging is LOCAL;
+    distant repeat copies are never candidates."""
+    from .clean import superedge_kmers
+
+    lens = superedge_kmers(D)
+    out_at: Dict[int, List[int]] = {}
+    for d in range(D.n_edges):
+        out_at.setdefault(int(D.from_v[d]), []).append(d)
+    pairs: set = set()
+    for v in range(D.n_vertices):
+        seen: List[int] = []
+        frontier = [v]
+        visited = {v}
+        for _ in range(look):
+            nxt = []
+            for u in frontier:
+                for d in out_at.get(u, ()):
+                    if lens[d] >= min_kmers:
+                        seen.append(d)
+                    w = int(D.to_v[d])
+                    if w not in visited:
+                        visited.add(w)
+                        nxt.append(w)
+            frontier = nxt
+            if not frontier or len(seen) > 24:
+                break
+        seen = sorted(set(seen))
+        for i in range(len(seen)):
+            for j in range(i + 1, len(seen)):
+                pairs.add((seen[i], seen[j]))
+    return pairs
 
 
 def merge_short_overlaps(D, min_over_bases: int = LOOK_MERGE_BASES):
     """MergeShortOverlaps analogue (10X/mergers/ShortMergers.h, called 6x
-    with Zipper from CleanThe.cc:2585-2597): re-nucleate the superedge
-    paths with interior matches allowed, merging D-edges that share a
-    >= LOOK_MERGE-kmer base-edge run (the duplicates ClosuresToGraph leaves
-    when closures overlap without reaching ends).  D's own vertex structure
-    rides along as explicit boundary unions so adjacency is preserved."""
+    with Zipper from CleanThe.cc:2585-2597): merge superedges that share a
+    unique >= LOOK_MERGE-kmer base-edge run AND sit within a LOOK-hop
+    neighborhood of a common vertex (FindOverlap + ExploreRightToDepth) —
+    the duplicates ClosuresToGraph leaves when closures overlap without
+    reaching ends.  D's own vertex structure rides along as explicit
+    boundary unions so adjacency is preserved."""
     paths = [tuple(int(e) for e in D.epaths.row(d)) for d in range(D.n_edges)]
+    min_k = max(min_over_bases - 47, 1)
+    cand = _local_pairs(D, min_k)
+    # rc image pairs keep the merge involution-symmetric
+    dinv = D.dinv
+    cand |= {
+        tuple(sorted((int(dinv[a]), int(dinv[b])))) for a, b in cand
+    }
+    pair_tuples = [(paths[a], paths[b]) for a, b in cand if paths[a] != paths[b]]
     groups: Dict[int, List[Tuple[tuple, int]]] = {}
     for d, p in enumerate(paths):
         groups.setdefault(int(D.from_v[d]), []).append((p, 0))
@@ -56,6 +102,7 @@ def merge_short_overlaps(D, min_over_bases: int = LOOK_MERGE_BASES):
         paths,
         min_over_bases=min_over_bases,
         interior_matches=True,
+        interior_pairs=pair_tuples,
         extra_unions=list(groups.values()),
     )
 
@@ -124,6 +171,7 @@ def nucleate_graph(
     min_over_bases: int | None = MIN_OVER_BASES,
     interior_matches: bool = False,
     extra_unions=None,
+    interior_pairs=None,
 ):
     """Closures -> SuperGraph D by gluing (ClosuresToGraph analogue).
 
@@ -183,7 +231,9 @@ def nucleate_graph(
     # pure-python fallback
     from ..native import load_nucleate
 
-    lib = load_nucleate()
+    # merge mode (pair-restricted interior matches) runs the python path:
+    # supergraph-scale inputs are small
+    lib = None if interior_pairs is not None else load_nucleate()
     if lib is not None:
         vals32 = np.ascontiguousarray(
             np.concatenate([np.asarray(c, np.int32) for c in cls])
@@ -231,7 +281,37 @@ def nucleate_graph(
     # (GetMatches:163-201).  Interior mode: seed at every shared edge and
     # accept any >= MIN_OVER match (MergeShortOverlaps semantics).
     candidates: List[Tuple[int, int, int, int, int, int]] = []
-    for i1, x1 in enumerate(cls):
+    if interior_matches and interior_pairs is not None:
+        # pair-restricted merge mode (MergeShortOverlaps): each candidate
+        # pair merges only on a UNIQUE >= gate overlap (FindOverlap,
+        # ShortMergers.cc:14-50, allow_two=False)
+        seen_pairs = set()
+        for ta, tb in interior_pairs:
+            i1 = idx.get(tuple(int(e) for e in ta))
+            i2 = idx.get(tuple(int(e) for e in tb))
+            if i1 is None or i2 is None or i1 == i2:
+                continue
+            if (i1, i2) in seen_pairs:
+                continue
+            seen_pairs.add((i1, i2))
+            x1, x2 = cls[i1], cls[i2]
+            by_off: Dict[int, Tuple[int, int, int, int]] = {}
+            for j1, e in enumerate(x1):
+                for j2, e2 in enumerate(x2):
+                    if e2 != e or (j1 - j2) in by_off:
+                        continue
+                    s1, s2, L = _extend(x1, x2, j1, j2)
+                    over = int(kmers[list(x1[s1 : s1 + L])].sum())
+                    by_off[j1 - j2] = (s1, s2, L, over)
+            good = [m for m in by_off.values() if m[3] >= min_over]
+            if len(good) != 1:
+                continue  # none, or ambiguous placement — skip the pair
+            s1, s2, L, _ = good[0]
+            union_match(i1, s1, i2, s2, L)
+        interior_iter = []
+    else:
+        interior_iter = list(enumerate(cls))
+    for i1, x1 in interior_iter:
         if interior_matches:
             first: Dict[int, int] = {}
             for j, e in enumerate(x1):
