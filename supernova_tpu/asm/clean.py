@@ -72,6 +72,37 @@ def simple_hangs(
     return sorted(set(dels))
 
 
+MAX_KILLX = 2500  # CleanThe.cc:2350
+MIN_RATIOX = 20.0  # CleanThe.cc:2351
+
+
+def compound_hangs(
+    D, max_kill: int = MAX_KILLX, min_ratio: float = MIN_RATIOX
+) -> List[int]:
+    """FindCompoundHangs (CleanThe.cc:2782-2795, MAX_KILLX=2500,
+    MIN_RATIOX=20): delete a branch whose
+    ENTIRE forward continuation is short (<= max_kill kmers, subtree
+    included via the capped distance-to-end) when a sibling continues
+    >= min_ratio times farther; the orphaned subtree falls to the
+    small-component pass.  -> D-edge ids (involution-symmetric)."""
+    lens = superedge_kmers(D)
+    dfw = distances_to_end(D, lens, int(max_kill * min_ratio))
+    dels: List[int] = []
+    by_from: dict = {}
+    for e in range(D.n_edges):
+        by_from.setdefault(int(D.from_v[e]), []).append(e)
+    for v, outs in by_from.items():
+        if len(outs) < 2:
+            continue
+        n = [int(lens[e] + dfw[int(D.to_v[e])]) for e in outs]
+        best = max(n)
+        for e, ne in zip(outs, n):
+            if ne <= max_kill and best >= min_ratio * max(ne, 1) and ne < best:
+                dels.append(int(e))
+                dels.append(int(D.dinv[e]))
+    return sorted(set(dels))
+
+
 def weak_cell_arms(D, lines, support: np.ndarray, strong: int = STRONG) -> List[int]:
     """3:0 rule over two-arm cells: delete the unsupported arm when the
     sibling has >= `strong` read support.  Arm support is measured on edges
@@ -152,6 +183,7 @@ def clean_supergraph(D, place_fn, max_rounds: int = 4):
             total += D.n_edges - merged.n_edges
             D = merged
         dels = simple_hangs(D)
+        dels += compound_hangs(D)
         dels += remove_very_small_components(D)
         dpaths, dlen = place_fn(D)
         support = dpath_counts(D, dpaths, dlen)

@@ -78,3 +78,39 @@ def test_decycle_removes_unsupported_back_edge():
     dlen = np.asarray([3, 0] * 5, np.int64)
     dels = apull.decycle(D, dpaths, dlen)
     assert 2 in dels and 6 in dels
+
+
+def test_compound_hangs():
+    """A short hanging subtree beside a long continuation is deleted."""
+    from types import SimpleNamespace
+
+    from supernova_tpu.asm.clean import compound_hangs
+    from supernova_tpu.core.kmer_codec import K
+
+    # v0 --a--> v1 --{long b, short hang c -> d}--> ...
+    # ids:       a  b  c  d   ra rb rc rd
+    rows = [[0], [1], [2], [3], [10], [11], [12], [13]]
+    from supernova_tpu.asm.supergraph import SuperGraph
+    from supernova_tpu.core.ragged import Ragged
+    import numpy as np
+
+    class BG:
+        class E:
+            @staticmethod
+            def lengths():
+                #                 a      b     c    d    and rc twins
+                return np.array([2000, 9000, 120, 100, 2000, 9000, 120, 100]) + (K - 1)
+
+        edges = E()
+
+    D = SuperGraph(
+        epaths=Ragged.from_rows([np.array([i]) for i in range(8)]),
+        dinv=np.array([4, 5, 6, 7, 0, 1, 2, 3]),
+        from_v=np.array([0, 1, 1, 2, 20, 21, 22, 23]),
+        to_v=np.array([1, 10, 2, 3, 30, 31, 32, 33]),
+        n_vertices=40,
+        bg=BG(),
+    )
+    dels = compound_hangs(D)
+    assert 2 in dels and 6 in dels  # the short branch + its rc twin
+    assert 1 not in dels and 0 not in dels
