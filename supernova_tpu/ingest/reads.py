@@ -62,24 +62,44 @@ class ReadSet:
         assert np.all(np.diff(self.bc) >= 0), "reads must be barcode-sorted"
         assert self.bci[0] == 0 and self.bci[-1] == self.n_reads
 
-    def save(self, path: str | Path):
+    def save(self, path: str | Path, pack_quals: bool = True):
+        """Checkpoint (fastb/qualp/bci analogue).  Quals store PQVec-style
+        by default: a 4-entry codebook + 2-bit codes (core/pqvec.py)."""
+        extra = {}
+        if pack_quals:
+            from ..core import pqvec
+
+            book = pqvec.build_codebook(self.quals)
+            extra = {
+                "qualp": pqvec.pack(self.quals, book),
+                "qual_book": book,
+                "n_quals": np.int64(len(self.quals)),
+            }
+        else:
+            extra = {"quals": self.quals}
         np.savez_compressed(
             path,
             codes=self.codes,
             offsets=self.offsets,
-            quals=self.quals,
             bc=self.bc,
             bci=self.bci,
             barcoded=np.array(self.barcoded),
+            **extra,
         )
 
     @staticmethod
     def load(path: str | Path) -> "ReadSet":
         z = np.load(path)
+        if "qualp" in z:
+            from ..core import pqvec
+
+            quals = pqvec.unpack(z["qualp"], int(z["n_quals"]), z["qual_book"])
+        else:
+            quals = z["quals"]
         return ReadSet(
             codes=z["codes"],
             offsets=z["offsets"],
-            quals=z["quals"],
+            quals=quals,
             bc=z["bc"],
             bci=z["bci"],
             barcoded=bool(z["barcoded"]),

@@ -141,3 +141,30 @@ def test_gfa_export(tmp_path, rng):
     n2 = ogfa.write_gfa_super(D, tmp_path / "d.gfa")
     txt = (tmp_path / "d.gfa").read_text()
     assert n2 >= 1 and "PT:Z:" in txt
+
+
+def test_pqvec_roundtrip(rng):
+    from supernova_tpu.core import pqvec
+
+    # 10x-style 4-valued quals round-trip exactly
+    q = rng.choice([2, 12, 23, 37], size=1000).astype(np.uint8)
+    book = pqvec.build_codebook(q)
+    assert np.array_equal(pqvec.unpack(pqvec.pack(q, book), len(q), book), q)
+    assert pqvec.roundtrip_exact_fraction(q, book) == 1.0
+    # off-codebook values round to nearest entry
+    q2 = np.array([2, 11, 24, 40], np.uint8)
+    back = pqvec.unpack(pqvec.pack(q2, book), len(q2), book)
+    assert np.array_equal(back, [2, 12, 23, 37])
+
+
+def test_readset_pqvec_save_load(tmp_path, rng):
+    from supernova_tpu.ingest.reads import ReadSet, build_readset
+
+    reads = [rng.integers(0, 4, 100).astype(np.uint8) for _ in range(8)]
+    quals = [rng.choice([2, 12, 23, 37], size=100).astype(np.uint8) for _ in range(8)]
+    rs = build_readset(reads, quals, np.zeros(4, np.int32), n_barcodes=0,
+                       barcoded=False)
+    rs.save(tmp_path / "rs.npz")
+    back = ReadSet.load(tmp_path / "rs.npz")
+    assert np.array_equal(back.quals, rs.quals)
+    assert np.array_equal(back.codes, rs.codes)
