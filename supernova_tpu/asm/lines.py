@@ -22,8 +22,15 @@ import numpy as np
 from ..core.kmer_codec import K
 
 MAX_CELL_PATHS = 20  # 10X/Heuristics.h:20
-MAX_CELL_DEPTH = 5  # 10X/Heuristics.h:21 (bounds cell path length in edges)
-_MAX_CELL_STEPS = 64  # superbubble search bound (vertices)
+MAX_CELL_DEPTH = 5  # 10X/Heuristics.h:21 (nesting depth in the reference)
+# The reference bounds cells tightly and handles megabubbles at the
+# lines-of-lines level (FindLineLines + ScafLinePrinter).  Here cells
+# capture megabubble-scale regions directly: the PATH-COUNT bound (20)
+# still caps enumeration work, but arms may be long — phasing, pseudohap
+# arm choice, and busting all operate on cells, so deep two-arm regions
+# phase exactly like small bubbles.
+_MAX_CELL_PATH_EDGES = 64  # max edges per cell path
+_MAX_CELL_STEPS = 256  # superbubble search bound (vertices)
 
 
 @dataclass
@@ -146,7 +153,7 @@ def _enumerate_paths(
     t: int,
     out_adj: Dict[int, List[Tuple[int, int]]],
     max_paths: int = MAX_CELL_PATHS,
-    max_len: int = 2 * MAX_CELL_DEPTH,
+    max_len: int = _MAX_CELL_PATH_EDGES,
 ) -> List[np.ndarray] | None:
     """All edge paths v -> t (DFS, bounded); None if bounds exceeded."""
     paths: List[np.ndarray] = []
