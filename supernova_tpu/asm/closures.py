@@ -71,11 +71,17 @@ def _build_bridges(paths_edges, path_len, flank_pairs) -> dict:
     for e1, e2 in flank_pairs:
         want_e1.setdefault(e1, set()).add(e2)
     out: dict = {}
-    n = paths_edges.shape[0]
-    for r in range(n):
-        pl = int(path_len[r])
-        if pl < 2:
-            continue
+    n, mp = paths_edges.shape
+    pl_all = np.asarray(path_len)[:n]
+    # vectorized prefilter: only reads whose path touches some flank e1
+    e1s = np.asarray(sorted(want_e1), dtype=np.int64)
+    if len(e1s) == 0:
+        return out
+    slot_ok = np.arange(mp)[None, :] < pl_all[:, None]
+    masked = np.where(slot_ok, paths_edges[:n], -1)
+    cand = np.nonzero((np.isin(masked, e1s)).any(axis=1) & (pl_all >= 2))[0]
+    for r in cand:
+        pl = int(pl_all[r])
         p = paths_edges[r, :pl]
         for a in range(pl - 1):
             e1 = int(p[a])

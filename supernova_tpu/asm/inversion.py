@@ -30,31 +30,46 @@ MAX_CAN_INS_DEL = 4  # CP.cc:595
 MIN_CAN_INS_RATIO = 5  # Super.h:192 default
 
 
+class PairBarcodes:
+    """Sorted (ordered-edge-pair, id) rows supporting O(log n) queries —
+    the vectorized form of the (d_a, d_b) -> barcode-set map."""
+
+    def __init__(self, D, dpaths: np.ndarray, dlen: np.ndarray, read_bc):
+        r, mp = dpaths.shape
+        dlen = np.asarray(dlen)[:r]
+        self.ed = np.int64(D.n_edges + 1)
+        if r == 0 or mp < 2:
+            self.key = np.zeros(0, np.int64)
+            self.id = np.zeros(0, np.int64)
+            return
+        if read_bc is None:
+            ids = np.arange(r, dtype=np.int64)
+        else:
+            ids = np.asarray(read_bc)[:r].astype(np.int64)
+        a = dpaths[:, :-1]
+        b = dpaths[:, 1:]
+        slot = np.arange(mp - 1)[None, :]
+        ok = (slot + 1 < dlen[:, None]) & (a >= 0) & (b >= 0)
+        if read_bc is not None:
+            ok &= ids[:, None] > 0
+        rows, cols = np.nonzero(ok)
+        pair_k = a[rows, cols].astype(np.int64) * self.ed + b[rows, cols]
+        uniq = np.unique(np.stack([pair_k, ids[rows]], axis=1), axis=0)
+        self.key = uniq[:, 0]
+        self.id = uniq[:, 1]
+
+    def ids(self, da: int, db: int) -> np.ndarray:
+        k = np.int64(da) * self.ed + db
+        lo = np.searchsorted(self.key, k, side="left")
+        hi = np.searchsorted(self.key, k, side="right")
+        return self.id[lo:hi]
+
+
 def consecutive_pair_barcodes(
     D, dpaths: np.ndarray, dlen: np.ndarray, read_bc: np.ndarray | None
-) -> Dict[Tuple[int, int], Set[int]]:
-    """(d_a, d_b) -> set of barcodes with a read whose D-path traverses
-    a then b consecutively.  Unbarcoded data counts read ids instead, so
-    the same support thresholds apply."""
-    r, mp = dpaths.shape
-    dlen = np.asarray(dlen)[:r]
-    out: Dict[Tuple[int, int], Set[int]] = {}
-    if r == 0 or mp < 2:
-        return out
-    if read_bc is None:
-        ids = np.arange(r, dtype=np.int64)
-    else:
-        ids = np.asarray(read_bc)[:r].astype(np.int64)
-    a = dpaths[:, :-1]
-    b = dpaths[:, 1:]
-    slot = np.arange(mp - 1)[None, :]
-    ok = (slot + 1 < dlen[:, None]) & (a >= 0) & (b >= 0)
-    if read_bc is not None:
-        ok &= ids[:, None] > 0
-    rows, cols = np.nonzero(ok)
-    for rr, cc in zip(rows, cols):
-        out.setdefault((int(a[rr, cc]), int(b[rr, cc])), set()).add(int(ids[rr]))
-    return out
+) -> PairBarcodes:
+    """(d_a, d_b) consecutive-traversal support index (see PairBarcodes)."""
+    return PairBarcodes(D, dpaths, dlen, read_bc)
 
 
 def zap_inversion_bubbles(D, lines) -> List[int]:
@@ -75,14 +90,6 @@ def zap_inversion_bubbles(D, lines) -> List[int]:
     return sorted(set(dels))
 
 
-def _in_edges(D, v: int) -> List[int]:
-    return np.nonzero(D.to_v == v)[0].tolist()
-
-
-def _out_edges(D, v: int) -> List[int]:
-    return np.nonzero(D.from_v == v)[0].tolist()
-
-
 def kill_inversion_artifacts(
     D,
     dpaths: np.ndarray,
@@ -96,33 +103,39 @@ def kill_inversion_artifacts(
     pair_bc = consecutive_pair_barcodes(D, dpaths, dlen, read_bc)
 
     def branch_support(h: int, g: int) -> int:
-        bcs = set(pair_bc.get((h, g), ()))
-        bcs |= pair_bc.get((int(dinv[g]), int(dinv[h])), set())
-        return len(bcs)
+        fwd = pair_bc.ids(h, g)
+        rc = pair_bc.ids(int(dinv[g]), int(dinv[h]))
+        return len(np.union1d(fwd, rc))
 
     dels: List[int] = []
+    # adjacency once (the per-vertex nonzero scans were quadratic)
+    in_at: Dict[int, List[int]] = {}
+    out_at: Dict[int, List[int]] = {}
+    for e in range(D.n_edges):
+        out_at.setdefault(int(D.from_v[e]), []).append(e)
+        in_at.setdefault(int(D.to_v[e]), []).append(e)
     # candidate forks: one in-edge, two out-edges
     indeg = np.bincount(D.to_v, minlength=D.n_vertices)
     outdeg = np.bincount(D.from_v, minlength=D.n_vertices)
     for v in np.nonzero((indeg == 1) & (outdeg == 2))[0]:
-        h = _in_edges(D, v)[0]
-        outs = _out_edges(D, int(v))
+        h = in_at[int(v)][0]
+        outs = out_at[int(v)]
         for z, f in ((outs[0], outs[1]), (outs[1], outs[0])):
             w = int(D.to_v[z])
-            w_outs = _out_edges(D, w)
+            w_outs = out_at.get(w, [])
             if len(w_outs) != 1:
                 continue
             # neighborhoods on each side of the fork (bounded 2-step walk,
             # the nhood construction of Super.cc:3035-3050)
             nhood0 = {int(h), int(f)}
             x = int(D.from_v[h])
-            nhood0.update(int(e) for e in _in_edges(D, x))
+            nhood0.update(int(e) for e in in_at.get(x, ()))
             nhood1 = {int(w_outs[0])}
-            for e in _in_edges(D, w):
+            for e in in_at.get(w, ()):
                 if e != z:
                     nhood1.add(int(e))
                     m = int(D.from_v[e])
-                    nhood1.update(int(g) for g in _in_edges(D, m))
+                    nhood1.update(int(g) for g in in_at.get(m, ()))
             looks_like = any(int(dinv[a]) in nhood1 for a in nhood0)
             if not looks_like:
                 continue

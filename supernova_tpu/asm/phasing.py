@@ -196,26 +196,34 @@ def build_edge_molecule_counts(
     new_mol = new_grp | far
     mol_idx = np.cumsum(new_mol) - 1  # global molecule serial
 
-    # read -> molecule key (bc, line, serial)
-    mol_of_read: Dict[int, tuple] = {}
-    for i in range(len(rid)):
-        mol_of_read[int(rid[i])] = (int(kb[i]), int(kl[i]), int(mol_idx[i]))
+    # read -> global molecule serial (vectorized join through read ids)
+    mol_of = np.full(r, -1, np.int64)
+    mol_of[rid] = mol_idx
+    mol_bc = np.zeros(int(mol_idx[-1]) + 1, np.int64)
+    mol_li = np.zeros(int(mol_idx[-1]) + 1, np.int64)
+    mol_bc[mol_idx] = kb
+    mol_li[mol_idx] = kl
 
-    out: Dict[int, Dict[tuple, int]] = {}
     rows, cols = np.nonzero(
         (np.arange(mp)[None, :] < dlen[:, None]) & (dpaths >= 0)
     )
-    seen = set()
-    for rr, cc in zip(rows, cols):
-        key = mol_of_read.get(int(rr))
-        if key is None:
-            continue
-        d = int(dpaths[rr, cc])
-        pair = (rr, d)
-        if pair in seen:  # one support unit per (read, D-edge)
-            continue
-        seen.add(pair)
-        out.setdefault(d, {})[key] = out.setdefault(d, {}).get(key, 0) + 1
+    d_all = dpaths[rows, cols].astype(np.int64)
+    m_all = mol_of[rows]
+    sel = m_all >= 0
+    # one support unit per (read, D-edge), counted per (D-edge, molecule)
+    rk = rows[sel].astype(np.int64) * np.int64(nd + 1) + d_all[sel]
+    _, first = np.unique(rk, return_index=True)
+    d_u = d_all[sel][first]
+    m_u = m_all[sel][first]
+    key2 = d_u * np.int64(mol_bc.shape[0] + 1) + m_u
+    uk, uc = np.unique(key2, return_counts=True)
+    out: Dict[int, Dict[tuple, int]] = {}
+    for k, c in zip(uk.tolist(), uc.tolist()):
+        d = k // (mol_bc.shape[0] + 1)
+        m = k % (mol_bc.shape[0] + 1)
+        out.setdefault(int(d), {})[
+            (int(mol_bc[m]), int(mol_li[m]), int(m))
+        ] = int(c)
     return out
 
 

@@ -159,12 +159,20 @@ def place_reads(
         support: Dict[Tuple[int, int], int] = {}
         if read_bc is not None:
             bc = np.asarray(read_bc)[:r]
-            flat = dpaths.reshape(-1)
+            flat = dpaths.reshape(-1).astype(np.int64)
             rows2 = np.repeat(np.arange(r), mp)
-            sel = flat >= 0
-            for d, b in zip(flat[sel], bc[rows2[sel]]):
-                if b > 0:
-                    support[(int(b), int(d))] = support.get((int(b), int(d)), 0) + 1
+            sel = (flat >= 0) & (bc[rows2] > 0)
+            key = bc[rows2[sel]].astype(np.int64) * np.int64(D.n_edges + 1) + flat[sel]
+            uk, uc = np.unique(key, return_counts=True)
+            support = dict(
+                zip(
+                    zip(
+                        (uk // (D.n_edges + 1)).tolist(),
+                        (uk % (D.n_edges + 1)).tolist(),
+                    ),
+                    uc.tolist(),
+                )
+            )
         for rr in amb:
             p = [int(e) for e in paths_edges[rr, : plen[rr]] if e >= 0]
             if not p:

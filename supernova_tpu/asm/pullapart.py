@@ -27,50 +27,57 @@ MIN_DIRECT = 5  # SupportSplit sup11/sup22 threshold
 MIN_DIRECT_LOOSE = 10  # with <=1 crossing support
 
 
-def fragment_edge_sets(D, dpaths: np.ndarray, dlen: np.ndarray) -> List[Set[int]]:
-    """Per read pair: D-edges touched by either mate, the mate's translated
-    through dinv into the fragment's forward orientation."""
-    r = dpaths.shape[0]
-    dinv = D.dinv
-    out: List[Set[int]] = []
-    for p in range(r // 2):
-        s: Set[int] = set()
-        for d in dpaths[2 * p, : dlen[2 * p]]:
-            if d >= 0:
-                s.add(int(d))
-        for d in dpaths[2 * p + 1, : dlen[2 * p + 1]]:
-            if d >= 0:
-                s.add(int(dinv[int(d)]))
-        if s:
-            out.append(s)
-    return out
+class FragIndex:
+    """Fragment membership as sorted (edge, pair) rows + a per-edge CSR —
+    vectorized replacement for per-pair python sets."""
+
+    def __init__(self, D, dpaths: np.ndarray, dlen: np.ndarray):
+        r, mp = dpaths.shape
+        dlen = np.asarray(dlen)[:r]
+        slot_ok = np.arange(mp)[None, :] < dlen[:, None]
+        valid = slot_ok & (dpaths >= 0)
+        rows, cols = np.nonzero(valid)
+        d = dpaths[rows, cols].astype(np.int64)
+        mate = rows % 2 == 1
+        d = np.where(mate, D.dinv[d], d)  # mates into fragment orientation
+        pair = (rows // 2).astype(np.int64)
+        key = d * np.int64(r // 2 + 1) + pair
+        uk = np.unique(key)
+        self.n_pairs = r // 2
+        self.edge = (uk // (r // 2 + 1)).astype(np.int64)
+        self.pair = (uk % (r // 2 + 1)).astype(np.int64)
+
+    def pairs_of(self, e: int) -> np.ndarray:
+        lo = np.searchsorted(self.edge, e, side="left")
+        hi = np.searchsorted(self.edge, e, side="right")
+        return self.pair[lo:hi]
 
 
-def _edge_frag_index(frags: List[Set[int]]) -> Dict[int, List[int]]:
-    out: Dict[int, List[int]] = {}
-    for i, s in enumerate(frags):
-        for d in s:
-            out.setdefault(d, []).append(i)
-    return out
+def fragment_edge_sets(D, dpaths: np.ndarray, dlen: np.ndarray) -> FragIndex:
+    """-> FragIndex over read pairs (kept name for callers)."""
+    return FragIndex(D, dpaths, dlen)
+
+
+def _edge_frag_index(frags: FragIndex) -> FragIndex:
+    return frags
 
 
 def _support_split(
-    d1: int, d2: int, f1: int, f2: int, frags, findex, dinv
+    d1: int, d2: int, f1: int, f2: int, frags: FragIndex, findex, dinv
 ) -> bool:
-    """SupportSplit (PullApart.cc:73-137), mode-2 thresholds."""
-    sup = [[0, 0], [0, 0]]
-    cand = set(findex.get(d1, ())) | set(findex.get(d2, ()))
-    for i in cand:
-        s = frags[i]
-        has1, has2 = d1 in s, d2 in s
-        if has1 and has2:
-            continue
-        di = 0 if has1 else 1
-        if f1 in s:
-            sup[di][0] += 1
-        if f2 in s:
-            sup[di][1] += 1
-    s11, s12, s21, s22 = sup[0][0], sup[0][1], sup[1][0], sup[1][1]
+    """SupportSplit (PullApart.cc:73-137), mode-2 thresholds; set algebra
+    over the sorted fragment index."""
+    p1 = frags.pairs_of(d1)
+    p2 = frags.pairs_of(d2)
+    both = np.intersect1d(p1, p2, assume_unique=True)
+    only1 = np.setdiff1d(p1, both, assume_unique=True)
+    only2 = np.setdiff1d(p2, both, assume_unique=True)
+    pf1 = frags.pairs_of(f1)
+    pf2 = frags.pairs_of(f2)
+    s11 = len(np.intersect1d(only1, pf1, assume_unique=True))
+    s12 = len(np.intersect1d(only1, pf2, assume_unique=True))
+    s21 = len(np.intersect1d(only2, pf1, assume_unique=True))
+    s22 = len(np.intersect1d(only2, pf2, assume_unique=True))
     if int(dinv[f1]) == f2:
         return s11 >= MIN_DIRECT and s22 >= MIN_DIRECT and (
             s11 + s22 >= 5 * (s12 + s21)
@@ -214,7 +221,7 @@ def decycle(D, dpaths: np.ndarray, dlen: np.ndarray, min_loop_support: int = 2):
         if not ds or not back:
             continue
         for c in back:
-            if len(findex.get(c, ())) < min_loop_support:
+            if len(findex.pairs_of(c)) < min_loop_support:
                 dels.append(int(c))
                 dels.append(int(D.dinv[c]))
     return sorted(set(dels))

@@ -21,16 +21,24 @@ MAX_GAP_READS = 400
 
 
 def reads_by_line(lines, dpaths: np.ndarray, dlen: np.ndarray) -> Dict[int, List[int]]:
-    """line id -> read ids placed on it (any placed D-edge)."""
-    out: Dict[int, List[int]] = {}
+    """line id -> read ids placed on it (first placed D-edge), vectorized."""
     r, mp = dpaths.shape
-    loe = lines.line_of_edge
-    for rr in range(r):
-        for j in range(int(dlen[rr])):
-            d = int(dpaths[rr, j])
-            if d >= 0 and loe[d] >= 0:
-                out.setdefault(int(loe[d]), []).append(rr)
-                break
+    dlen = np.asarray(dlen)[:r]
+    loe = np.asarray(lines.line_of_edge)
+    valid = (np.arange(mp)[None, :] < dlen[:, None]) & (dpaths >= 0)
+    first = np.argmax(valid, axis=1)
+    has = valid[np.arange(r), first]
+    d0 = dpaths[np.arange(r), first]
+    li = np.where(has, loe[np.clip(d0, 0, len(loe) - 1)], -1)
+    out: Dict[int, List[int]] = {}
+    keep = li >= 0
+    order = np.argsort(li[keep], kind="stable")
+    rids = np.nonzero(keep)[0][order]
+    lis = li[keep][order]
+    if len(lis):
+        starts = np.concatenate([[0], np.nonzero(lis[1:] != lis[:-1])[0] + 1, [len(lis)]])
+        for a, b in zip(starts[:-1], starts[1:]):
+            out[int(lis[a])] = rids[a:b].tolist()
     return out
 
 
