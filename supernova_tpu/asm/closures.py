@@ -104,24 +104,49 @@ def make_closures(
     """-> unique closure paths (tuples of base edge ids), involution-doubled,
     plus long unused edges as singletons."""
     n_reads = paths_edges.shape[0]
+    n_pairs = n_reads // 2
     inv = bg.inv
+    E = bg.n_edges
     closures = set()
-    used = np.zeros(bg.n_edges, dtype=bool)
+    used = np.zeros(E, dtype=bool)
+    pl = np.asarray(path_len)[:n_reads]
 
-    # collect pair paths + the flank pairs needing a read bridge
+    # vectorized fast path: both mates single-edge (the vast majority) —
+    # same-edge and graph-adjacent joins resolve without the python loop
+    l1 = pl[0::2][:n_pairs]
+    l2 = pl[1::2][:n_pairs]
+    e1 = paths_edges[0::2, 0][:n_pairs].astype(np.int64)
+    e2 = paths_edges[1::2, 0][:n_pairs].astype(np.int64)
+    live = np.ones(n_pairs, bool) if dup is None else ~np.asarray(dup)[:n_pairs]
+    simple = live & (l1 == 1) & (l2 == 1) & (e1 >= 0) & (e2 >= 0)
+    e2rc = inv[np.clip(e2, 0, E - 1)]
+    same = simple & (e1 == e2rc)
+    adj = simple & ~same & (
+        bg.to_v[np.clip(e1, 0, E - 1)] == bg.from_v[np.clip(e2rc, 0, E - 1)]
+    )
+    for e in np.unique(e1[same]):
+        closures.add((int(e),))
+        used[int(e)] = used[int(inv[e])] = True
+    for a, b in np.unique(
+        np.stack([e1[adj], e2rc[adj]], axis=1), axis=0
+    ).tolist():
+        closures.add((int(a), int(b)))
+        used[int(a)] = used[int(inv[a])] = True
+        used[int(b)] = used[int(inv[b])] = True
+
+    # the rest walk the full Closer logic
+    rest = np.nonzero(live & ~(same | adj))[0]
     pair_paths = []
     flank_pairs = set()
-    for pair in range(n_reads // 2):
-        if dup is not None and dup[pair]:
-            continue
+    for pair in rest:
         r1, r2 = 2 * pair, 2 * pair + 1
-        p1 = [int(e) for e in paths_edges[r1, : path_len[r1]]]
-        p2 = [int(e) for e in paths_edges[r2, : path_len[r2]]]
+        p1 = [int(e) for e in paths_edges[r1, : pl[r1]]]
+        p2 = [int(e) for e in paths_edges[r2, : pl[r2]]]
         p2rc = [int(inv[e]) for e in reversed(p2)]
         pair_paths.append((p1, p2rc))
         if p1 and p2rc:
             flank_pairs.add((p1[-1], p2rc[0]))
-    bridges = _build_bridges(paths_edges, np.asarray(path_len), flank_pairs)
+    bridges = _build_bridges(paths_edges, pl, flank_pairs)
 
     for p1, p2rc in pair_paths:
         joined = _join_pair(bg, p1, p2rc, bridges)
