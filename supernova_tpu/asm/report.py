@@ -14,6 +14,16 @@ import numpy as np
 from ..stats.logger import StatLogger, n50
 
 
+def nstat(lengths, frac: float) -> int:
+    """N-statistic at `frac` (N50 = 0.5, N60 = 0.6 — the reference reports
+    both, AssemblyStats.cc:755-800)."""
+    ls = np.sort(np.asarray(lengths))[::-1]
+    if ls.size == 0:
+        return 0
+    target = ls.sum() * frac
+    return int(ls[np.searchsorted(np.cumsum(ls), target)])
+
+
 def contig_lengths_from_seq(seq: str) -> List[int]:
     """Split a scaffold sequence at N runs -> contig lengths."""
     out, run = [], 0
@@ -58,11 +68,29 @@ def report_assembly_stats(
         cs=True,
     )
     stats.log("contig_N50", n50(contigs), "contig N50 (bases)", cs=True)
+    stats.log("contig_N60", nstat(contigs, 0.6), "contig N60 (bases)", cs=True)
     stats.log("scaffold_N50", n50(scaff_lens), "scaffold N50 (bases)", cs=True)
     stats.log(
+        "scaffold_N60", nstat(scaff_lens, 0.6), "scaffold N60 (bases)", cs=True
+    )
+    total_with_gaps = int(sum(scaff_lens))
+    nonn = int(sum(contigs))
+    stats.log(
         "assembly_size",
-        int(sum(contigs)),
+        nonn,
         "assembly size (non-N bases)",
+        cs=True,
+    )
+    stats.log(
+        "gap_perc",
+        100.0 * (total_with_gaps - nonn) / total_with_gaps if total_with_gaps else 0.0,
+        "% N gap bases in scaffolds",
+        cs=True,
+    )
+    stats.log(
+        "bases_in_10kb_scaffolds",
+        int(sum(l for l in scaff_lens if l >= 10_000)),
+        "bases in scaffolds >= 10 kb",
         cs=True,
     )
 
