@@ -104,6 +104,20 @@ class Pipeline:
             self.stats.log("rpb_N50", n50(rpb[rpb > 0]), "N50 reads per barcode", cs=True)
         q30 = float((rs.quals >= 30).mean() * 100) if len(rs.quals) else 0.0
         self.stats.log("q30_r2_perc", q30, "Q30 bases %", stage="ingest")
+        # bad-cycles check (DF.cc:364-424 qual-stat alerts / the
+        # "quality <= 2 at fixed positions" alarm): per-cycle Q<=2 fraction
+        if rs.n_reads:
+            lens = rs.lengths()
+            L = int(lens.min())
+            if L > 0:
+                starts = rs.offsets[:-1]
+                idx = starts[:, None] + np.arange(L)[None, :]
+                qmat = rs.quals[idx]
+                bad_cycle_frac = float((qmat <= 2).mean(axis=0).max())
+                self.stats.log(
+                    "worst_cycle_q2_frac", 100.0 * bad_cycle_frac,
+                    "worst per-cycle %% of bases with Q<=2", stage="ingest",
+                )
         return rs
 
     def stage_count(self, rs: ReadSet):

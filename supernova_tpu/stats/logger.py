@@ -47,6 +47,9 @@ DEFAULT_ALERTS: List[Alert] = [
           "median insert size {value:.0f} < 300; ideal 350-400."),
     Alert("proper_pairs_perc", "value < 75", "alarm",
           "proper pair fraction {value:.1f}%; ideal >= 85%."),
+    Alert("worst_cycle_q2_frac", "value > 50", "alarm",
+          "{value:.0f}% of bases at one read cycle have Q<=2; likely a "
+          "sequencer failure at that cycle."),
     # coverage envelope (alarms-supernova.json:73-85)
     Alert("est_coverage", "value < 15", "alarm",
           "estimated raw coverage {value:.0f}x < 15x; ideal 38-56x."),
