@@ -88,22 +88,50 @@ class Lines:
         return len(self.lines)
 
     def lengths(self, D) -> np.ndarray:
-        """Per-line length in bases (longest path through each cell)."""
+        """Per-line length in bases (longest path through each cell).
+        N-type gap edges ({-1}/{-2}/{-4}) do not overlap their neighbors by
+        K-1, so junctions around them skip the overlap subtraction."""
         out = np.zeros(self.n_lines, dtype=np.int64)
         elens = np.array([D.edge_len(d) for d in range(D.n_edges)], dtype=np.int64)
+        no_ov = _no_overlap_mask(D)
         for i, ln in enumerate(self.lines):
             total = 0
+            prev_last = -1
             for j, el in enumerate(ln.elements):
-                total += max(cell_path_len(elens, p) for p in el.paths)
+                total += max(cell_path_len(elens, p, no_ov) for p in el.paths)
                 if j:
-                    total -= K - 1
+                    first = int(el.paths[0][0])
+                    if not (no_ov[prev_last] or no_ov[first]):
+                        total -= K - 1
+                prev_last = int(el.paths[0][-1])
             out[i] = total
         return out
 
 
-def cell_path_len(elens: np.ndarray, path: np.ndarray) -> int:
-    """Bases spelled by a D-edge path (consecutive edges overlap by K-1)."""
-    return int(elens[path].sum() - (len(path) - 1) * (K - 1))
+def _no_overlap_mask(D) -> np.ndarray:
+    """(ED,) True for gap edges with no K-1 overlap ({-1}/{-2}/{-4};
+    {-3} sequence gaps DO overlap — Gap.h:28-43)."""
+    from .gap import is_seq_gap
+
+    mask = D.gap_mask().copy()
+    for d in np.nonzero(mask)[0]:
+        if is_seq_gap(D.epaths.row(int(d))):
+            mask[d] = False
+    return mask
+
+
+def cell_path_len(
+    elens: np.ndarray, path: np.ndarray, no_ov: np.ndarray | None = None
+) -> int:
+    """Bases spelled by a D-edge path (consecutive edges overlap by K-1,
+    except at junctions touching a no-overlap gap edge)."""
+    total = int(elens[path].sum())
+    if no_ov is None:
+        return total - (len(path) - 1) * (K - 1)
+    for a, b in zip(path, path[1:]):
+        if not (no_ov[int(a)] or no_ov[int(b)]):
+            total -= K - 1
+    return total
 
 
 def _superbubble_exit(
@@ -238,8 +266,9 @@ def find_lines(D) -> Lines:
         loops_at.setdefault(int(D.from_v[e]), []).append(int(e))
 
     # units: superbubble cells, then parallel-edge fallback cells, then
-    # straight single edges
-    sb_cells = find_cells(D, self_loop)
+    # straight single edges.  Gap edges never ride bubble arms — they chain
+    # as straight units (the reference's scaffold lines cross {-2} edges).
+    sb_cells = find_cells(D, self_loop | D.gap_mask())
     in_cell_edge = np.zeros(ed, dtype=bool)
     units: List[Tuple[int, int, Cell]] = []  # (from_v, to_v, cell)
     for v, t, paths in sb_cells:

@@ -32,16 +32,26 @@ class Molecule:
 
 
 def element_offsets(D, line) -> List[int]:
-    """Start coordinate of each element along the line (longest cell path)."""
+    """Start coordinate of each element along the line (longest cell path;
+    gap-aware junction arithmetic via cell_path_len)."""
+    from .gap import is_seq_gap
+
+    epaths = getattr(D, "epaths", None)  # test fakes carry edge_len only
     pos = [0]
     for el in line.elements:
-        pos.append(
-            pos[-1]
-            + max(
-                sum(D.edge_len(int(d)) for d in p) - (len(p) - 1) * (K - 1)
-                for p in el.paths
-            )
-        )
+        best = 0
+        for p in el.paths:
+            total = 0
+            prev_no_ov = True  # no subtraction before the first edge
+            for d in p:
+                row = epaths.row(int(d)) if epaths is not None else np.zeros(0)
+                no_ov = len(row) > 0 and row[0] < 0 and not is_seq_gap(row)
+                total += D.edge_len(int(d))
+                if not (prev_no_ov or no_ov):
+                    total -= K - 1
+                prev_no_ov = no_ov
+            best = max(best, total)
+        pos.append(pos[-1] + best)
     return pos
 
 

@@ -25,6 +25,8 @@ def base_to_super_map(D) -> Dict[int, Tuple[int, int]]:
     edge is duplicated (use build_base_candidates for the full map)."""
     out: Dict[int, Tuple[int, int]] = {}
     for d in range(D.n_edges):
+        if D.is_gap(d):
+            continue
         for j, e in enumerate(D.epaths.row(d)):
             out[int(e)] = (d, j)
     return out
@@ -34,6 +36,8 @@ def build_base_candidates(D, n_base: int):
     """-> (cand: base edge -> [(D edge, pos), ...], n_cand (E,) int64)."""
     cand: Dict[int, List[Tuple[int, int]]] = {}
     for d in range(D.n_edges):
+        if D.is_gap(d):
+            continue
         for j, e in enumerate(D.epaths.row(d)):
             cand.setdefault(int(e), []).append((d, j))
     n_cand = np.zeros(n_base, np.int64)
@@ -52,6 +56,8 @@ def _unique_map(D, n_base: int):
     out = np.full(n_base, -1, np.int64)
     count = np.zeros(n_base, np.int8)
     for d in range(D.n_edges):
+        if D.is_gap(d):
+            continue
         row = np.unique(D.epaths.row(d))
         out[row] = d
         count[row] = np.minimum(count[row] + 1, 2)

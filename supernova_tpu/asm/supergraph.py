@@ -39,9 +39,31 @@ class SuperGraph:
     def n_edges(self) -> int:
         return self.epaths.n_rows
 
+    def is_gap(self, d: int) -> bool:
+        """Gap edges carry a negative-coded row instead of a base-edge path
+        (10X/Gap.h; see asm/gap.py)."""
+        row = self.epaths.row(d)
+        return len(row) > 0 and int(row[0]) < 0
+
+    def gap_mask(self) -> np.ndarray:
+        """(ED,) bool: True where the D-edge is a gap edge."""
+        vals = self.epaths.values
+        offs = self.epaths.offsets
+        nonempty = offs[1:] > offs[:-1]
+        first = vals[np.minimum(offs[:-1], len(vals) - 1)] if len(vals) else np.zeros(self.n_edges, np.int64)
+        return nonempty & (first < 0)
+
     def edge_bases(self, d: int) -> np.ndarray:
-        """Spell a D-edge: constituent base edges overlap by K-1."""
+        """Spell a D-edge: constituent base edges overlap by K-1.  {-3}
+        sequence gaps spell their stored bases; N-type gaps have no base
+        spelling (use edge_seq)."""
         path = self.epaths.row(d)
+        if len(path) and path[0] < 0:
+            from . import gap as agap
+
+            if agap.is_seq_gap(path):
+                return agap.gap_to_seq(path)[2]
+            raise ValueError(f"D-edge {d} is an N-type gap edge (code {path[0]})")
         parts = [self.bg.edges.row(int(path[0]))]
         for e in path[1:]:
             parts.append(self.bg.edges.row(int(e))[K - 1 :])
@@ -49,34 +71,61 @@ class SuperGraph:
 
     def edge_len(self, d: int) -> int:
         path = self.epaths.row(d)
+        if len(path) and path[0] < 0:
+            from . import gap as agap
+
+            return agap.gap_repr_len(path)
         lens = self.bg.edges.lengths()[path]
         return int(lens.sum() - (len(path) - 1) * (K - 1))
 
     def edge_seq(self, d: int) -> str:
+        path = self.epaths.row(d)
+        if len(path) and path[0] < 0:
+            from . import gap as agap
+
+            if agap.is_seq_gap(path):
+                return dna.codes_to_seq(agap.gap_to_seq(path)[2])
+            return "N" * agap.gap_repr_len(path)
         return dna.codes_to_seq(self.edge_bases(d))
 
     def validate(self):
+        from . import gap as agap
+
         ed = self.n_edges
         assert np.array_equal(self.dinv[self.dinv], np.arange(ed))
         binv = self.bg.inv
         for d in range(ed):
             p = self.epaths.row(d)
             q = self.epaths.row(int(self.dinv[d]))
+            if len(p) and p[0] < 0:
+                assert np.array_equal(q, agap.rc_gap(p)), f"gap dinv mismatch at {d}"
+                continue
             assert np.array_equal(q, binv[p[::-1]]), f"dinv mismatch at {d}"
         # constituent base edges must be graph-adjacent (K-1 overlap holds)
         for d in range(ed):
             p = self.epaths.row(d)
+            if len(p) and p[0] < 0:
+                continue
             for a, b in zip(p, p[1:]):
                 assert self.bg.to_v[int(a)] == self.bg.from_v[int(b)], (d, a, b)
         # vertex consistency: edges leaving one vertex start with the same
-        # 47-mer (inherited from the base graph)
+        # 47-mer (inherited from the base graph); gap edges are exempt —
+        # they join arbitrary vertices by construction (Gap.h note 1)
         outk = {}
+        gapped_v = set()
         for d in range(ed):
-            e0 = int(self.epaths.row(d)[0])
+            p = self.epaths.row(d)
+            if len(p) and p[0] < 0:
+                gapped_v.add(int(self.from_v[d]))
+                gapped_v.add(int(self.to_v[d]))
+                continue
+            e0 = int(p[0])
             v = int(self.from_v[d])
             k47 = self.bg.edge_seq(e0)[: K - 1]
             outk.setdefault(v, set()).add(k47)
         for v, ks in outk.items():
+            if v in gapped_v:
+                continue
             assert len(ks) == 1, f"vertex {v}: {len(ks)} distinct out 47-mers"
 
 
@@ -244,17 +293,65 @@ def closures_to_graph(bg, closures, min_over_bases: int | None = None) -> SuperG
 
 
 def super_edge_support(D: SuperGraph, base_counts: np.ndarray) -> np.ndarray:
-    """Read support per D-edge = mean support of constituent base edges."""
+    """Read support per D-edge = mean support of constituent base edges
+    (gap edges carry no base edges -> 0)."""
     out = np.zeros(D.n_edges)
     for d in range(D.n_edges):
+        if D.is_gap(d):
+            continue
         out[d] = float(base_counts[D.epaths.row(d)].mean())
     return out
 
 
 def super_edge_barcodes(D: SuperGraph, ebcx: Ragged) -> List[np.ndarray]:
-    """Barcode set per D-edge (union of constituent base-edge barcodes)."""
+    """Barcode set per D-edge (union of constituent base-edge barcodes;
+    gap edges -> empty)."""
     out = []
     for d in range(D.n_edges):
+        if D.is_gap(d):
+            out.append(np.zeros(0, np.int64))
+            continue
         bcs = [ebcx.row(int(e)) for e in D.epaths.row(d)]
         out.append(np.unique(np.concatenate(bcs)) if bcs else np.zeros(0, np.int64))
     return out
+
+
+def append_gap_edges(
+    D: SuperGraph,
+    items: List[tuple],
+) -> SuperGraph:
+    """Append gap edges to D, involution-symmetrically.  Each item is
+    (v, w, row, vr, wr): a gap edge v->w with payload `row` plus its rc
+    partner vr->wr carrying rc_gap(row); when (v, w, row) IS its own rc
+    image a single self-inverse edge is appended.  Returns a new
+    SuperGraph sharing bg (the reference appends {-2} edges to D in Star,
+    10X/Star.cc:8-27, and {-3} edges in Surgery/Patch)."""
+    from . import gap as agap
+
+    rows = list(D.epaths)
+    dinv = list(D.dinv)
+    from_v = list(D.from_v)
+    to_v = list(D.to_v)
+    for v, w, row, vr, wr in items:
+        row = np.asarray(row, dtype=np.int64)
+        rrow = agap.rc_gap(row)
+        d = len(rows)
+        if (vr, wr) == (v, w) and np.array_equal(rrow, row):
+            rows.append(row)
+            from_v.append(v)
+            to_v.append(w)
+            dinv.append(d)  # self-inverse gap edge
+            continue
+        rows.append(row)
+        rows.append(rrow)
+        from_v.extend([v, vr])
+        to_v.extend([w, wr])
+        dinv.extend([d + 1, d])
+    return SuperGraph(
+        epaths=Ragged.from_rows(rows, dtype=np.int64),
+        dinv=np.asarray(dinv, dtype=np.int64),
+        from_v=np.asarray(from_v, dtype=np.int64),
+        to_v=np.asarray(to_v, dtype=np.int64),
+        n_vertices=D.n_vertices,
+        bg=D.bg,
+    )

@@ -63,12 +63,19 @@ def write_gfa_super(D, path) -> int:
             return f"D{d}", "+"
         return f"D{int(dinv[d])}", "-"
 
+    gap = D.gap_mask()
     n = 0
     with _open(path) as f:
         f.write("H\tVN:Z:1.0\n")
         for d in np.nonzero(canon)[0]:
-            pt = ",".join(str(int(e)) for e in D.epaths.row(int(d)))
-            f.write(f"S\tD{int(d)}\t{D.edge_seq(int(d))}\tPT:Z:{pt}\n")
+            row = D.epaths.row(int(d))
+            if gap[d]:
+                # gap edges: GP tag records the Gap.h code payload
+                gp = ",".join(str(int(x)) for x in row[: min(len(row), 4)])
+                f.write(f"S\tD{int(d)}\t{D.edge_seq(int(d))}\tGP:Z:{gp}\n")
+            else:
+                pt = ",".join(str(int(e)) for e in row)
+                f.write(f"S\tD{int(d)}\t{D.edge_seq(int(d))}\tPT:Z:{pt}\n")
             n += 1
         seen = set()
         by_from = {}
@@ -83,5 +90,6 @@ def write_gfa_super(D, path) -> int:
                 if key in seen or rkey in seen:
                     continue
                 seen.add(key)
-                f.write(f"L\t{a}\t{ao}\t{b}\t{bo}\t{K - 1}M\n")
+                ov = 0 if (gap[d] or gap[int(g)]) else K - 1
+                f.write(f"L\t{a}\t{ao}\t{b}\t{bo}\t{ov}M\n")
     return n

@@ -30,24 +30,57 @@ def _open(path, mode):
     return open(path, mode)
 
 
+def _cell_gap_speller(D):
+    """seq_of_path callback for {-4} cell gaps: spell the walked base-edge
+    paths (everything chains with K-1 overlaps through shared vertices)."""
+
+    def spell(bpaths) -> str:
+        seq = ""
+        for p in bpaths:
+            for e in p:
+                s = D.bg.edge_seq(int(e))
+                seq = s if not seq else seq + s[K - 1 :]
+        return seq
+
+    return spell
+
+
+def _walk_edges(walker, D, edges) -> None:
+    """Feed D-edges (gap edges included) into a GapAwareWalker."""
+    spell = None
+    epaths = getattr(D, "epaths", None)  # test fakes carry edge_seq only
+    for d in edges:
+        row = epaths.row(int(d)) if epaths is not None else ()
+        if len(row) and row[0] < 0:
+            if spell is None:
+                spell = _cell_gap_speller(D)
+            walker.add_gap(row, seq_of_path=spell)
+        else:
+            walker.add_seq(D.edge_seq(int(d)))
+
+
 def _element_seq(D, el, choice: int) -> str:
     """Sequence of one line element; `choice` picks the path for cells.
-    Consecutive D-edges on a cell path overlap by K-1."""
+    Consecutive D-edges on a cell path overlap by K-1 (gap-aware)."""
+    from ..asm.gap import GapAwareWalker
+
     path = el.paths[min(choice, len(el.paths) - 1)]
-    seq = D.edge_seq(int(path[0]))
-    for d in path[1:]:
-        seq += D.edge_seq(int(d))[K - 1 :]
-    return seq
+    w = GapAwareWalker(K)
+    _walk_edges(w, D, path)
+    return w.sequence()
 
 
 def line_sequence(D, line, arm_choice: Dict[int, int]) -> str:
-    """Walk a line, overlapping elements by K-1; arm_choice maps element
-    index -> arm (default 0)."""
-    seq = ""
+    """Walk a line, overlapping elements by K-1 (N-type gap edges break the
+    overlap — Gap.h semantics); arm_choice maps element index -> arm
+    (default 0)."""
+    from ..asm.gap import GapAwareWalker
+
+    w = GapAwareWalker(K)
     for i, el in enumerate(line.elements):
-        s = _element_seq(D, el, arm_choice.get(i, 0))
-        seq = s if not seq else seq + s[K - 1 :]
-    return seq
+        path = el.paths[min(arm_choice.get(i, 0), len(el.paths) - 1)]
+        _walk_edges(w, D, path)
+    return w.sequence()
 
 
 def _phase_choices(line, phasing, hap: int) -> Dict[int, int]:
@@ -92,24 +125,26 @@ def _wrap(f, seq: str, width=80):
 def write_megabubbles_fasta(D, lines, scaffolds, phasings, path):
     """Each scaffold: unbranched stretches once; both arms of each bubble as
     separate records (the reference's megabubble style)."""
+    from ..asm.gap import GapAwareWalker
+
     rid = 0
     with _open(path, "wt") as f:
         for si, sc in enumerate(scaffolds):
             for li in sc.line_ids:
                 line = lines.lines[li]
-                seg = ""
+                w = GapAwareWalker(K)
                 seg_id = 0
                 for i, el in enumerate(line.elements):
                     if len(el) == 1:
-                        s = _element_seq(D, el, 0)
-                        seg = s if not seg else seg + s[K - 1 :]
+                        _walk_edges(w, D, el.paths[0])
                     else:
+                        seg = w.sequence()
                         if seg:
                             f.write(f">scaffold_{si} line_{li} segment_{seg_id}\n")
                             _wrap(f, seg)
                             rid += 1
                             seg_id += 1
-                            seg = ""
+                        w = GapAwareWalker(K)
                         for a in range(min(2, len(el))):
                             s = _element_seq(D, el, a)
                             f.write(
@@ -117,6 +152,7 @@ def write_megabubbles_fasta(D, lines, scaffolds, phasings, path):
                             )
                             _wrap(f, s)
                             rid += 1
+                seg = w.sequence()
                 if seg:
                     f.write(f">scaffold_{si} line_{li} segment_{seg_id}\n")
                     _wrap(f, seg)
@@ -136,24 +172,28 @@ def scaffold_records(D, lines, sc, phasings, hap: int):
     fills = getattr(sc, "fills", None)
     from ..asm.patch import PATCH_K
 
+    from ..asm.gap import GapAwareWalker
+
     for ix, li in enumerate(sc.line_ids):
         line = lines.lines[li]
         phx = phasings.get(li)
         choice = _phase_choices(line, phx, hap) if phx else {}
-        seg = ""
+        w = GapAwareWalker(K)
         busted = False
         for i, el in enumerate(line.elements):
             if len(el.paths) > 2:
                 # bust: flush the running record, emit every arm separately
+                seg = w.sequence()
                 joined = _join_gap(cur, seg, sc, ix, fills, PATCH_K) if not busted else seg
                 if joined:
                     records.append(("main", joined))
                 for p in el.paths:
                     records.append(("bubble_arm", _path_seq(D, p)))
-                cur, seg, busted = "", "", True
+                cur, busted = "", True
+                w = GapAwareWalker(K)
                 continue
-            s = _element_seq(D, el, choice.get(i, 0))
-            seg = s if not seg else seg + s[K - 1 :]
+            _walk_edges(w, D, el.paths[min(choice.get(i, 0), len(el.paths) - 1)])
+        seg = w.sequence()
         if busted:
             if seg:
                 records.append(("main", seg))
@@ -166,10 +206,11 @@ def scaffold_records(D, lines, sc, phasings, hap: int):
 
 
 def _path_seq(D, path) -> str:
-    seq = D.edge_seq(int(path[0]))
-    for d in path[1:]:
-        seq += D.edge_seq(int(d))[K - 1 :]
-    return seq
+    from ..asm.gap import GapAwareWalker
+
+    w = GapAwareWalker(K)
+    _walk_edges(w, D, path)
+    return w.sequence()
 
 
 def _join_gap(cur: str, seg: str, sc, ix: int, fills, k: int) -> str:
