@@ -55,34 +55,105 @@ def element_offsets(D, line) -> List[int]:
     return pos
 
 
-def read_line_positions(
-    D, lines, dpaths: np.ndarray, dlen: np.ndarray, read_bc: np.ndarray
-) -> Dict[Tuple[int, int], List[int]]:
-    """(barcode, line) -> read positions in line coordinates (element start
-    of the read's first placed D-edge — lbpx-granularity positions)."""
-    # D-edge -> (line, element idx)
-    edge_elem: Dict[int, Tuple[int, int]] = {}
-    offs: List[List[int]] = []
+def edge_line_starts(D, lines) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (line_of (ED,), start_of (ED,)): per D-edge, its line id and its
+    base start coordinate within the line (element offset + within-element
+    walk position; first occurrence wins for edges on several cell paths)."""
+    from .gap import is_seq_gap
+
+    nd = D.n_edges
+    line_of = np.full(nd, -1, np.int64)
+    start_of = np.zeros(nd, np.int64)
     for li, ln in enumerate(lines.lines):
-        offs.append(element_offsets(D, ln))
+        offs = element_offsets(D, ln)
         for j, el in enumerate(ln.elements):
-            for d in el.edge_ids():
-                edge_elem[int(d)] = (li, j)
-    # vectorized: map first placed D-edge -> (line, element start coord)
+            for p in el.paths:
+                cursor = offs[j]
+                prev_no_ov = True
+                for d in p:
+                    d = int(d)
+                    row = D.epaths.row(d)
+                    no_ov = len(row) > 0 and row[0] < 0 and not is_seq_gap(row)
+                    if not (prev_no_ov or no_ov):
+                        cursor -= K - 1
+                    if line_of[d] < 0:
+                        line_of[d] = li
+                        start_of[d] = cursor
+                    cursor += D.edge_len(d)
+                    prev_no_ov = no_ov
+    return line_of, start_of
+
+
+def base_prefix_table(D) -> Tuple[np.ndarray, np.ndarray]:
+    """-> sorted (keys, prefixes): key = d * n_base + base_edge, prefix =
+    base offset of that base edge within D-edge d's spelled sequence (first
+    occurrence).  Lookup via np.searchsorted."""
+    blens = D.bg.edges.lengths()
+    n_base = D.bg.n_edges
+    keys: List[np.ndarray] = []
+    prefs: List[np.ndarray] = []
+    for d in range(D.n_edges):
+        p = D.epaths.row(d)
+        if len(p) == 0 or p[0] < 0:
+            continue
+        steps = blens[p].astype(np.int64) - (K - 1)
+        pref = np.concatenate([[0], np.cumsum(steps[:-1])])
+        keys.append(d * np.int64(n_base) + p.astype(np.int64))
+        prefs.append(pref)
+    if not keys:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    k = np.concatenate(keys)
+    v = np.concatenate(prefs)
+    order = np.argsort(k, kind="stable")  # stable: first occurrence first
+    k, v = k[order], v[order]
+    first = np.concatenate([[True], k[1:] != k[:-1]])
+    return k[first], v[first]
+
+
+def read_line_positions(
+    D,
+    lines,
+    dpaths: np.ndarray,
+    dlen: np.ndarray,
+    read_bc: np.ndarray,
+    base_paths=None,
+) -> Dict[Tuple[int, int], List[int]]:
+    """(barcode, line) -> read positions in line coordinates.  With
+    `base_paths=(edges, plen, offset)` (the base-graph read paths),
+    positions are base-resolution: D-edge line start + the first base
+    edge's prefix within the D-edge + the read's in-edge offset (the
+    reference's BarcodePos/lbpx, 10X/LineOO.h:14).  Without, positions
+    fall back to the D-edge start coordinate."""
+    line_of_e, start_of_e = edge_line_starts(D, lines)
+    nd = D.n_edges
+    line_of = np.concatenate([line_of_e, [-1]])
+    pos_of = np.concatenate([start_of_e, [0]])
     n = dpaths.shape[0]
-    nd = max(edge_elem.keys(), default=-1) + 1
-    line_of = np.full(nd + 1, -1, np.int64)
-    pos_of = np.zeros(nd + 1, np.int64)
-    for d, (li, j) in edge_elem.items():
-        line_of[d] = li
-        pos_of[d] = offs[li][j]
     bc = np.asarray(read_bc)[:n]
-    d0 = np.where(np.asarray(dlen) > 0, dpaths[:, 0], nd).astype(np.int64)
+    d0 = np.where(np.asarray(dlen)[:n] > 0, dpaths[:n, 0], nd).astype(np.int64)
     d0 = np.clip(d0, 0, nd)
     li = line_of[d0]
     keep = (bc > 0) & (li >= 0)
+    within = np.zeros(n, np.int64)
+    if base_paths is not None:
+        redges, rplen, roffset = base_paths
+        redges = np.asarray(redges)[:n]
+        rplen = np.asarray(rplen)[:n]
+        roffset = np.asarray(roffset)[:n]
+        has_base = rplen > 0
+        e0 = np.where(has_base, redges[:, 0], 0).astype(np.int64)
+        keys, prefs = base_prefix_table(D)
+        if len(keys):
+            want = d0 * np.int64(D.bg.n_edges) + e0
+            idx = np.searchsorted(keys, want)
+            idx = np.clip(idx, 0, len(keys) - 1)
+            hit = (keys[idx] == want) & has_base & (d0 < nd)
+            within = np.where(
+                hit, prefs[idx] + np.maximum(roffset, 0), 0
+            ).astype(np.int64)
     out: Dict[Tuple[int, int], List[int]] = {}
-    kb, kl, kp = bc[keep], li[keep], pos_of[d0[keep]]
+    kb, kl = bc[keep], li[keep]
+    kp = pos_of[d0[keep]] + within[keep]
     order = np.lexsort((kp, kl, kb))
     kb, kl, kp = kb[order], kl[order], kp[order]
     if len(kb):

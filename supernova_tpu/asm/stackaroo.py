@@ -42,6 +42,89 @@ def reads_by_line(lines, dpaths: np.ndarray, dlen: np.ndarray) -> Dict[int, List
     return out
 
 
+def stackaroo_gaps(
+    D,
+    rs,
+    dpaths: np.ndarray,
+    dlen: np.ndarray,
+    k: int = PATCH_K,
+):
+    """Gap-edge Stackaroo: attack every canonical {-2} barcode-only gap edge
+    in D with the reads placed on its flanking D-edges (+ mates); a bridging
+    read-stack walk upgrades the edge to a {-3} sequence gap (ltrim=rtrim=0,
+    K-1 overlap with both neighbors — Gap.h:28-43).  Returns
+    (new SuperGraph, n_upgraded); D is unchanged when nothing fills."""
+    from ..core import dna
+    from ..core.kmer_codec import K
+    from ..core.ragged import Ragged
+    from . import gap as agap
+    from .supergraph import SuperGraph
+
+    gap_ids = [
+        d
+        for d in range(D.n_edges)
+        if d <= int(D.dinv[d]) and agap.is_bc_gap(D.epaths.row(d))
+        and int(D.dinv[d]) != d
+    ]
+    if not gap_ids:
+        return D, 0
+
+    # neighbor edges: unique non-gap edge into from_v / out of to_v
+    into: Dict[int, List[int]] = {}
+    outof: Dict[int, List[int]] = {}
+    for e in range(D.n_edges):
+        into.setdefault(int(D.to_v[e]), []).append(e)
+        outof.setdefault(int(D.from_v[e]), []).append(e)
+
+    r, mp = dpaths.shape
+    dl = np.asarray(dlen)[:r]
+    valid = (np.arange(mp)[None, :] < dl[:, None]) & (dpaths >= 0)
+
+    replacements: Dict[int, np.ndarray] = {}
+    n_filled = 0
+    for d in gap_ids:
+        lefts = [e for e in into.get(int(D.from_v[d]), []) if not D.is_gap(e)]
+        rights = [e for e in outof.get(int(D.to_v[d]), []) if not D.is_gap(e)]
+        if len(lefts) != 1 or len(rights) != 1:
+            continue  # {-3} requires exactly one abutting edge per side
+        eL, eR = lefts[0], rights[0]
+        seq_l, seq_r = D.edge_seq(eL), D.edge_seq(eR)
+        if len(seq_l) < K or len(seq_r) < K:
+            continue
+        near = np.isin(dpaths, [eL, eR, int(D.dinv[eL]), int(D.dinv[eR])]) & valid
+        rids = set(np.nonzero(near.any(axis=1))[0].tolist())
+        rids |= {rid ^ 1 for rid in rids}  # mates dangle into the gap
+        rids = sorted(rids)[:MAX_GAP_READS]
+        if len(rids) < 2:
+            continue
+        seqs = [rs.read(rid) for rid in rids]
+        left = seq_l[-FLANK_BASES:]
+        right = seq_r[:FLANK_BASES]
+        fill = _mini_dbg_walk(seqs, left, right, k)
+        if fill is None or len(fill) < k:
+            continue  # len >= k guarantees the tail-(K-1) equals eR's head
+        # {-3} payload: starts with eL's last K-1 bases, ends with eR's
+        # first K-1 (fill already ends with right[:k])
+        gseq = seq_l[-(K - 1) :] + fill + right[k : K - 1]
+        row = agap.seq_to_gap(dna.seq_to_codes(gseq), 0, 0)
+        replacements[d] = row
+        replacements[int(D.dinv[d])] = agap.rc_gap(row)
+        n_filled += 1
+
+    if not replacements:
+        return D, 0
+    rows = [replacements.get(d, D.epaths.row(d)) for d in range(D.n_edges)]
+    D2 = SuperGraph(
+        epaths=Ragged.from_rows(rows, dtype=np.int64),
+        dinv=D.dinv.copy(),
+        from_v=D.from_v.copy(),
+        to_v=D.to_v.copy(),
+        n_vertices=D.n_vertices,
+        bg=D.bg,
+    )
+    return D2, n_filled
+
+
 def stackaroo(
     D,
     lines,

@@ -184,6 +184,75 @@ def build_scaffolds(
     return scaffolds
 
 
+def filter_joins(
+    joins: List[Tuple[int, int, float]], linv: np.ndarray
+) -> List[Tuple[int, int, float]]:
+    """Resolve join conflicts: best advantage wins, involution-consistent,
+    one successor/predecessor per line end, cycles refused (the chaining
+    rules of Star.cc applied to a join set)."""
+    succ: Dict[int, int] = {}
+    pred: Dict[int, int] = {}
+
+    def reaches(a, b):
+        seen = set()
+        while a in succ and a not in seen:
+            seen.add(a)
+            a = succ[a]
+            if a == b:
+                return True
+        return False
+
+    out = []
+    for L1, R, ad in sorted(joins, key=lambda t: (-t[2], t[0], t[1])):
+        rL1, rR = int(linv[L1]), int(linv[R])
+        if L1 in succ or R in pred or rR in succ or rL1 in pred:
+            continue
+        if L1 == R or reaches(R, L1):
+            continue
+        succ[L1] = R
+        pred[R] = L1
+        if (rR, rL1) != (L1, R):
+            succ[rR] = rL1
+            pred[rL1] = rR
+        out.append((L1, R, ad))
+    return out
+
+
+def line_end_edges(lines, li: int) -> Tuple[int, int]:
+    """(first D-edge, last D-edge) of a line's walked path."""
+    ln = lines.lines[li]
+    return (
+        int(ln.elements[0].paths[0][0]),
+        int(ln.elements[-1].paths[0][-1]),
+    )
+
+
+def insert_star_gaps(
+    D,
+    lines,
+    joins: List[Tuple[int, int, float]],
+    gap_sizes: Dict[Tuple[int, int], int],
+):
+    """Insert a {-2, size} barcode-only gap edge (+ rc partner) per accepted
+    join L1 -> R, the reference's D update in Star (10X/Star.cc:8-27 +
+    Gap.h:26).  Returns the new SuperGraph."""
+    from . import gap as agap
+    from .supergraph import append_gap_edges
+
+    linv = lines.linv
+    items = []
+    for L1, R, _ad in joins:
+        _, lastA = line_end_edges(lines, L1)
+        firstB, _ = line_end_edges(lines, R)
+        v, w = int(D.to_v[lastA]), int(D.from_v[firstB])
+        _, lastRB = line_end_edges(lines, int(linv[R]))
+        firstRA, _ = line_end_edges(lines, int(linv[L1]))
+        vr, wr = int(D.to_v[lastRB]), int(D.from_v[firstRA])
+        size = gap_sizes.get((L1, R), 100)
+        items.append((v, w, agap.bc_gap(max(1, int(size))), vr, wr))
+    return append_gap_edges(D, items)
+
+
 def star_scaffold(
     lines,
     D,
@@ -254,7 +323,14 @@ def star_joins(
             rights.append((orders[0][2], ad))
         if not rights:
             continue
-        rights.sort(key=lambda t: -int(llens[t[0]]))
+        # L2 and rc(L2) both resolve to the same oriented right neighbor;
+        # dedupe (keep best advantage) or the tie-break sees a 0-advantage
+        # duplicate pair and rejects the join
+        best_by_r: Dict[int, float] = {}
+        for rr, a in rights:
+            if rr not in best_by_r or a > best_by_r[rr]:
+                best_by_r[rr] = a
+        rights = sorted(best_by_r.items(), key=lambda t: -int(llens[t[0]]))
         rights = rights[:MAX_RIGHTS]
         if len(rights) == 1:
             R, ad = rights[0]

@@ -305,6 +305,7 @@ class Pipeline:
         edges = np.asarray(rp.edges)[: rs.n_reads]
         plen = np.asarray(rp.path_len)[: rs.n_reads]
         offset = np.asarray(rp.offset)[: rs.n_reads]
+        self._base_paths = (edges, plen, offset)  # for lbpx-resolution positions
         dup = adups.mark_dups(edges, plen, offset, rs.bc)
         self.stats.log(
             "dup_frac", adups.dup_fraction(dup), "duplicate pair fraction",
@@ -425,7 +426,9 @@ class Pipeline:
 
             ebcx = pindex.edge_barcodes(edges, plen, rs.bc, bg.n_edges)
             sup_bcs = asg.super_edge_barcodes(D, ebcx)
-            pos0 = amol0.read_line_positions(D, lines, dpaths, dlen, rs.bc)
+            pos0 = amol0.read_line_positions(
+                D, lines, dpaths, dlen, rs.bc, base_paths=self._base_paths
+            )
             lines = amis.break_lines(lines, D, sup_bcs, line_positions=pos0)
             self.stats.log(
                 "n_lines_after_break", lines.n_lines, stage="supergraph"
@@ -444,7 +447,9 @@ class Pipeline:
         if rs.barcoded:
             from ..asm import molecules as amol
 
-            positions = amol.read_line_positions(D, lines, dpaths, dlen, rs.bc)
+            positions = amol.read_line_positions(
+                D, lines, dpaths, dlen, rs.bc, base_paths=self._base_paths
+            )
             mols = amol.infer_molecules(positions)
             self._molecules = mols
             # line -> {bc: [positions]} for orientation-aware scaffolding
@@ -483,76 +488,164 @@ class Pipeline:
         )
         return D, lines, dup
 
+    def _star_multipass(self, D, lines, rs, ebcx, max_passes: int = 3):
+        """Star's multi-pass loop over a gap-joined D (CP stages star /
+        starstar / fix re-run Star after updating D — CP.cc:932,1309): each
+        pass scores joins, inserts {-2, size} gap edges (Gaprika-sized from
+        barcode molecules), and re-runs FindLines over the new D."""
+        from collections import defaultdict
+
+        from ..asm import lines as alines
+        from ..asm import molecules as amol
+        from ..asm import scaffold as asc
+        from ..asm import star as astar
+        from ..asm import supergraph as asg
+
+        good = asc.good_barcodes(rs.bc)
+        total = 0
+        for _ in range(max_passes):
+            llens = lines.lengths(D)
+            sup_bcs = asg.super_edge_barcodes(D, ebcx)
+            line_bc_edges = []
+            for ln in lines.lines:
+                bcs = [sup_bcs[int(dd)] for dd in ln.edges()]
+                line_bc_edges.append(
+                    np.unique(np.concatenate(bcs)) if bcs else np.zeros(0, np.int64)
+                )
+            line_bcs = asc.line_barcode_sets(lines, line_bc_edges, good)
+            positions = amol.read_line_positions(
+                D, lines, self._dpaths, self._dlen, rs.bc,
+                base_paths=self._base_paths,
+            )
+            lbp_all = {li: [] for li in range(lines.n_lines)}
+            for (bc, li), ps in positions.items():
+                lbp_all[li].extend((bc, p) for p in ps)
+            lbp = astar.restrict_positions(lbp_all, llens)
+            canon = list(range(lines.n_lines))
+            lhood = astar.line_prox(line_bcs, canon)
+            rdead = astar.right_dead_ends(lines, D)
+            joins = astar.star_joins(
+                canon, llens, lines.linv, lbp, lhood, rdead
+            )
+            joins = astar.filter_joins(joins, lines.linv)
+            if not joins:
+                break
+            by_bl = defaultdict(list)
+            for m in amol.infer_molecules(positions):
+                by_bl[(m.bc, m.line)].append(m)
+            gap_sizes = {
+                (L1, R): amol.estimate_gap(by_bl, L1, int(llens[L1]), R)
+                for L1, R, _ in joins
+            }
+            D = astar.insert_star_gaps(D, lines, joins, gap_sizes)
+            lines = alines.find_lines(D)
+            total += len(joins)
+        return D, lines, total
+
     def stage_scaffold_phase(self, D, lines, rp, rs):
-        """CP analogue: barcode links -> scaffolds; Flipper -> phasing."""
+        """CP analogue: barcode links -> scaffolds; Flipper -> phasing.
+        Barcoded mode runs the reference construction: Star joins insert
+        {-2} gap edges into D (multi-pass), Stackaroo upgrades bridgeable
+        gaps to {-3} sequence edges, and scaffolds ARE the lines of the
+        gap-joined D.  Returns (D, lines, scaffolds, phasings)."""
         from ..asm import phasing as aph
         from ..asm import scaffold as asc
+        from ..asm import stackaroo as astk
         from ..asm import supergraph as asg
 
         edges = np.asarray(rp.edges)[: rs.n_reads]
         plen = np.asarray(rp.path_len)[: rs.n_reads]
         ebcx = pindex.edge_barcodes(edges, plen, rs.bc, D.bg.n_edges)
-        good = asc.good_barcodes(rs.bc)
-        line_bc_edges = []
-        sup_bcs = asg.super_edge_barcodes(D, ebcx)
-        for ln in lines.lines:
-            bcs = [sup_bcs[int(d)] for d in ln.edges()]
-            line_bc_edges.append(
-                np.unique(np.concatenate(bcs)) if bcs else np.zeros(0, np.int64)
-            )
-        line_bcs = asc.line_barcode_sets(lines, line_bc_edges, good)
-        line_lens = lines.lengths(D)
         lp = getattr(self, "_line_positions", None)
         scaffolds = None
         if rs.barcoded and lp:
-            from ..asm import star as astar
+            from ..asm import molecules as amol
 
-            scaffolds = astar.star_scaffold(lines, D, line_lens, line_bcs, lp)
-            if any(len(sc.line_ids) > 1 for sc in scaffolds):
-                self.stats.log("scaffold_mode", "star", stage="scaffold")
-            else:
-                scaffolds = None  # too little evidence at reference gates
+            D, lines, n_joins = self._star_multipass(D, lines, rs, ebcx)
+            if n_joins:
+                self.stats.log("scaffold_mode", "star-gap", stage="scaffold")
+                self.stats.log(
+                    "star_gap_joins", n_joins,
+                    "{-2} gap edges inserted by Star passes", stage="scaffold",
+                )
+                # Stackaroo: upgrade bridgeable {-2} edges to {-3} sequence
+                D, n_filled = astk.stackaroo_gaps(
+                    D, rs, self._dpaths, self._dlen
+                )
+                if n_filled:
+                    D.validate()
+                    self.stats.log(
+                        "gaps_filled_post", n_filled,
+                        "gap edges upgraded to sequence by read stacks",
+                        stage="scaffold",
+                    )
+                # line-keyed state moves to the merged lines
+                positions = amol.read_line_positions(
+                    D, lines, self._dpaths, self._dlen, rs.bc,
+                    base_paths=self._base_paths,
+                )
+                self._molecules = amol.infer_molecules(positions)
+                lp2: dict = {}
+                for (b, li), ps in positions.items():
+                    lp2.setdefault(li, {})[b] = ps
+                self._line_positions = lp2
+                from ..asm.lines import canonical_lines
+                from ..asm.scaffold import Scaffold
+
+                scaffolds = [
+                    Scaffold([int(li)], [])
+                    for li in canonical_lines(lines)
+                ]
         if scaffolds is None:
+            # legacy path (unbarcoded or no star evidence): mutual-best
+            # barcode-set scaffolding over line chains
+            good = asc.good_barcodes(rs.bc)
+            sup_bcs = asg.super_edge_barcodes(D, ebcx)
+            line_bc_edges = []
+            for ln in lines.lines:
+                bcs = [sup_bcs[int(d)] for d in ln.edges()]
+                line_bc_edges.append(
+                    np.unique(np.concatenate(bcs)) if bcs else np.zeros(0, np.int64)
+                )
+            line_bcs = asc.line_barcode_sets(lines, line_bc_edges, good)
+            line_lens = lines.lengths(D)
             scaffolds = asc.scaffold_lines(
                 lines, line_bcs, line_lens, line_positions=lp,
             )
-        self.stats.log("n_scaffolds", len(scaffolds), stage="scaffold")
+            # Gaprika-style gap estimates from barcode molecules
+            mols = getattr(self, "_molecules", None)
+            if mols:
+                from collections import defaultdict
 
-        # Gaprika-style gap estimates from barcode molecules
-        mols = getattr(self, "_molecules", None)
-        if mols:
-            from collections import defaultdict
+                from ..asm import molecules as amol
 
-            from ..asm import molecules as amol
+                by_bl = defaultdict(list)
+                for m in mols:
+                    by_bl[(m.bc, m.line)].append(m)
+                for sc in scaffolds:
+                    for i in range(len(sc.line_ids) - 1):
+                        la, lb = sc.line_ids[i], sc.line_ids[i + 1]
+                        sc.gaps[i] = max(
+                            1,
+                            amol.estimate_gap(by_bl, la, int(line_lens[la]), lb),
+                        )
+            # legacy Stackaroo over Scaffold gaps
+            from ..out import pseudohap as oph
 
-            by_bl = defaultdict(list)
-            for m in mols:
-                by_bl[(m.bc, m.line)].append(m)
-            for sc in scaffolds:
-                for i in range(len(sc.line_ids) - 1):
-                    la, lb = sc.line_ids[i], sc.line_ids[i + 1]
-                    sc.gaps[i] = max(
-                        1,
-                        amol.estimate_gap(by_bl, la, int(line_lens[la]), lb),
-                    )
-
-        # Stackaroo: convert bridgeable {-2} gaps into sequence
-        from ..asm import stackaroo as astk
-        from ..out import pseudohap as oph
-
-        line_seqs = {
-            li: oph.line_sequence(D, lines.lines[li], {})
-            for sc in scaffolds
-            for li in sc.line_ids
-        }
-        n_filled = astk.stackaroo(
-            D, lines, scaffolds, rs, self._dpaths, self._dlen, line_seqs
-        )
-        if n_filled:
-            self.stats.log(
-                "gaps_filled_post", n_filled,
-                "scaffold gaps closed by read stacks", stage="scaffold",
+            line_seqs = {
+                li: oph.line_sequence(D, lines.lines[li], {})
+                for sc in scaffolds
+                for li in sc.line_ids
+            }
+            n_filled = astk.stackaroo(
+                D, lines, scaffolds, rs, self._dpaths, self._dlen, line_seqs
             )
+            if n_filled:
+                self.stats.log(
+                    "gaps_filled_post", n_filled,
+                    "scaffold gaps closed by read stacks", stage="scaffold",
+                )
+        self.stats.log("n_scaffolds", len(scaffolds), stage="scaffold")
 
         if getattr(self, "_molecules", None):
             bc_counts = aph.build_edge_molecule_counts(
@@ -577,7 +670,7 @@ class Pipeline:
                 "hetdist_aligned", hd,
                 "mean distance between het SNPs (arm alignment)", cs=True,
             )
-        return scaffolds, phasings
+        return D, lines, scaffolds, phasings
 
     def stage_fasta(self, bg, flavor: str = "raw", ctx=None) -> Path:
         from ..out import pseudohap as ph
@@ -628,7 +721,7 @@ class Pipeline:
         rp = self._timed("paths", self.stage_paths, bg, rs)
         bg, rp = self._timed("patch", self.stage_patch, bg, rp, rs)
         D, lines, dup = self._timed("supergraph", self.stage_supergraph, bg, rp, rs)
-        scaffolds, phasings = self._timed(
+        D, lines, scaffolds, phasings = self._timed(
             "scaffold", self.stage_scaffold_phase, D, lines, rp, rs
         )
 
