@@ -135,11 +135,9 @@ def weak_cell_arms(D, lines, support: np.ndarray, strong: int = STRONG) -> List[
 MIN_COMP_SIZE = 300  # CleanThe.cc:2801
 
 
-def remove_very_small_components(D, min_kmers: int = MIN_COMP_SIZE) -> List[int]:
-    """RemoveVerySmallComponents (CleanThe.cc:791-817): delete every edge of
-    weakly-connected components totalling < min_kmers kmers — the residue of
-    short contained closures that never glued.  -> D-edge ids."""
-    lens = superedge_kmers(D)
+def component_of_edges(D) -> np.ndarray:
+    """(ED,) weakly-connected component label per D-edge (union-find over
+    vertices; the ComponentsEFast analogue)."""
     parent = np.arange(D.n_vertices, dtype=np.int64)
 
     def find(x):
@@ -154,17 +152,159 @@ def remove_very_small_components(D, min_kmers: int = MIN_COMP_SIZE) -> List[int]
         a, b = find(int(D.from_v[e])), find(int(D.to_v[e]))
         if a != b:
             parent[max(a, b)] = min(a, b)
+    return np.array([find(int(v)) for v in D.from_v], dtype=np.int64)
+
+
+def remove_very_small_components(D, min_kmers: int = MIN_COMP_SIZE) -> List[int]:
+    """RemoveVerySmallComponents (CleanThe.cc:791-817): delete every edge of
+    weakly-connected components totalling < min_kmers kmers — the residue of
+    short contained closures that never glued.  -> D-edge ids."""
+    lens = superedge_kmers(D)
+    comp = component_of_edges(D)
     comp_k: dict = {}
     for e in range(D.n_edges):
-        comp_k[find(int(D.from_v[e]))] = 0
-    for e in range(D.n_edges):
-        comp_k[find(int(D.from_v[e]))] += int(lens[e])
-    dels = [
-        e
-        for e in range(D.n_edges)
-        if comp_k[find(int(D.from_v[e]))] < min_kmers
+        comp_k[comp[e]] = comp_k.get(comp[e], 0) + int(lens[e])
+    return [e for e in range(D.n_edges) if comp_k[comp[e]] < min_kmers]
+
+
+def edge_multiplicity(D) -> np.ndarray:
+    """(E_base,) occurrences of each base edge across non-gap D-edges
+    (ComputeMult, 10X/Super.cc:793-801)."""
+    mult = np.zeros(D.bg.n_edges, dtype=np.int64)
+    vals = D.epaths.values
+    gaps = D.gap_mask()
+    offs = D.epaths.offsets
+    for d in range(D.n_edges):
+        if gaps[d]:
+            continue
+        np.add.at(mult, vals[offs[d] : offs[d + 1]], 1)
+    return mult
+
+
+MIN_UNIQ = 75  # Super.cc:1405
+MIN_UNIQ_FRAC = 0.1  # Super.h:116
+
+
+def kill_low_unique(D, min_uniq: int = MIN_UNIQ) -> List[int]:
+    """KillLowUnique (10X/Super.cc:1403-1424): delete every edge of
+    components whose unique content (kmers of base edges used by exactly
+    one D-edge) is < min_uniq — repeat-only junk components."""
+    mult = edge_multiplicity(D)
+    base_k = (D.bg.edges.lengths() - (K - 1)).astype(np.int64)
+    comp = component_of_edges(D)
+    gaps = D.gap_mask()
+    uc: dict = {}
+    for d in range(D.n_edges):
+        c = comp[d]
+        uc.setdefault(c, 0)
+        if gaps[d]:
+            continue
+        p = D.epaths.row(d)
+        u = p[mult[p] == 1]
+        uc[c] += int(base_k[u].sum())
+    return [d for d in range(D.n_edges) if uc[comp[d]] < min_uniq]
+
+
+def kill_low_unique_frac(D, min_frac: float = MIN_UNIQ_FRAC) -> List[int]:
+    """KillLowUniqueFrac (10X/Super.cc:1426-1448): delete components whose
+    unique kmer fraction is < min_frac."""
+    mult = edge_multiplicity(D)
+    base_k = (D.bg.edges.lengths() - (K - 1)).astype(np.int64)
+    comp = component_of_edges(D)
+    gaps = D.gap_mask()
+    uc: dict = {}
+    tot: dict = {}
+    for d in range(D.n_edges):
+        c = comp[d]
+        uc.setdefault(c, 0)
+        tot.setdefault(c, 0)
+        if gaps[d]:
+            continue
+        p = D.epaths.row(d)
+        tot[c] += int(base_k[p].sum())
+        uc[c] += int(base_k[p[mult[p] == 1]].sum())
+    return [
+        d
+        for d in range(D.n_edges)
+        if tot[comp[d]] > 0 and uc[comp[d]] / tot[comp[d]] < min_frac
     ]
-    return dels
+
+
+MAX_CAN_INS_DEL = 5  # CleanThe.cc:130
+MIN_CAN_INS_RATIO = 4  # CleanThe.cc:131
+
+
+def _adjacency_support(dpaths: np.ndarray, dlen: np.ndarray, a: int, b: int) -> int:
+    """Reads whose placed D-path contains the consecutive pair (a, b)."""
+    r, mp = dpaths.shape
+    if mp < 2:
+        return 0
+    valid = np.arange(1, mp)[None, :] < np.asarray(dlen)[:r, None]
+    hit = (dpaths[:, :-1] == a) & (dpaths[:, 1:] == b) & valid
+    return int(hit.any(axis=1).sum())
+
+
+def snip_flip_squares(D, lines, dpaths: np.ndarray, dlen: np.ndarray) -> List[int]:
+    """SnipFlipSquares (CleanThe.cc:125-204): at an inversion 'square' —
+    two lines exit vertex v, one of them a solo non-gap edge d1 to w; one
+    line (ending in edge g) enters v; one other line enters w and is the
+    inverse of the line entering v — delete d1 (+rc) when read support
+    for g->d1 is tiny compared to g->d2 (the sibling branch):
+    n1 <= MAX_CAN_INS_DEL and n2 >= MIN_CAN_INS_RATIO * n1, n2 > 0."""
+    linv = lines.linv
+    first_e = []
+    last_e = []
+    for ln in lines.lines:
+        if not ln.elements or not len(ln.elements[0].paths) or not len(
+            ln.elements[0].paths[0]
+        ):
+            first_e.append(-1)
+            last_e.append(-1)
+            continue
+        first_e.append(int(ln.elements[0].paths[0][0]))
+        last_e.append(int(ln.elements[-1].paths[0][-1]))
+    out_lines: dict = {}
+    in_lines: dict = {}
+    for li in range(lines.n_lines):
+        if first_e[li] < 0:
+            continue
+        out_lines.setdefault(int(D.from_v[first_e[li]]), []).append(li)
+        in_lines.setdefault(int(D.to_v[last_e[li]]), []).append(li)
+    dels: List[int] = []
+    dinv = D.dinv
+    for v, outs in out_lines.items():
+        if len(outs) != 2 or len(in_lines.get(v, ())) != 1:
+            continue
+        l3 = in_lines[v][0]
+        g = last_e[l3]
+        for m in (0, 1):
+            l1, l2 = outs[m], outs[1 - m]
+            ln1 = lines.lines[l1]
+            e1 = ln1.edges()
+            if len(e1) != 1 or D.is_gap(int(e1[0])):
+                continue  # l1 must be a solo non-gap edge
+            d1 = int(e1[0])
+            w = int(D.to_v[d1])
+            ins_w = [x for x in in_lines.get(w, ()) if x != l1]
+            if len(in_lines.get(w, ())) != 2 or len(ins_w) != 1:
+                continue
+            if ins_w[0] != int(linv[l3]):
+                continue  # the two entering lines must be rc partners
+            d2 = first_e[l2]
+            n1 = (
+                _adjacency_support(dpaths, dlen, g, d1)
+                + _adjacency_support(dpaths, dlen, int(dinv[d1]), int(dinv[g]))
+            )
+            n2 = (
+                _adjacency_support(dpaths, dlen, g, d2)
+                + _adjacency_support(dpaths, dlen, int(dinv[d2]), int(dinv[g]))
+            )
+            if n1 > MAX_CAN_INS_DEL:
+                continue
+            if n2 == 0 or n2 < MIN_CAN_INS_RATIO * n1:
+                continue
+            dels.extend([d1, int(dinv[d1])])
+    return sorted(set(dels))
 
 
 def clean_supergraph(D, place_fn, max_rounds: int = 4):
@@ -185,11 +325,15 @@ def clean_supergraph(D, place_fn, max_rounds: int = 4):
         dels = simple_hangs(D)
         dels += compound_hangs(D)
         dels += remove_very_small_components(D)
+        if D.bg is not None:
+            dels += kill_low_unique(D)
+            dels += kill_low_unique_frac(D)
         dpaths, dlen = place_fn(D)
         support = dpath_counts(D, dpaths, dlen)
         lines = alines.find_lines(D)
         dels += weak_cell_arms(D, lines, support)
         dels += ainv.zap_inversion_bubbles(D, lines)
+        dels += snip_flip_squares(D, lines, dpaths, dlen)
         dels = sorted(set(dels))
         if not dels or len(dels) >= D.n_edges:
             break
