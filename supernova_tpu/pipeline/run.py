@@ -504,23 +504,9 @@ class Pipeline:
         good = asc.good_barcodes(rs.bc)
         total = 0
         for _ in range(max_passes):
-            llens = lines.lengths(D)
-            sup_bcs = asg.super_edge_barcodes(D, ebcx)
-            line_bc_edges = []
-            for ln in lines.lines:
-                bcs = [sup_bcs[int(dd)] for dd in ln.edges()]
-                line_bc_edges.append(
-                    np.unique(np.concatenate(bcs)) if bcs else np.zeros(0, np.int64)
-                )
-            line_bcs = asc.line_barcode_sets(lines, line_bc_edges, good)
-            positions = amol.read_line_positions(
-                D, lines, self._dpaths, self._dlen, rs.bc,
-                base_paths=self._base_paths,
+            llens, lbp, line_bcs, positions = self._line_evidence(
+                D, lines, rs, ebcx, good
             )
-            lbp_all = {li: [] for li in range(lines.n_lines)}
-            for (bc, li), ps in positions.items():
-                lbp_all[li].extend((bc, p) for p in ps)
-            lbp = astar.restrict_positions(lbp_all, llens)
             canon = list(range(lines.n_lines))
             lhood = astar.line_prox(line_bcs, canon)
             rdead = astar.right_dead_ends(lines, D)
@@ -540,6 +526,60 @@ class Pipeline:
             D = astar.insert_star_gaps(D, lines, joins, gap_sizes)
             lines = alines.find_lines(D)
             total += len(joins)
+        return D, lines, total
+
+    def _line_evidence(self, D, lines, rs, ebcx, good):
+        """Per-line scaffolding evidence: lengths, end-restricted barcode
+        positions (lbp), good-barcode sets, raw positions."""
+        from ..asm import molecules as amol
+        from ..asm import scaffold as asc
+        from ..asm import star as astar
+        from ..asm import supergraph as asg
+
+        llens = lines.lengths(D)
+        sup_bcs = asg.super_edge_barcodes(D, ebcx)
+        line_bc_edges = []
+        for ln in lines.lines:
+            bcs = [sup_bcs[int(dd)] for dd in ln.edges()]
+            line_bc_edges.append(
+                np.unique(np.concatenate(bcs)) if bcs else np.zeros(0, np.int64)
+            )
+        line_bcs = asc.line_barcode_sets(lines, line_bc_edges, good)
+        positions = amol.read_line_positions(
+            D, lines, self._dpaths, self._dlen, rs.bc,
+            base_paths=self._base_paths,
+        )
+        lbp_all = {li: [] for li in range(lines.n_lines)}
+        for (bc, li), ps in positions.items():
+            lbp_all[li].extend((bc, p) for p in ps)
+        lbp = astar.restrict_positions(lbp_all, llens)
+        return llens, lbp, line_bcs, positions
+
+    def _barcode_join_passes(self, D, lines, rs, ebcx, max_passes: int = 3):
+        """BarcodeJoin passes over D (the reference repeats BarcodeJoin
+        through CleanTheAssembly, 10X/CleanThe.cc:2806-2929): find symmetric
+        barcode-order links between long lines, splice them (gap edges or
+        neighborhood duplication), re-find lines, iterate."""
+        from ..asm import barcode_join as abj
+        from ..asm import lines as alines
+        from ..asm import scaffold as asc
+        from ..asm import star as astar
+
+        good = asc.good_barcodes(rs.bc)
+        total = 0
+        for _ in range(max_passes):
+            llens, lbp, line_bcs, _pos = self._line_evidence(
+                D, lines, rs, ebcx, good
+            )
+            canon = list(range(lines.n_lines))
+            lhood = astar.line_prox(line_bcs, canon)
+            cov = astar.line_coverage(llens, lbp)
+            D2, n = abj.barcode_join(D, lines, llens, lbp, lhood, cov)
+            if not n:
+                break
+            D = D2
+            lines = alines.find_lines(D)
+            total += n
         return D, lines, total
 
     def stage_scaffold_phase(self, D, lines, rp, rs):
@@ -562,7 +602,13 @@ class Pipeline:
             from ..asm import molecules as amol
 
             D, lines, n_joins = self._star_multipass(D, lines, rs, ebcx)
-            if n_joins:
+            D, lines, n_bj = self._barcode_join_passes(D, lines, rs, ebcx)
+            if n_bj:
+                self.stats.log(
+                    "barcode_joins", n_bj,
+                    "line joins made by BarcodeJoin passes", stage="scaffold",
+                )
+            if n_joins or n_bj:
                 self.stats.log("scaffold_mode", "star-gap", stage="scaffold")
                 self.stats.log(
                     "star_gap_joins", n_joins,
