@@ -2,15 +2,23 @@
 unipath graph — the ReadPath/ReadPathVecX analogue.
 
 Reference behavior (SURVEY.md §2.1 "Read pathing"): HBVPather::algorithmTwo
-seeds reads on the kmer dict and extends (BuildReadQGraph48.cc:1185-1438);
-paths are stored as offset + edge list (paths/long/ReadPath.h) and
-bit-compressed (10X/paths/ReadPathVecX.h).
+seeds reads on the kmer dict, validates captured gaps (same-edge seed pairs
+across a miss gap must agree on the implied read offset within jitter <= 3),
+checks graph adjacency between consecutive seeds, and drops weak/chimeric
+terminal seeds (BuildReadQGraph48.cc:1185-1438); paths are stored as
+offset + edge list (paths/long/ReadPath.h) and bit-compressed
+(10X/paths/ReadPathVecX.h).
 
 TPU-native design: one dictionary lookup per read position for ALL reads at
-once (vectorized lex binary search), then per-read run compression of the
-hit edge sequence with cumsum/scatter — no per-read control flow.  Error
-kmers simply miss the dict (they were filtered), and runs on the same edge
-re-join across the miss; cross-edge gap repair is the patching stage's job.
+once (sort-merge join), then per-read run compression of the hit edge
+sequence with cumsum/scatter — no per-read control flow.  Error kmers
+simply miss the dict (they were filtered); runs on the same edge re-join
+across the miss ONLY when the implied offsets agree (captured-gap jitter
+rule).  After slotting, consecutive slots are validated against the graph
+(to/from vertex adjacency + exact junction position within jitter) and the
+longest valid run of slots is kept — the vectorized equivalent of
+algorithmTwo's seed-chain validation; chimeric repeat jumps are cut here
+instead of surviving into closures.
 
 Paths are fixed-width (R, MAX_PATH) with -1 padding + overflow flag — the
 static-shape stand-in for the reference's ragged ReadPathVec.
@@ -29,6 +37,7 @@ from ..core.kmer_codec import K, W3
 
 I32 = jnp.int32
 MAX_PATH = 12  # max edges a 150bp read can plausibly traverse; overflow flagged
+JITTER = 3  # max indel slack for captured gaps / junctions (algorithmTwo)
 
 
 class ReadPaths(NamedTuple):
@@ -44,6 +53,9 @@ def path_reads(
     kmer_words: W3,  # sorted canonical table (sentinel-padded), SoA
     node_edge,  # (2M,) int32
     node_pos,  # (2M,) int32
+    from_v,  # (E,) int32 edge source vertex
+    to_v,  # (E,) int32 edge target vertex
+    edge_kmers,  # (E,) int32 kmers per edge (len - K + 1)
     codes_ext,  # (NB+K,) int32
     read_offsets,  # (RP+1,) int32 (read-boundary lookups only; RP-scale)
     pos_read,  # (NB,) int32
@@ -72,11 +84,15 @@ def path_reads(
     hit = hit & (edge >= 0)
 
     # run compression: a hit opens a new path slot unless the previous hit
-    # in the same read (across any miss gap) was on the same edge.  Compact
-    # the hit rows with one stable 1-key sort (order preserved), compare
-    # neighbors, and scatter the flags back — avoids 48M-row gathers.
-    nh, pe, pr, pp = jax.lax.sort(
-        ((~hit).astype(jnp.uint32), edge, pos_read, p), num_keys=1,
+    # in the same read (across any miss gap) was on the same edge AND the
+    # implied read offset (epos - pos_in_read) agrees within JITTER — the
+    # captured-gap validation of algorithmTwo.  Compact the hit rows with
+    # one stable 1-key sort (order preserved), compare neighbors, and
+    # scatter the flags back — avoids 48M-row gathers.
+    delta = epos - pir  # edge coord of read start, constant along a run
+    nh, pe, pr, pp, pd, pq = jax.lax.sort(
+        ((~hit).astype(jnp.uint32), edge, pos_read, p, delta, pir),
+        num_keys=1,
         is_stable=True,
     )
     n_hits = jnp.sum(hit.astype(I32))
@@ -84,13 +100,16 @@ def path_reads(
     prev_same = jnp.concatenate(
         [
             jnp.zeros((1,), bool),
-            (pe[1:] == pe[:-1]) & (pr[1:] == pr[:-1]),
+            (pe[1:] == pe[:-1])
+            & (pr[1:] == pr[:-1])
+            & (jnp.abs(pd[1:] - pd[:-1]) <= JITTER),
         ]
     )
     new_for_hit = live & ~prev_same
+    scat = jnp.where(live, pp, nb)
     new_slot = (
         jnp.zeros((nb + 1,), bool)
-        .at[jnp.where(live, pp, nb)]
+        .at[scat]
         .set(new_for_hit, mode="drop")[:nb]
     )
 
@@ -106,15 +125,23 @@ def path_reads(
     base = jax.lax.cummax(jnp.where(read_first, cs_excl, 0))
     slot = cs_excl - base  # valid at marker rows
 
-    # place markers into the fixed-width path matrix with ONE scatter
+    # place markers into fixed-width per-read matrices with one scatter per
+    # field: the edge id plus the marker's read/edge positions (the seed
+    # coordinates the junction validation below needs)
     ok = new_slot & (slot < max_path)
     flat_idx = jnp.where(ok, pos_read * max_path + slot, rp * max_path)
-    paths = (
-        jnp.full((rp * max_path + 1,), -1, I32)
-        .at[flat_idx]
-        .set(edge, mode="drop")[: rp * max_path]
-        .reshape(rp, max_path)
-    )
+
+    def place(vals, fill):
+        return (
+            jnp.full((rp * max_path + 1,), fill, I32)
+            .at[flat_idx]
+            .set(vals, mode="drop")[: rp * max_path]
+            .reshape(rp, max_path)
+        )
+
+    paths = place(edge, -1)
+    entry_p = place(pir, 0)  # read position of the slot's first hit
+    entry_e = place(epos, 0)  # edge position of the slot's first hit
 
     # per-read totals from the cumsum at read boundaries (RP-scale gathers)
     cs_ext = jnp.concatenate([jnp.zeros((1,), I32), cs])
@@ -122,18 +149,66 @@ def path_reads(
     e_r = read_offsets[1:].astype(I32)[:rp]
     n_slots = cs_ext[e_r] - cs_ext[s_r]
     overflow = n_slots > max_path
-    path_len = jnp.minimum(n_slots, max_path)
+    raw_len = jnp.minimum(n_slots, max_path)
 
-    # first hit -> offset (RP-scale binary search is cheap)
-    hs = jnp.cumsum(hit.astype(I32))
-    hs_ext = jnp.concatenate([jnp.zeros((1,), I32), hs])
-    has_hit = hs_ext[e_r] > hs_ext[s_r]
-    fh = jnp.minimum(
-        jnp.searchsorted(hs, hs_ext[s_r] + 1, side="left").astype(I32), nb - 1
+    # ---- seed-chain validation (algorithmTwo junction checks) ----------
+    # consecutive slots must be graph-adjacent AND the implied read coord
+    # of the next edge's start must equal this edge's start + its kmer
+    # count (edges overlap by K-1) within JITTER; keep the longest valid
+    # run of slots per read (drops chimeric/weak terminal seeds).
+    slot_i = jnp.arange(max_path, dtype=I32)[None, :]
+    exists = slot_i < raw_len[:, None]
+    e_safe = jnp.maximum(paths, 0)
+    o = entry_p - entry_e  # read coord where each slot's edge starts
+    km = edge_kmers[e_safe]
+    adj = to_v[e_safe][:, :-1] == from_v[e_safe][:, 1:]
+    pos_ok = jnp.abs(o[:, 1:] - (o[:, :-1] + km[:, :-1])) <= JITTER
+    valid_j = adj & pos_ok & exists[:, 1:] & exists[:, :-1]
+
+    # per-slot kmer support (scatter-add over hit rows): the run with the
+    # most supporting kmers wins, the vectorized version of dropping weak
+    # terminal seeds in favor of the well-supported chain
+    slot_row = cs - 1 - base  # slot index of every hit row
+    flat_hit = jnp.where(
+        hit & (slot_row >= 0) & (slot_row < max_path),
+        pos_read * max_path + slot_row,
+        rp * max_path,
     )
-    first_skip = jnp.where(has_hit, fh - s_r, 0)
-    offset = jnp.where(has_hit, epos[fh] - first_skip, 0)
-    path_len = path_len * has_hit.astype(I32)
+    slot_hits = (
+        jnp.zeros((rp * max_path + 1,), I32)
+        .at[flat_hit]
+        .add(1, mode="drop")[: rp * max_path]
+        .reshape(rp, max_path)
+    )
+
+    # best-supported valid run via a static unrolled scan over the slots
+    sup = jnp.where(exists, slot_hits, 0)
+    run_sup = [sup[:, 0]]
+    run_st = [jnp.zeros((rp,), I32)]
+    for i in range(1, max_path):
+        cont = valid_j[:, i - 1]
+        run_sup.append(
+            jnp.where(cont, run_sup[-1] + sup[:, i], sup[:, i])
+            * exists[:, i].astype(I32)
+        )
+        run_st.append(jnp.where(cont, run_st[-1], i).astype(I32))
+    run_sup = jnp.stack(run_sup, axis=1)  # (R, max_path)
+    run_st = jnp.stack(run_st, axis=1)
+    end = jnp.argmax(run_sup, axis=1).astype(I32)  # earliest best run
+    seg_start = jnp.take_along_axis(run_st, end[:, None], axis=1)[:, 0]
+    best_len = end - seg_start + 1
+
+    idx = jnp.clip(seg_start[:, None] + slot_i, 0, max_path - 1)
+    keep = slot_i < best_len[:, None]
+    paths = jnp.where(keep, jnp.take_along_axis(paths, idx, axis=1), -1)
+    st = jnp.clip(seg_start, 0, max_path - 1)[:, None]
+    p0 = jnp.take_along_axis(entry_p, st, axis=1)[:, 0]
+    e0 = jnp.take_along_axis(entry_e, st, axis=1)[:, 0]
+
+    has_hit = n_slots > 0
+    path_len = jnp.where(has_hit, best_len, 0)
+    first_skip = jnp.where(has_hit, p0, 0)
+    offset = jnp.where(has_hit, e0 - p0, 0)
 
     return ReadPaths(paths, path_len, offset, first_skip, overflow)
 
@@ -149,6 +224,9 @@ def path_readset(bg, rs, max_path: int = MAX_PATH) -> ReadPaths:
         kc.np_to_soa(bg.kmer_words),
         jnp.asarray(bg.node_edge),
         jnp.asarray(bg.node_pos),
+        jnp.asarray(bg.from_v.astype(np.int32)),
+        jnp.asarray(bg.to_v.astype(np.int32)),
+        jnp.asarray((bg.edges.lengths() - (K - 1)).astype(np.int32)),
         inp["codes_ext"],
         inp["read_offsets"],
         inp["pos_read"],

@@ -26,6 +26,9 @@ def sharded_path(
     kmer_words: W3,  # replicated dictionary
     node_edge,
     node_pos,
+    from_v,  # replicated graph adjacency (junction validation)
+    to_v,
+    edge_kmers,
     codes_ext,  # (n_dev * (NBL+pad),) sharded
     read_offsets,  # (n_dev * (RL+1),) sharded (block-local offsets)
     pos_read,  # (n_dev * NBL,) sharded (block-local read ids)
@@ -41,13 +44,27 @@ def sharded_path(
             W3(P(), P(), P()),  # dictionary replicated
             P(),
             P(),
+            P(),
+            P(),
+            P(),
             P(AXIS),
             P(AXIS),
             P(AXIS),
             P(AXIS),
         ),
         out_specs=ReadPaths(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-    )(kmer_words, node_edge, node_pos, codes_ext, read_offsets, pos_read, rlen_pos)
+    )(
+        kmer_words,
+        node_edge,
+        node_pos,
+        from_v,
+        to_v,
+        edge_kmers,
+        codes_ext,
+        read_offsets,
+        pos_read,
+        rlen_pos,
+    )
 
 
 def split_for_pathing(rs, n_dev: int, base_bucket: int = 16384, read_bucket: int = 1024):
