@@ -137,18 +137,29 @@ def _mini_dbg_walk(
 def close_gaps(bg, rs, pairs: List[GapPair]) -> List[np.ndarray]:
     """Produce closure base sequences spanning each gap (closures.fastb
     analogue).  A closure is e1's terminal K-1 bases + fill + e2's leading
-    K-1 bases, so reinsertion glues onto both edges."""
+    K-1 bases, so reinsertion glues onto both edges.
+
+    Primary closer is the read-stack consensus (Stackster/CloseGap2
+    analogue, asm/stackster.py) — qual-weighted column votes tolerate read
+    errors the exact-kmer DBG walk below fragments on; the walk remains as
+    fallback for stacks too thin to vote."""
+    from . import stackster as astk
+
     closures = []
     for gp in pairs:
-        seqs = [rs.read(r) for r in gp.read_ids]
         left = bg.edge_seq(gp.e1)
         right = bg.edge_seq(gp.e2)
-        fill = _mini_dbg_walk(seqs, left, right)
-        if fill is None:
-            continue
-        # the walk stops when its window equals right[:PATCH_K], so `fill`
-        # already ends with those bases — append right AFTER them
-        closure = left[-(2 * K):] + fill + right[PATCH_K : 2 * K]
+        fill = astk.close_gap_stack(bg, rs, gp)
+        if fill is not None:
+            closure = left[-(2 * K):] + fill + right[: 2 * K]
+        else:
+            seqs = [rs.read(r) for r in gp.read_ids]
+            walk = _mini_dbg_walk(seqs, left, right)
+            if walk is None:
+                continue
+            # the walk stops when its window equals right[:PATCH_K], so the
+            # fill already ends with those bases — append right AFTER them
+            closure = left[-(2 * K):] + walk + right[PATCH_K : 2 * K]
         closures.append(dna.seq_to_codes(closure))
     return closures
 
