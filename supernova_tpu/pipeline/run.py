@@ -792,6 +792,28 @@ class Pipeline:
                  "phasings": phasings}, f,
             )
 
+        # final/a.sup* checkpoint family (SuperFiles, 10X/SuperFiles.cc:96)
+        from ..out import superfiles as osf
+
+        lbpx = None
+        lp = getattr(self, "_line_positions", None)
+        if lp:
+            lbpx = [
+                (li, bc, p)
+                for li, bcs in lp.items()
+                for bc, ps in bcs.items()
+                for p in ps
+            ]
+        osf.write_super_files(
+            self.outdir,
+            D,
+            lines,
+            phasings=phasings,
+            dpaths=getattr(self, "_dpaths", None),
+            dlen=getattr(self, "_dlen", None),
+            lbpx=lbpx,
+        )
+
         scaffold_seqs = []
         for sc in scaffolds:
             parts = [
