@@ -1,0 +1,322 @@
+"""Loop capture: abstract loop subgraphs of D into {-4} cell gap edges.
+
+Analogue of 10X/Capture.cc.  Three shapes are captured (the reference runs
+them inside CleanTheAssembly and the CP surgery stage — CleanThe.cc:2460,
+CP.cc:872-873, Scaffold.cc:508-509):
+
+* canonical loops (Capture.cc:769): v ==d1==> w, w ==d2==> v with exactly
+  one other edge into v and one other out of w: replace {d1, d2} with a
+  single cell edge v->w whose cell is the 2-vertex loop graph.
+* simple loops (Capture.cc:661): self-loop e at a 2-in/2-out vertex v with
+  through edges d: u->v and f: v->w: delete e, add a new vertex V and a
+  cell edge v->V holding e, and re-root f at V.
+* multi loops (Capture.cc:31): n>=2 self-loops at a vertex with single
+  entry x and exit y: all loops collapse into one cell edge ahead of y.
+
+Captured cells ride the supergraph as gap edges: FindLines treats them as
+non-overlapping elements, and FASTA emission spells them via
+cell::FindPath (asm/gap.py cell_find_path).  `reinsert_loops` is the
+inverse edit (ReinsertLoops, Gap.cc:77-93) used before sequence-graph
+export.
+
+All edits are involution-symmetric: the rc cell row is rc_gap(row, binv)
+(paths mapped through the base involution), so SuperGraph.validate holds.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from ..core.ragged import Ragged
+from . import gap as agap
+
+
+class GraphEditor:
+    """Mutable view of a SuperGraph for structural surgery; `build`
+    re-materializes (without compaction — callers recompact via
+    inversion.delete_edges(force=True))."""
+
+    def __init__(self, D):
+        self.rows: List[np.ndarray] = [
+            np.asarray(D.epaths.row(d), np.int64).copy() for d in range(D.n_edges)
+        ]
+        self.dinv: List[int] = [int(x) for x in D.dinv]
+        self.from_v: List[int] = [int(x) for x in D.from_v]
+        self.to_v: List[int] = [int(x) for x in D.to_v]
+        self.n_vertices = int(D.n_vertices)
+        self.bg = D.bg
+        self.dels: List[int] = []
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.rows)
+
+    def add_vertex(self) -> int:
+        self.n_vertices += 1
+        return self.n_vertices - 1
+
+    def add_edge(self, v: int, w: int, row: np.ndarray, dinv: int = -1) -> int:
+        self.rows.append(np.asarray(row, np.int64))
+        self.from_v.append(int(v))
+        self.to_v.append(int(w))
+        self.dinv.append(int(dinv))
+        return len(self.rows) - 1
+
+    def out_edges(self) -> List[List[int]]:
+        out: List[List[int]] = [[] for _ in range(self.n_vertices)]
+        for d, v in enumerate(self.from_v):
+            out[v].append(d)
+        return out
+
+    def in_edges(self) -> List[List[int]]:
+        inn: List[List[int]] = [[] for _ in range(self.n_vertices)]
+        for d, v in enumerate(self.to_v):
+            inn[v].append(d)
+        return inn
+
+    def transfer_vertex(self, old: int, new: int):
+        """Move every edge endpoint at `old` to `new`
+        (TransferEdgesWithUpdate analogue)."""
+        for d in range(len(self.rows)):
+            if self.from_v[d] == old:
+                self.from_v[d] = new
+            if self.to_v[d] == old:
+                self.to_v[d] = new
+
+    def is_gap(self, d: int) -> bool:
+        r = self.rows[d]
+        return len(r) > 0 and int(r[0]) < 0
+
+    def build(self):
+        from .supergraph import SuperGraph
+
+        nd = len(self.rows)
+        return SuperGraph(
+            epaths=Ragged.from_rows(self.rows, dtype=np.int64)
+            if nd
+            else Ragged(np.zeros(0, np.int64), np.zeros(1, np.int64)),
+            dinv=np.asarray(self.dinv, np.int64),
+            from_v=np.asarray(self.from_v, np.int64),
+            to_v=np.asarray(self.to_v, np.int64),
+            n_vertices=self.n_vertices,
+            bg=self.bg,
+        )
+
+
+def capture_canonical_loops(g: GraphEditor) -> int:
+    """v ==d1==> w / w ==d2==> v two-edge loops -> one cell edge v->w
+    (CaptureCanonicalLoops, Capture.cc:769-832)."""
+    out, inn = g.out_edges(), g.in_edges()
+    binv = g.bg.inv
+    pairs: List[Tuple[int, int]] = []
+    for v in range(g.n_vertices):
+        if len(inn[v]) != 2 or len(out[v]) != 1:
+            continue
+        d1 = out[v][0]
+        w = g.to_v[d1]
+        if len(out[w]) != 2 or len(inn[w]) != 1:
+            continue
+        d2 = next((f for f in out[w] if g.to_v[f] == v), -1)
+        if d2 < 0:
+            continue
+        # four distinct flanking vertices (no degenerate nests)
+        flank = {g.from_v[f] for f in inn[v]} | {g.to_v[f] for f in out[w]}
+        if len(flank) != 4:
+            continue
+        if g.is_gap(d1) or g.is_gap(d2):
+            continue
+        rd1, rd2 = g.dinv[d1], g.dinv[d2]
+        if len({d1, d2, rd1, rd2}) != 4:
+            continue
+        pairs.append((d1, d2))
+    pairs.sort()
+    pset = set(pairs)
+    new_of: dict = {}
+    n = 0
+    for d1, d2 in pairs:
+        rd1, rd2 = g.dinv[d1], g.dinv[d2]
+        if (rd1, rd2) not in pset:
+            continue
+        if (rd1, rd2) < (d1, d2):
+            continue  # rc site handles the pair
+        v, w = g.from_v[d1], g.to_v[d1]
+        row = agap.cell_encode(
+            0, 1, 2, [(0, 1, g.rows[d1]), (1, 0, g.rows[d2])]
+        )
+        e1 = g.add_edge(v, w, row)
+        rrow = agap.rc_gap(row, binv)
+        rv, rw = g.from_v[rd1], g.to_v[rd1]
+        e2 = g.add_edge(rv, rw, rrow)
+        g.dinv[e1] = e2
+        g.dinv[e2] = e1
+        g.dels.extend([d1, d2, rd1, rd2])
+        n += 1
+    return n
+
+
+def capture_simple_loops(g: GraphEditor) -> int:
+    """Self-loop at a 2-in/2-out vertex -> cell edge + re-rooted out edge
+    (CaptureSimpleLoops, Capture.cc:661-747)."""
+    out, inn = g.out_edges(), g.in_edges()
+    binv = g.bg.inv
+    sites: List[Tuple[int, int, int]] = []  # (e, f, v)
+    for v in range(g.n_vertices):
+        if len(inn[v]) != 2 or len(out[v]) != 2:
+            continue
+        loops = [d for d in out[v] if g.to_v[d] == v]
+        if len(loops) != 1:
+            continue
+        e = loops[0]
+        d = next(f for f in inn[v] if f != e)
+        f = next(x for x in out[v] if x != e)
+        u, w = g.from_v[d], g.to_v[f]
+        if len({u, v, w}) != 3:
+            continue
+        if g.is_gap(e):
+            continue
+        rd, re, rf = g.dinv[d], g.dinv[e], g.dinv[f]
+        if len({d, e, f, rd, re, rf}) != 6:
+            continue
+        sites.append((e, f, v))
+    sites.sort()
+    by_e = {e: (f, v) for e, f, v in sites}
+    n = 0
+    for e, f, v in sites:
+        re = g.dinv[e]
+        if re not in by_e or re < e:
+            continue
+        rf2, rv = by_e[re]
+        # e site: v ->cell-> V, f re-rooted at V
+        V = g.add_vertex()
+        row = agap.cell_encode(0, 0, 1, [(0, 0, g.rows[e])])
+        e1 = g.add_edge(v, V, row)
+        g.from_v[f] = V
+        # re site (rc image): rv ->cell(re)-> V', with rd = dinv[f]'s
+        # successor re-rooted — symmetric edit
+        V2 = g.add_vertex()
+        rrow = agap.rc_gap(row, binv)
+        e2 = g.add_edge(rv, V2, rrow)
+        g.from_v[rf2] = V2
+        g.dinv[e1] = e2
+        g.dinv[e2] = e1
+        g.dels.extend([e, re])
+        n += 1
+    return n
+
+
+def capture_multi_loops(g: GraphEditor) -> int:
+    """n>=2 self-loops at a single-entry/single-exit vertex -> one cell
+    edge before the exit (CaptureMultiLoops, Capture.cc:31-108)."""
+    out, inn = g.out_edges(), g.in_edges()
+    binv = g.bg.inv
+    sites: List[Tuple[int, int, int]] = []  # (v, x, y)
+    for v in range(g.n_vertices):
+        loops = [d for d in out[v] if g.to_v[d] == v]
+        if len(loops) < 2:
+            continue
+        if len(out[v]) != len(loops) + 1 or len(inn[v]) != len(loops) + 1:
+            continue
+        x = next(d for d in inn[v] if g.from_v[d] != v)
+        y = next(d for d in out[v] if g.to_v[d] != v)
+        if (g.dinv[y], g.dinv[x]) < (x, y):
+            continue  # rc site is canonical
+        if len({x, y, g.dinv[x], g.dinv[y]}) != 4:
+            continue
+        if any(g.is_gap(d) for d in loops):
+            continue
+        sites.append((v, x, y))
+    sites.sort()
+    n = 0
+    for v, x, y in sites:
+        loops = sorted(d for d in g.out_edges()[v] if g.to_v[d] == v)
+        if not loops:
+            continue
+        ry = g.dinv[y]
+        rv = g.to_v[ry]
+        row = agap.cell_encode(0, 0, 1, [(0, 0, g.rows[d]) for d in loops])
+        rrow = agap.rc_gap(row, binv)
+        N = g.add_vertex()
+        N2 = g.add_vertex()
+        e1 = g.add_edge(v, N, row)
+        e2 = g.add_edge(N2, rv, rrow)
+        g.dinv[e1] = e2
+        g.dinv[e2] = e1
+        g.from_v[y] = N
+        g.to_v[ry] = N2
+        rloops = sorted(g.dinv[d] for d in loops)
+        g.dels.extend(loops)
+        g.dels.extend(rloops)
+        n += 1
+    return n
+
+
+def capture_loops(D, canonical: bool = True):
+    """CaptureLoops / surgery-stage capture: multi + simple (+ canonical)
+    loop capture, deletions applied, graph recompacted.  Returns
+    (D', n_captured)."""
+    from .inversion import delete_edges
+
+    g = GraphEditor(D)
+    n = capture_multi_loops(g)
+    n += capture_simple_loops(g)
+    if canonical:
+        n += capture_canonical_loops(g)
+    if n == 0:
+        return D, 0
+    D2 = g.build()
+    D2 = delete_edges(D2, g.dels, force=True)
+    return D2, n
+
+
+def reinsert_loops(D):
+    """Expand every {-4} cell edge back into live vertices/edges
+    (ReinsertLoops, Gap.cc:11-93).  Self-inverse cell edges are left in
+    place (the reference punts on them too).  Returns (D', n_reinserted)."""
+    from .inversion import delete_edges
+
+    g = GraphEditor(D)
+    nd0 = g.n_edges
+    n = 0
+    for d in range(nd0):
+        rd = g.dinv[d]
+        if rd <= d:
+            continue
+        row = g.rows[d]
+        if not (len(row) and int(row[0]) == -4):
+            continue
+        left, right, nv, cedges = agap.cell_decode(row)
+        rleft, rright, rnv, rcedges = agap.cell_decode(g.rows[rd])
+        assert len(cedges) == len(rcedges) and nv == rnv
+        v, w = g.from_v[d], g.to_v[d]
+        rv, rw = g.from_v[rd], g.to_v[rd]
+        # new vertices for the cell interiors
+        vmap = [g.add_vertex() for _ in range(nv)]
+        rvmap = [g.add_vertex() for _ in range(rnv)]
+        new_f: List[int] = []
+        new_r: List[int] = []
+        for (f, t, p) in cedges:
+            new_f.append(g.add_edge(vmap[f], vmap[t], p))
+        for (f, t, p) in rcedges:
+            new_r.append(g.add_edge(rvmap[f], rvmap[t], p))
+        for a, b in zip(new_f, new_r):
+            g.dinv[a] = b
+            g.dinv[b] = a
+        # glue cell boundary onto D vertices (ReinsertLoop transfer order)
+        g.transfer_vertex(vmap[left], v)
+        g.transfer_vertex(rvmap[rleft], rv)
+        if left == right:
+            if w != v:
+                g.transfer_vertex(w, v)
+            if rw != rv:
+                g.transfer_vertex(rw, rv)
+        else:
+            g.transfer_vertex(vmap[right], w)
+            g.transfer_vertex(rvmap[rright], rw)
+        g.dels.extend([d, rd])
+        n += 1
+    if n == 0:
+        return D, 0
+    D2 = g.build()
+    D2 = delete_edges(D2, g.dels, force=True)
+    return D2, n

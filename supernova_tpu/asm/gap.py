@@ -116,8 +116,10 @@ def gap_repr_len(row) -> int:
     raise ValueError(f"not a gap row: {row!r}")
 
 
-def rc_gap(row: np.ndarray) -> np.ndarray:
-    """Involution image of a gap row."""
+def rc_gap(row: np.ndarray, binv=None) -> np.ndarray:
+    """Involution image of a gap row.  For {-4} cells the constituent paths
+    reference base edges, so the rc cell maps each path through the base
+    involution `binv` (required for cells; the other codes ignore it)."""
     c = int(row[0])
     if c in (-1, -2):
         return np.asarray(row, dtype=np.int64).copy()
@@ -126,10 +128,13 @@ def rc_gap(row: np.ndarray) -> np.ndarray:
         return seq_to_gap(dna.revcomp(codes), rtrim, ltrim)
     if c == -4:
         left, right, nv, edges = cell_decode(row)
-        # rc cell: edges reversed under the base involution is the caller's
-        # job (paths reference base edges); here we flip topology only —
-        # callers building rc cells should encode them directly.
-        redges = [(nv - 1 - t, nv - 1 - f, p[::-1].copy()) for f, t, p in edges]
+        if binv is None:
+            raise ValueError("rc_gap of a {-4} cell needs the base involution")
+        binv = np.asarray(binv, dtype=np.int64)
+        redges = [
+            (nv - 1 - t, nv - 1 - f, binv[np.asarray(p, np.int64)[::-1]])
+            for f, t, p in edges
+        ]
         return cell_encode(nv - 1 - right, nv - 1 - left, nv, redges)
     raise ValueError(f"not a gap row: {row!r}")
 

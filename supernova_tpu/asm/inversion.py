@@ -149,10 +149,18 @@ def kill_inversion_artifacts(
 
 
 def _compact_chains(
-    E: int, live: np.ndarray, from_e: np.ndarray, to_e: np.ndarray, n_vertices: int
+    E: int,
+    live: np.ndarray,
+    from_e: np.ndarray,
+    to_e: np.ndarray,
+    n_vertices: int,
+    no_merge: np.ndarray | None = None,
 ) -> List[np.ndarray]:
     """Maximal unbranched chains of the live edges through simple
-    (in=1, out=1) vertices; cycles broken deterministically at min edge id."""
+    (in=1, out=1) vertices; cycles broken deterministically at min edge id.
+    Edges flagged in `no_merge` (gap edges — their payload is not a base-edge
+    path) never join a chain, mirroring RemoveUnneededVertices' DoCheck gate
+    on negative payloads (10X/Super.cc:1150-1153)."""
     indeg = np.zeros(n_vertices, dtype=np.int64)
     outdeg = np.zeros(n_vertices, dtype=np.int64)
     np.add.at(indeg, to_e[live], 1)
@@ -167,10 +175,12 @@ def _compact_chains(
     nxt = np.full(E, -1, dtype=np.int64)
     prv = np.full(E, -1, dtype=np.int64)
     for e in live:
+        if no_merge is not None and no_merge[e]:
+            continue
         v = int(to_e[e])
         if indeg[v] == 1 and outdeg[v] == 1:
             f = out_edge[v]
-            if f >= 0 and f != e:
+            if f >= 0 and f != e and not (no_merge is not None and no_merge[f]):
                 nxt[e] = f
                 prv[f] = e
     visited = np.zeros(E, dtype=bool)
@@ -221,7 +231,9 @@ def delete_edges(D, dels: List[int], force: bool = False):
     if (keep.all() and not force) or not keep.any():
         return D
     live = np.nonzero(keep)[0]
-    chains = _compact_chains(ED, live, D.from_v, D.to_v, D.n_vertices)
+    chains = _compact_chains(
+        ED, live, D.from_v, D.to_v, D.n_vertices, no_merge=D.gap_mask()
+    )
 
     paths: List[np.ndarray] = []
     new_of_old = np.full(ED, -1, dtype=np.int64)

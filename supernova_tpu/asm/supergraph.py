@@ -98,7 +98,9 @@ class SuperGraph:
             p = self.epaths.row(d)
             q = self.epaths.row(int(self.dinv[d]))
             if len(p) and p[0] < 0:
-                assert np.array_equal(q, agap.rc_gap(p)), f"gap dinv mismatch at {d}"
+                assert np.array_equal(
+                    q, agap.rc_gap(p, binv)
+                ), f"gap dinv mismatch at {d}"
                 continue
             assert np.array_equal(q, binv[p[::-1]]), f"dinv mismatch at {d}"
         # constituent base edges must be graph-adjacent (K-1 overlap holds)
@@ -332,9 +334,10 @@ def append_gap_edges(
     dinv = list(D.dinv)
     from_v = list(D.from_v)
     to_v = list(D.to_v)
+    binv = getattr(D.bg, "inv", None)  # only {-4} cell rows need it
     for v, w, row, vr, wr in items:
         row = np.asarray(row, dtype=np.int64)
-        rrow = agap.rc_gap(row)
+        rrow = agap.rc_gap(row, binv)
         d = len(rows)
         if (vr, wr) == (v, w) and np.array_equal(rrow, row):
             rows.append(row)

@@ -414,6 +414,22 @@ class Pipeline:
             dpaths, dlen = place_fn(D)
             self.stats.log("n_decycled", len(dc), stage="supergraph")
 
+        # loop capture: abstract remaining loop subgraphs into {-4} cells so
+        # lines run straight through them (CaptureLoops, 10X/Capture.cc;
+        # the reference captures in CleanTheAssembly + the surgery stage)
+        from ..asm import capture as acap
+
+        D2, n_cap = acap.capture_loops(D)
+        if n_cap:
+            D = D2
+            D.validate()
+            dpaths, dlen = place_fn(D)
+            self.stats.log(
+                "n_loops_captured", n_cap,
+                "loop subgraphs captured into cell gap edges",
+                stage="supergraph",
+            )
+
         lines = alines.find_lines(D)
         self.stats.log("n_super_edges", D.n_edges, stage="supergraph")
         self.stats.log("n_lines", lines.n_lines, stage="supergraph")
