@@ -336,6 +336,7 @@ class Pipeline:
         bad_pair = bad[0::2] | bad[1::2]
         cl = aclos.make_closures(bg, edges, plen, dup | bad_pair)
         aclos.save_closures(self.outdir / "cpaths.npz", cl)
+        self._closures = cl  # a.cpaths analogue, consumed by Splat
         self.stats.log("n_closures", len(cl), "closure paths", stage="supergraph")
 
         keep = asg.trim_weak_edges(bg, counts)
@@ -641,6 +642,40 @@ class Pipeline:
                         "gap edges upgraded to sequence by read stacks",
                         stage="scaffold",
                     )
+                # pair-linked {-2} gaps -> {-1}, then Splat the saved DF
+                # closures across them (CP.cc:1233-1257 + Splat.cc)
+                from ..asm import lines as alines2
+                from ..asm import place as aplace2
+                from ..asm import splat as aspl
+
+                D2c, n_conv = aspl.convert_bc_gaps(
+                    D, self._dpaths, self._dlen
+                )
+                if n_conv:
+                    D = D2c
+                    self.stats.log(
+                        "pair_gaps_converted", n_conv,
+                        "{-2} gaps with read-pair links -> {-1}",
+                        stage="scaffold",
+                    )
+                cl2 = getattr(self, "_closures", None)
+                if cl2 and n_conv:
+                    D3, n_sp = aspl.splat(
+                        D, [np.asarray(c, np.int64) for c in cl2]
+                    )
+                    if n_sp:
+                        D = D3
+                        D.validate()
+                        self._dpaths, self._dlen = aplace2.place_reads(
+                            D, edges, plen,
+                            read_bc=rs.bc if rs.barcoded else None,
+                        )
+                        lines = alines2.find_lines(D)
+                        self.stats.log(
+                            "gaps_splatted", n_sp,
+                            "pair gaps replaced by closure sequence",
+                            stage="scaffold",
+                        )
                 # line-keyed state moves to the merged lines
                 positions = amol.read_line_positions(
                     D, lines, self._dpaths, self._dlen, rs.bc,
