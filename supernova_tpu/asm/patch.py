@@ -100,7 +100,11 @@ def find_edge_pairs(
 
 
 def _mini_dbg_walk(
-    seqs: List[np.ndarray], left_anchor: str, right_anchor: str, k: int = PATCH_K
+    seqs: List[np.ndarray],
+    left_anchor: str,
+    right_anchor: str,
+    k: int = PATCH_K,
+    max_walk: int = MAX_GAP_WALK,
 ) -> Optional[str]:
     """Small-k DBG over the gap reads; walk from left_anchor's end kmer to
     right_anchor's start kmer following unambiguous majority extensions."""
@@ -116,7 +120,7 @@ def _mini_dbg_walk(
     target = right_anchor[:k]
     built = []
     seen = set()
-    for _ in range(MAX_GAP_WALK):
+    for _ in range(max_walk):
         if cur == target:
             return "".join(built)
         if cur in seen:

@@ -642,6 +642,20 @@ class Pipeline:
                         "gap edges upgraded to sequence by read stacks",
                         stage="scaffold",
                     )
+                # Unvoid: barcode-restricted local assembly over the {-2}
+                # gaps Stackaroo left open (BuildLocal.cc:1055, CP.cc:790;
+                # barcode membership reaches reads that never placed)
+                from ..asm import local as alocal
+
+                D2u, n_unvoid = alocal.unvoid(D, rs, ebcx)
+                if n_unvoid:
+                    D = D2u
+                    D.validate()
+                    self.stats.log(
+                        "gaps_unvoided", n_unvoid,
+                        "gaps closed by barcode-local assembly",
+                        stage="scaffold",
+                    )
                 # pair-linked {-2} gaps -> {-1}, then Splat the saved DF
                 # closures across them (CP.cc:1233-1257 + Splat.cc)
                 from ..asm import lines as alines2
