@@ -384,3 +384,61 @@ def find_lines(D) -> Lines:
 def canonical_lines(lines: Lines) -> np.ndarray:
     """One representative per rc line pair (self-rc lines included)."""
     return np.nonzero(np.arange(lines.n_lines) <= lines.linv)[0]
+
+
+@dataclass
+class _MetaGraph:
+    """Duck-typed digraph whose edges are lines — just enough surface for
+    find_lines to run over it (FindLineLines builds digraphE<int> the same
+    way, 10X/LineLine.cc:19-42)."""
+
+    from_v: np.ndarray
+    to_v: np.ndarray
+    dinv: np.ndarray
+    n_vertices: int
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.from_v)
+
+    def gap_mask(self) -> np.ndarray:
+        return np.zeros(self.n_edges, dtype=bool)
+
+
+def find_line_lines(D, lines: Lines) -> Lines:
+    """Lines of lines (FindLineLines, 10X/LineLine.cc:11-55): each line
+    becomes one edge of a meta-graph between its end D-vertices; running
+    the line finder over that graph yields scaffold-level structure —
+    element paths hold LINE ids, and megabubble pairs appear as cells."""
+    n = lines.n_lines
+    lv = np.zeros(n, dtype=np.int64)
+    wv = np.zeros(n, dtype=np.int64)
+    for i, ln in enumerate(lines.lines):
+        first = int(ln.elements[0].paths[0][0])
+        last = int(ln.elements[-1].paths[0][-1])
+        lv[i] = D.from_v[first]
+        wv[i] = D.to_v[last]
+    verts = np.unique(np.concatenate([lv, wv])) if n else np.zeros(0, np.int64)
+    meta = _MetaGraph(
+        from_v=np.searchsorted(verts, lv),
+        to_v=np.searchsorted(verts, wv),
+        dinv=np.asarray(lines.linv, np.int64).copy(),
+        n_vertices=len(verts),
+    )
+    return find_lines(meta)
+
+
+def line_line_lengths(llens: np.ndarray, lines2: Lines) -> np.ndarray:
+    """Length of each line-of-lines: per element, the median over its
+    parallel paths of the summed member-line lengths (GetLineLineLengths,
+    10X/LineLine.cc:57-73)."""
+    llens = np.asarray(llens)
+    out = np.zeros(lines2.n_lines, dtype=np.int64)
+    for i, ln in enumerate(lines2.lines):
+        pos = 0
+        for cell in ln.elements:
+            plens = sorted(int(llens[p].sum()) for p in cell.paths)
+            if plens:
+                pos += plens[len(plens) // 2]
+        out[i] = pos
+    return out

@@ -758,6 +758,20 @@ class Pipeline:
                 )
         self.stats.log("n_scaffolds", len(scaffolds), stage="scaffold")
 
+        # lines of lines: scaffold-level structure + N50 (FindLineLines,
+        # 10X/LineLine.cc; the reference walks these in ScafLinePrinter)
+        from ..asm.lines import find_line_lines, line_line_lengths
+
+        ll = find_line_lines(D, lines)
+        lens2 = line_line_lengths(lines.lengths(D), ll)
+        canon2 = np.nonzero(np.arange(ll.n_lines) <= ll.linv)[0]
+        self.stats.log("n_line_lines", len(canon2), stage="scaffold")
+        if len(canon2):
+            self.stats.log(
+                "line_line_N50", n50(lens2[canon2]),
+                "line-of-lines N50 (bases)", stage="scaffold",
+            )
+
         if getattr(self, "_molecules", None):
             bc_counts = aph.build_edge_molecule_counts(
                 D, lines, self._dpaths, self._dlen, rs.bc
