@@ -16,6 +16,17 @@ import numpy as np
 MIN_SPAN_BC = 2
 BC_FLANK = 20_000  # CP.cc:290 flank window
 BC_IGNORE = 2_000  # CP.cc:291 dead zone next to the junction
+BC_REQUIRE = 5_000  # junction must be this far from both line ends
+BC_MIN = 10  # expected bridging barcodes at full window density
+BC_MAX_CELL = 1_000  # only judge small cells (Super.cc:319-320)
+
+# the reference's escalation: two passes at the base tier, then a wider
+# dead zone, then a long-range pass (CP.cc:942-945,1053-1056,1085-1106)
+ESCALATION_TIERS = (
+    (5_000, 20_000, 2_000),
+    (5_000, 20_000, 5_000),
+    (25_000, 40_000, 20_000),
+)
 
 
 def element_barcodes(D, line, sup_bcs: List[np.ndarray]) -> List[Set[int]]:
@@ -84,6 +95,75 @@ def find_weak_junctions_positional(
         if len(left & right) < min_span:
             weak.append(j)
     return weak
+
+
+def kill_misassembled_cells(
+    D,
+    lines,
+    line_positions: dict,
+    llens: np.ndarray | None = None,
+    bc_require: int = BC_REQUIRE,
+    bc_flank: int = BC_FLANK,
+    bc_ignore: int = BC_IGNORE,
+    lw_mol_len: float | None = None,
+) -> List[int]:
+    """KillMisassembledCells proper (Super.cc:306-470): judge each cell /
+    gap junction far enough from its line's ends by the number of barcodes
+    bridging the [mid-flank, mid-ignore] x [mid+ignore, mid+flank] windows
+    against an expectation scaled by the genome-wide position density
+    (expect = min(1, n/winpos) * BC_MIN); weak cells' D-edges are returned
+    for deletion.  The dead zone shrinks to lw_mol_len/4 when the measured
+    molecule length doesn't support it (Super.cc:357).
+    line_positions: {line: {bc: [positions]}}."""
+    from .molecules import element_offsets
+
+    if llens is None:
+        llens = lines.lengths(D)
+    if lw_mol_len:
+        bc_ignore = min(bc_ignore, int(lw_mol_len) // 4)
+
+    # genome-wide positions-per-window expectation (Super.cc:366-375)
+    total_bases = 0
+    total_pos = 0
+    for li in range(lines.n_lines):
+        if llens[li] < bc_flank:
+            continue
+        total_bases += int(llens[li])
+        total_pos += sum(
+            len(ps) for ps in line_positions.get(li, {}).values()
+        )
+    if total_bases == 0 or total_pos == 0:
+        return []
+    winpos = (bc_flank - bc_ignore) * total_pos / total_bases
+
+    dels: List[int] = []
+    for li, ln in enumerate(lines.lines):
+        lp = line_positions.get(li)
+        if not lp or llens[li] < 2 * bc_require:
+            continue
+        pairs = sorted((int(p), int(b)) for b, ps in lp.items() for p in ps)
+        starts = np.array([p for p, _ in pairs], np.int64)
+        bcs = np.array([b for _, b in pairs], np.int64)
+        offs = element_offsets(D, ln)
+        for j, cell in enumerate(ln.elements):
+            is_bubble = len(cell.paths) > 1
+            is_gap_el = any(D.is_gap(int(e)) for e in cell.edge_ids())
+            if not (is_bubble or is_gap_el):
+                continue
+            ncell = int(offs[j + 1] - offs[j])
+            if ncell > BC_MAX_CELL:
+                continue
+            mid = int(offs[j]) + ncell // 2
+            if mid < bc_require or llens[li] - mid < bc_require:
+                continue
+            lmask = (starts >= mid - bc_flank) & (starts <= mid - bc_ignore)
+            rmask = (starts >= mid + bc_ignore) & (starts <= mid + bc_flank)
+            n = min(int(lmask.sum()), int(rmask.sum()))
+            bridge = len(np.intersect1d(bcs[lmask], bcs[rmask]))
+            expect = min(1.0, n / winpos) * BC_MIN
+            if bridge < expect:
+                dels.extend(int(e) for e in cell.edge_ids())
+    return sorted(set(dels))
 
 
 def break_lines(

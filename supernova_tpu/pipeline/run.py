@@ -700,6 +700,51 @@ class Pipeline:
                 for (b, li), ps in positions.items():
                     lp2.setdefault(li, {})[b] = ps
                 self._line_positions = lp2
+
+                # KillMisassembledCells escalation over the joined lines
+                # (CP.cc:942-1106: base tier x2 behavior folded into one
+                # pass here, then the wider-dead-zone and long-range tiers)
+                from ..asm import lines as alines3
+                from ..asm import misassembly as amis2
+                from ..asm.inversion import delete_edges as del_edges
+
+                lwml = (
+                    amol.lw_mean_length(self._molecules)
+                    if self._molecules
+                    else None
+                )
+                n_killed = 0
+                for (req, flk, ign) in amis2.ESCALATION_TIERS:
+                    dels = amis2.kill_misassembled_cells(
+                        D, lines, self._line_positions,
+                        bc_require=req, bc_flank=flk, bc_ignore=ign,
+                        lw_mol_len=lwml,
+                    )
+                    if not dels:
+                        continue
+                    n_killed += len(dels)
+                    D = del_edges(D, dels)
+                    D.validate()
+                    self._dpaths, self._dlen = aplace2.place_reads(
+                        D, edges, plen,
+                        read_bc=rs.bc if rs.barcoded else None,
+                    )
+                    lines = alines3.find_lines(D)
+                    positions = amol.read_line_positions(
+                        D, lines, self._dpaths, self._dlen, rs.bc,
+                        base_paths=self._base_paths,
+                    )
+                    self._molecules = amol.infer_molecules(positions)
+                    lp3: dict = {}
+                    for (b, li), ps in positions.items():
+                        lp3.setdefault(li, {})[b] = ps
+                    self._line_positions = lp3
+                if n_killed:
+                    self.stats.log(
+                        "misassembled_cells_killed", n_killed,
+                        "D-edges deleted at unsupported junctions",
+                        stage="scaffold",
+                    )
                 from ..asm.lines import canonical_lines
                 from ..asm.scaffold import Scaffold
 

@@ -95,3 +95,83 @@ def test_positional_weak_junction():
     lp[20] = [30_000 - 6_000, 30_000 + 6_000]
     lp[21] = [30_000 - 9_000, 30_000 + 3_000]
     assert find_weak_junctions_positional(D, line, lp) == []
+
+
+# ---------------------------------------------------------------- kill cells
+
+
+def _fake_kill_setup(bridge: bool):
+    """A 50.1kb line: straight(25k) [gap cell] straight(25k); barcode
+    positions populate both flank windows, with or without bridges."""
+    from types import SimpleNamespace
+
+    from supernova_tpu.asm.lines import Cell, Line, Lines
+
+    lens = {0: 25_000, 1: 100, 2: 25_000}
+    gaps = {0: False, 1: True, 2: False}
+    D = SimpleNamespace(
+        edge_len=lambda d: lens[d],
+        is_gap=lambda d: gaps[d],
+    )
+    ln = Line(
+        [
+            Cell([np.array([0], np.int64)]),
+            Cell([np.array([1], np.int64)]),
+            Cell([np.array([2], np.int64)]),
+        ]
+    )
+    lines = Lines(
+        lines=[ln],
+        line_of_edge=np.array([0, 0, 0]),
+        linv=np.array([0]),
+    )
+    mid = 25_050
+    lp = {}
+    for b in range(20):
+        left_pos = mid - 15_000 + 400 * b
+        right_pos = mid + 5_000 + 400 * b
+        if bridge:
+            lp[b] = [left_pos, right_pos]
+        else:
+            lp[b] = [left_pos]
+            lp[100 + b] = [right_pos]
+    return D, lines, {0: lp}, np.array([50_100])
+
+
+def test_kill_misassembled_cells_unbridged():
+    from supernova_tpu.asm import misassembly as amis
+
+    D, lines, lpos, llens = _fake_kill_setup(bridge=False)
+    dels = amis.kill_misassembled_cells(D, lines, lpos, llens=llens)
+    assert dels == [1]  # the gap cell's edge is killed
+
+
+def test_kill_misassembled_cells_bridged():
+    from supernova_tpu.asm import misassembly as amis
+
+    D, lines, lpos, llens = _fake_kill_setup(bridge=True)
+    dels = amis.kill_misassembled_cells(D, lines, lpos, llens=llens)
+    assert dels == []
+
+
+def test_kill_misassembled_cells_requires_distance():
+    from supernova_tpu.asm import misassembly as amis
+
+    D, lines, lpos, llens = _fake_kill_setup(bridge=False)
+    # junction too close to the line end under the long-range tier
+    dels = amis.kill_misassembled_cells(
+        D, lines, lpos, llens=llens, bc_require=30_000, bc_flank=40_000,
+        bc_ignore=20_000,
+    )
+    assert dels == []
+
+
+def test_kill_misassembled_cells_mol_len_scales_ignore():
+    from supernova_tpu.asm import misassembly as amis
+
+    D, lines, lpos, llens = _fake_kill_setup(bridge=False)
+    # a tiny measured molecule length shrinks the dead zone, not the verdict
+    dels = amis.kill_misassembled_cells(
+        D, lines, lpos, llens=llens, lw_mol_len=4_000,
+    )
+    assert dels == [1]
