@@ -53,14 +53,22 @@ class Pipeline:
         self.downsample = downsample
         self.auto_downsample = auto_downsample
         self._t_start = time.time()
+        from .orchestrate import Orchestrator
+
+        self.orch = Orchestrator(self.outdir)
 
     def _timed(self, name, fn, *a, **kw):
         """Per-stage wall-clock + peak-HBM stats (etime_*/mem_peak_* schema,
-        DF.cc:705-707, via the STAGE tracing analogue)."""
+        DF.cc:705-707) recorded through the orchestrator, which also keeps
+        pipestance.json stage state (attempts/wall/status — the Martian
+        runtime analogue, pipeline/orchestrate.py)."""
         from ..stats.trace import stage
 
-        with stage(name, self.stats):
-            return fn(*a, **kw)
+        def body():
+            with stage(name, self.stats):
+                return fn(*a, **kw)
+
+        return self.orch.run_stage(name, body)
 
     # ---------------------------------------------------------------- stages
 
