@@ -251,6 +251,168 @@ def capture_multi_loops(g: GraphEditor) -> int:
     return n
 
 
+END_SEARCH = 10  # BFS depth from a long line's end (Capture.cc:118)
+MAX_MESS = 20  # max vertices in a captured mess (Capture.cc:119)
+LONG_LINE = 10_000  # min line length (bases) flanking a mess (Capture.h:21)
+MAX_EDGE_IN_LOOP = 2_000  # max kmers of any mess edge (Capture.h:22)
+
+
+def capture_messy_loops(
+    D,
+    lines=None,
+    allow_point: bool = False,
+    long_line: int = LONG_LINE,
+    max_edge_in_loop: int = MAX_EDGE_IN_LOOP,
+):
+    """Capture the tangle between two long lines into one {-4} cell edge
+    (CaptureMessyLoops, Capture.cc:110-331): from the end vertex v of a
+    long line L1, a bounded BFS finds the start vertex w of another long
+    line L2; if the subgraph between them is closed (<= MAX_MESS+2
+    vertices, no sources/sinks, no long or gap edges, no external
+    attachments at v/w), its edges become a single cell edge v->w (plus
+    rc), and the mess edges are deleted.  allow_point permits v == w.
+    Messes containing gap/cell edges are skipped (the reference expands
+    cells inline; we stay conservative).  Returns (D', n_captured)."""
+    from ..core.kmer_codec import K
+    from .inversion import delete_edges
+
+    if lines is None:
+        from .lines import find_lines
+
+        lines = find_lines(D)
+    g = GraphEditor(D)
+    binv = g.bg.inv
+    bkmers = D.bg.edges.lengths() - (K - 1)
+    lens = np.zeros(g.n_edges, np.int64)
+    for d in range(g.n_edges):
+        if not g.is_gap(d):
+            lens[d] = int(bkmers[np.asarray(g.rows[d], np.int64)].sum())
+    llens = lines.lengths(D)
+
+    out, inn = g.out_edges(), g.in_edges()
+    long_left: dict = {}  # start vertex -> (line, first edge)
+    long_right: list = []  # (end vertex, line, last edge)
+    for li, ln in enumerate(lines.lines):
+        if llens[li] < long_line:
+            continue
+        d_first = int(ln.elements[0].paths[0][0])
+        d_last = int(ln.elements[-1].paths[0][-1])
+        if not g.is_gap(d_first):
+            long_left.setdefault(int(g.from_v[d_first]), (li, d_first))
+        if not g.is_gap(d_last):
+            long_right.append((int(g.to_v[d_last]), li, d_last))
+    long_right.sort()
+
+    n = 0
+    for v, L1, d1 in long_right:
+        # bounded forward BFS (Capture.cc:157-164)
+        vs = {v}
+        for _ in range(END_SEARCH):
+            nxt = set(vs)
+            for t in vs:
+                for d in out[t]:
+                    nxt.add(int(g.to_v[d]))
+            if nxt == vs:
+                break
+            vs = nxt
+        w = None
+        for t in sorted(vs):
+            if t in long_left and long_left[t][0] != L1:
+                w, (L2, d2) = t, long_left[t]
+                break
+        if w is None:
+            continue
+        rd1, rd2 = g.dinv[d1], g.dinv[d2]
+        if (rd2, rd1) <= (d1, d2):
+            continue  # rc site handles it
+        rv, rw = int(g.to_v[rd2]), int(g.from_v[rd1])
+        if allow_point and v == w:
+            if v == rv:
+                continue
+            seed = {v}
+        else:
+            if len({v, w, rv, rw}) != 4:
+                continue
+            seed = {v, w}
+
+        # collect the mess vertices (Capture.cc:194-206)
+        vs = set(seed)
+        while len(vs) <= MAX_MESS + 2:
+            nxt = set(vs)
+            for t in vs:
+                for d in out[t]:
+                    if d != d2:
+                        nxt.add(int(g.to_v[d]))
+                for d in inn[t]:
+                    if d != d1:
+                        nxt.add(int(g.from_v[d]))
+            if nxt == vs:
+                break
+            vs = nxt
+        if len(vs) > MAX_MESS + 2:
+            continue
+        if any(not inn[t] or not out[t] for t in vs):
+            continue  # source/sink inside the mess
+
+        ds = set()
+        for t in vs:
+            for d in out[t]:
+                if d != d2:
+                    ds.add(d)
+            for d in inn[t]:
+                if d != d1:
+                    ds.add(d)
+        if not ds:
+            continue
+        # closure at the attachment points (Capture.cc:225-236)
+        if any(d != d1 and d not in ds for d in inn[v]):
+            continue
+        if any(d != d2 and d not in ds for d in out[w]):
+            continue
+        # content gates (Capture.cc:241-249 + conservative cell/gap skip)
+        if any(g.is_gap(d) or lens[d] > max_edge_in_loop for d in ds):
+            continue
+        if d1 in ds or d2 in ds or rd1 in ds or rd2 in ds:
+            continue
+
+        # encode the mess as a cell between v and w
+        ds_sorted = sorted(ds)
+        verts = sorted(
+            {int(g.from_v[d]) for d in ds_sorted}
+            | {int(g.to_v[d]) for d in ds_sorted}
+            | {v, w}
+        )
+        vidx = {t: i for i, t in enumerate(verts)}
+        cedges = [
+            (vidx[int(g.from_v[d])], vidx[int(g.to_v[d])], g.rows[d])
+            for d in ds_sorted
+        ]
+        row = agap.cell_encode(vidx[v], vidx[w], len(verts), cedges)
+        rrow = agap.rc_gap(row, binv)
+        if v != w:
+            e1 = g.add_edge(v, w, row)
+            e2 = g.add_edge(rv, rw, rrow)
+        else:
+            N = g.add_vertex()
+            N2 = g.add_vertex()
+            g.from_v[d2] = N
+            e1 = g.add_edge(v, N, row)
+            g.to_v[rd2] = N2
+            e2 = g.add_edge(N2, rv, rrow)
+        g.dinv[e1] = e2
+        g.dinv[e2] = e1
+        rds = {int(g.dinv[d]) for d in ds}
+        g.dels.extend(sorted(ds | rds))
+        # refresh adjacency for subsequent sites
+        out, inn = g.out_edges(), g.in_edges()
+        n += 1
+    if n == 0:
+        return D, 0
+    D2 = g.build()
+    D2 = delete_edges(D2, g.dels, force=True)
+    return D2, n
+
+
 def capture_loops(D, canonical: bool = True):
     """CaptureLoops / surgery-stage capture: multi + simple (+ canonical)
     loop capture, deletions applied, graph recompacted.  Returns

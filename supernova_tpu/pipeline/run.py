@@ -438,6 +438,16 @@ class Pipeline:
                 "loop subgraphs captured into cell gap edges",
                 stage="supergraph",
             )
+        D2m, n_messy = acap.capture_messy_loops(D)
+        if n_messy:
+            D = D2m
+            D.validate()
+            dpaths, dlen = place_fn(D)
+            self.stats.log(
+                "n_messy_loops_captured", n_messy,
+                "tangles between long lines captured into cells",
+                stage="supergraph",
+            )
 
         lines = alines.find_lines(D)
         self.stats.log("n_super_edges", D.n_edges, stage="supergraph")

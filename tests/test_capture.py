@@ -180,3 +180,29 @@ def test_captured_cell_spells_in_fasta(rng):
     # anchors survive around the captured loop (loop spelled 1-2 times)
     assert A[60:160] in s and B[60:160] in s
     assert R in s
+
+
+def test_capture_messy_loops(rng):
+    # a repeat tangle between two LONG lines: the mess (the two cycle
+    # edges) collapses into one cell edge spanning line end -> line start
+    A, R, B, seq = _flanked_repeat(rng, 3, tail=20)
+    A2, B2 = _rand(rng, 12_000), _rand(rng, 12_000)
+    D = _assemble(A2 + A + seq[len(A) : len(seq) - len(B)] + B + B2)
+    before = _payload_multiset(D)
+    from supernova_tpu.asm import lines as alines
+
+    lines = alines.find_lines(D)
+    D2, n = acap.capture_messy_loops(D, lines)
+    assert n == 1
+    D2.validate()
+    cells = _cells(D2)
+    assert len(cells) == 2
+    # the cell holds the two cycle edges
+    _, _, nv, cedges = agap.cell_decode(D2.epaths.row(cells[0]))
+    assert len(cedges) == 2
+    # walkable and reversible
+    assert agap.cell_find_path(D2.epaths.row(cells[0])) is not None
+    D3, n_back = acap.reinsert_loops(D2)
+    assert n_back == 1
+    D3.validate()
+    assert _payload_multiset(D3) == before
