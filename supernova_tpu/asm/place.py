@@ -125,13 +125,99 @@ def _lift_read(
     return out
 
 
+MAX_BC_GAP = 100_000  # PlaceReads.cc:1233 group gap
+MIN_BC_GROUP = 3  # PlaceReads.cc:1234 placements per group
+TERRITORY_EXT = 25_000  # PlaceReads.cc:1284 window extension
+TERRITORY_BONUS = 1_000.0  # dominates support-count tie-breaks
+
+
+def barcode_territories(
+    D,
+    lines,
+    dpaths: np.ndarray,
+    dlen: np.ndarray,
+    read_bc: np.ndarray,
+    max_bc_gap: int = MAX_BC_GAP,
+    min_group: int = MIN_BC_GROUP,
+    ext: int = TERRITORY_EXT,
+) -> Dict[int, set]:
+    """Territory of each barcode: cluster its unambiguous placements into
+    (line, position) groups (>= min_group placements, gaps <= max_bc_gap),
+    extend each group's element window by ~ext bases both ways, and return
+    the D-edges inside (PlaceReadsSmart, PlaceReads.cc:1200-1330; both
+    strands included)."""
+    from .molecules import element_offsets
+
+    eline = np.asarray(lines.line_of_edge)
+    nd = D.n_edges
+    epos = np.full(nd, -1, np.int64)
+    eunit = np.full(nd, -1, np.int64)
+    unit_offs = {}
+    for li, ln in enumerate(lines.lines):
+        offs = element_offsets(D, ln)
+        unit_offs[li] = np.asarray(offs, np.int64)
+        for j, el in enumerate(ln.elements):
+            for d in el.edge_ids():
+                epos[int(d)] = offs[j]
+                eunit[int(d)] = j
+
+    r, mp = dpaths.shape
+    bc = np.asarray(read_bc)[:r]
+    dl = np.asarray(dlen)[:r]
+    valid = (np.arange(mp)[None, :] < dl[:, None]) & (dpaths >= 0)
+    rows, cols = np.nonzero(valid)
+    ds = dpaths[rows, cols].astype(np.int64)
+    sel = (bc[rows] > 0) & (eline[np.clip(ds, 0, nd - 1)] >= 0)
+    rows, ds = rows[sel], ds[sel]
+    b = bc[rows].astype(np.int64)
+    li = eline[ds]
+    po = epos[ds]
+    un = eunit[ds]
+    order = np.lexsort((po, li, b))
+    b, li, po, un = b[order], li[order], po[order], un[order]
+
+    territories: Dict[int, set] = {}
+    n = len(b)
+    i = 0
+    while i < n:
+        j = i + 1
+        while (
+            j < n
+            and b[j] == b[i]
+            and li[j] == li[i]
+            and po[j] - po[j - 1] <= max_bc_gap
+        ):
+            j += 1
+        if j - i >= min_group:
+            line = int(li[i])
+            offs = unit_offs[line]
+            start, stop = int(un[i:j].min()), int(un[i:j].max())
+            # extend the element window by ~ext bases both ways
+            while start > 0 and offs[int(un[i])] - offs[start - 1] < ext:
+                start -= 1
+            n_el = len(lines.lines[line].elements)
+            while stop < n_el - 1 and offs[stop + 1] - offs[int(un[j - 1])] < ext:
+                stop += 1
+            t = territories.setdefault(int(b[i]), set())
+            for jj in range(start, stop + 1):
+                for d in lines.lines[line].elements[jj].edge_ids():
+                    t.add(int(d))
+                    t.add(int(D.dinv[int(d)]))
+        i = j
+    return territories
+
+
 def place_reads(
     D,
     paths_edges: np.ndarray,
     path_len: np.ndarray,
     read_bc: np.ndarray | None = None,
+    lines=None,
 ):
-    """-> (dpaths (R, MP) int32 D-edge ids -1-padded, dpath_len (R,))."""
+    """-> (dpaths (R, MP) int32 D-edge ids -1-padded, dpath_len (R,)).
+    With `lines` given (and barcodes), ambiguous reads resolve smart:
+    candidates inside their barcode's territory dominate support-count
+    tie-breaks (PlaceReadsSmart semantics)."""
     r, mp = paths_edges.shape
     n_base = D.bg.n_edges
     d_of = _unique_map(D, n_base)
@@ -159,9 +245,15 @@ def place_reads(
         prev = np.where(d >= 0, d, prev)
     np.minimum(dlen, mp, out=dlen)
 
-    # pass 2: smart resolution of ambiguous reads by barcode support
+    # pass 2: smart resolution of ambiguous reads by barcode support (+
+    # territory restriction when lines are supplied — PlaceReadsSmart)
     amb = np.nonzero(ambiguous_row)[0]
     if len(amb):
+        territories: Dict[int, set] = {}
+        if lines is not None and read_bc is not None:
+            territories = barcode_territories(
+                D, lines, dpaths, dlen, read_bc
+            )
         support: Dict[Tuple[int, int], int] = {}
         if read_bc is not None:
             bc = np.asarray(read_bc)[:r]
@@ -185,7 +277,13 @@ def place_reads(
                 continue
             if read_bc is not None and int(np.asarray(read_bc)[rr]) > 0:
                 b = int(np.asarray(read_bc)[rr])
-                score = lambda d: float(support.get((b, d), 0))
+                terr = territories.get(b)
+
+                def score(d, b=b, terr=terr):
+                    s = float(support.get((b, d), 0))
+                    if terr is not None and d in terr:
+                        s += TERRITORY_BONUS
+                    return s
             else:
                 score = lambda d: 0.0
             seq = _lift_read(p, D, cand, score)

@@ -698,11 +698,12 @@ class Pipeline:
                     if n_sp:
                         D = D3
                         D.validate()
+                        lines = alines2.find_lines(D)
                         self._dpaths, self._dlen = aplace2.place_reads(
                             D, edges, plen,
                             read_bc=rs.bc if rs.barcoded else None,
+                            lines=lines,
                         )
-                        lines = alines2.find_lines(D)
                         self.stats.log(
                             "gaps_splatted", n_sp,
                             "pair gaps replaced by closure sequence",
@@ -743,11 +744,12 @@ class Pipeline:
                     n_killed += len(dels)
                     D = del_edges(D, dels)
                     D.validate()
+                    lines = alines3.find_lines(D)
                     self._dpaths, self._dlen = aplace2.place_reads(
                         D, edges, plen,
                         read_bc=rs.bc if rs.barcoded else None,
+                        lines=lines,
                     )
-                    lines = alines3.find_lines(D)
                     positions = amol.read_line_positions(
                         D, lines, self._dpaths, self._dlen, rs.bc,
                         base_paths=self._base_paths,

@@ -175,3 +175,72 @@ def test_kill_misassembled_cells_mol_len_scales_ignore():
         D, lines, lpos, llens=llens, lw_mol_len=4_000,
     )
     assert dels == [1]
+
+
+# ------------------------------------------------------- barcode territories
+
+
+def test_barcode_territories():
+    from types import SimpleNamespace
+
+    from supernova_tpu.asm.lines import Cell, Line, Lines
+    from supernova_tpu.asm.place import barcode_territories
+
+    # two lines of 3 straight elements each (edges 0-2 and 3-5); rc ids 6-11
+    def _line(edges):
+        return Line([Cell([np.array([e], np.int64)]) for e in edges])
+
+    lines = Lines(
+        lines=[_line([0, 1, 2]), _line([3, 4, 5]), _line([8, 7, 6]),
+               _line([11, 10, 9])],
+        line_of_edge=np.array([0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3]),
+        linv=np.array([2, 3, 0, 1]),
+    )
+    dinv = np.array([8, 7, 6, 11, 10, 9, 2, 1, 0, 5, 4, 3])
+    D = SimpleNamespace(
+        n_edges=12,
+        dinv=dinv,
+        edge_len=lambda d: 10_000,
+        is_gap=lambda d: False,
+    )
+    # barcode 1: three placements on line 0; barcode 2: only two (below
+    # MIN_BC_GROUP); reads place one edge each
+    dpaths = np.full((6, 2), -1, np.int32)
+    dlen = np.zeros(6, np.int32)
+    bc = np.zeros(6, np.int32)
+    for rid, (b, d) in enumerate([(1, 0), (1, 1), (1, 2), (2, 3), (2, 4),
+                                  (0, 5)]):
+        dpaths[rid, 0] = d
+        dlen[rid] = 1
+        bc[rid] = b
+    terr = barcode_territories(D, lines, dpaths, dlen, bc)
+    assert 1 in terr and 2 not in terr
+    assert terr[1] == {0, 1, 2, 8, 7, 6}  # line-0 edges + their rc images
+
+
+def test_place_reads_with_lines_smoke(rng):
+    """place_reads(lines=...) runs end-to-end on a real assembly."""
+    from supernova_tpu.align import pather
+    from supernova_tpu.asm import lines as alines
+    from supernova_tpu.asm import place as aplace
+    from supernova_tpu.asm import supergraph as asg
+    from supernova_tpu.dbg import build as dbuild
+    from supernova_tpu.dbg import graph as dgraph
+    from supernova_tpu.kmer import count as kcount
+    from supernova_tpu.sim import genome as sim
+    from tests.test_dbg import perfect_readset
+
+    g = sim.random_genome(rng, 3000)
+    rs = perfect_readset(g)
+    table = dbuild.trim_table(kcount.count_readset(rs, min_freq=2), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    D = asg.build_supergraph(bg)
+    lines = alines.find_lines(D)
+    rp = pather.path_readset(bg, rs)
+    edges = np.asarray(rp.edges)[: rs.n_reads]
+    plen = np.asarray(rp.path_len)[: rs.n_reads]
+    bc = np.ones(rs.n_reads, np.int32)
+    d1, l1 = aplace.place_reads(D, edges, plen, read_bc=bc, lines=lines)
+    d0, l0 = aplace.place_reads(D, edges, plen, read_bc=bc)
+    assert np.array_equal(l0, l1)  # unambiguous data: same placements
+    assert np.array_equal(d0, d1)
