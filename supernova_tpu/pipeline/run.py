@@ -110,6 +110,15 @@ class Pipeline:
             )
             rpb = np.diff(rs.bci)[1:]  # reads per real barcode
             self.stats.log("rpb_N50", n50(rpb[rpb > 0]), "N50 reads per barcode", cs=True)
+            # huge-barcode fraction (SanityCheckBarcodeCounts,
+            # DfTools.cc:595-614: barcodes with >= 50k reads)
+            total_bc_reads = int(rpb.sum())
+            if total_bc_reads:
+                big = int(rpb[rpb >= 50_000].sum())
+                self.stats.log(
+                    "big_bc_perc", 100.0 * big / total_bc_reads,
+                    "% reads in >=50k-read barcodes", stage="ingest",
+                )
         q30 = float((rs.quals >= 30).mean() * 100) if len(rs.quals) else 0.0
         self.stats.log("q30_r2_perc", q30, "Q30 bases %", stage="ingest")
         # bad-cycles check (DF.cc:364-424 qual-stat alerts / the

@@ -55,6 +55,24 @@ DEFAULT_ALERTS: List[Alert] = [
           "estimated raw coverage {value:.0f}x < 15x; ideal 38-56x."),
     Alert("est_coverage", "value > 90", "alarm",
           "estimated raw coverage {value:.0f}x > 90x; ideal 38-56x."),
+    # input-size / barcode-library envelope (alarms-supernova.json df tier)
+    Alert("nreads", "value > 2147483647", "exit",
+          "{value:.0f} reads exceeds the supported maximum (2^31-1)."),
+    Alert("big_bc_perc", "value > 10", "exit",
+          "{value:.1f}% of reads sit in huge (>=50k-read) barcodes; "
+          "the barcode library is degenerate."),
+    Alert("est_genome_size", "value < 100000000", "alarm",
+          "estimated genome size {value:.0f} < 100 Mb; outside the "
+          "supported envelope."),
+    Alert("est_genome_size", "value > 3200000000", "alarm",
+          "estimated genome size {value:.0f} > 3.2 Gb; outside the "
+          "supported envelope."),
+    # molecule / line health (alarms-supernova.json pr tier)
+    Alert("lw_mean_mol_len", "value < 40000", "alarm",
+          "length-weighted mean molecule length {value:.0f} < 40 kb; "
+          "input DNA may be too fragmented."),
+    Alert("n_lines", "value < 1", "exit",
+          "assembly produced no lines."),
 ]
 
 
