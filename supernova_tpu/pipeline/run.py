@@ -232,22 +232,29 @@ class Pipeline:
             import jax.numpy as jnp
 
             z = np.load(ck)
-            same = len(z["path_len"]) == rs.n_reads and (
+            plen_z = z["path_len"] if "path_len" in z else z["zip_plen"]
+            same = len(plen_z) == rs.n_reads and (
                 "n_edges" in z and int(z["n_edges"]) == bg.n_edges
             )
             if same:  # same reads AND same graph -> reuse
+                if "edges" in z:  # legacy dense format
+                    edges_z = z["edges"]
+                else:  # ReadPathVecX-style zipped format (align/pathzip)
+                    from ..align import pathzip
+
+                    edges_z, plen_z, _ = pathzip.load_zipped(z, bg)
                 rp = pather.ReadPaths(
-                    jnp.asarray(z["edges"]),
-                    jnp.asarray(z["path_len"]),
+                    jnp.asarray(edges_z),
+                    jnp.asarray(plen_z),
                     jnp.asarray(z["offset"]),
                     jnp.zeros(rs.n_reads, jnp.int32),
                     jnp.zeros(rs.n_reads, bool),
                 )
                 counts = pindex.edge_read_counts(
-                    z["edges"], z["path_len"], bg.n_edges
+                    edges_z, plen_z, bg.n_edges
                 )
                 ebcx = pindex.edge_barcodes(
-                    z["edges"], z["path_len"], rs.bc, bg.n_edges
+                    edges_z, plen_z, rs.bc, bg.n_edges
                 )
                 np.savez_compressed(
                     self.outdir / "ebcx.npz",
@@ -269,9 +276,13 @@ class Pipeline:
                 edges=jnp.asarray(edges), path_len=jnp.asarray(plen)
             )
             self.stats.log("paths_extended", n_ext, stage="paths")
-        np.savez_compressed(
-            self.outdir / "paths.npz", edges=edges, path_len=plen,
-            offset=offset, n_edges=np.int64(bg.n_edges),
+        # zipped (ReadPathVecX-style) path checkpoint: first edge + branch
+        # choices per read instead of the dense edge matrix
+        from ..align import pathzip
+
+        pathzip.save_zipped(
+            self.outdir / "paths.npz", bg, edges, plen, offset,
+            extra={"n_edges": np.int64(bg.n_edges)},
         )
         placed = float((plen > 0).mean()) if rs.n_reads else 0.0
         self.stats.log("placed_perc", placed * 100, "% reads pathed", stage="paths")
