@@ -166,6 +166,69 @@ def kill_misassembled_cells(
     return sorted(set(dels))
 
 
+MIN_SHARE_FRAC = 0.25  # Super.cc:810
+SURPRISE = 4.0  # Super.cc:812 (k + 4*sqrt(k) noise allowance)
+
+
+def kill_misassembled_cells_alt(D, lines, ebcx) -> List[int]:
+    """KillMisassembledCellsAlt (Super.cc:802-901): judge each interior
+    cell by the barcode sets of its flanking straight edges (unique base
+    edges only, via ebcx); with n = min(|b1|, |b2|) >= 10 and
+    (k + SURPRISE*sqrt(k))/n < MIN_SHARE_FRAC, the cell's edges are
+    killed.  Position-free — complements the window-based rule."""
+    import math
+
+    from ..core.kmer_codec import K
+    from .local import compute_mult
+
+    mult = compute_mult(D)
+    bkmers = D.bg.edges.lengths() - (K - 1)
+    dels: List[int] = []
+    for ln in lines.lines:
+        els = ln.elements
+        for m in range(1, len(els) - 1):
+            cell = els[m]
+            if len(cell.paths) == 1 and not any(
+                D.is_gap(int(e)) for e in cell.edge_ids()
+            ):
+                continue  # straight sequence element, not a junction cell
+            # cell length gate (median over arms, kmers; Super.cc:849-859)
+            plens = []
+            for p in cell.paths:
+                t = 0
+                for d in p:
+                    if not D.is_gap(int(d)):
+                        t += int(
+                            bkmers[np.asarray(D.epaths.row(int(d)), np.int64)].sum()
+                        )
+                plens.append(t)
+            plens.sort()
+            if plens and plens[len(plens) // 2] > BC_MAX_CELL:
+                continue
+            d1 = int(els[m - 1].paths[0][-1])
+            d2 = int(els[m + 1].paths[0][0])
+            if D.is_gap(d1) or D.is_gap(d2):
+                continue
+
+            def flank_bcs(d):
+                out: Set[int] = set()
+                for e in np.asarray(D.epaths.row(d), np.int64):
+                    if mult[int(e)] != 1:
+                        continue
+                    out |= set(int(b) for b in ebcx.row(int(e)))
+                return out
+
+            b1, b2 = flank_bcs(d1), flank_bcs(d2)
+            n = min(len(b1), len(b2))
+            if n < 10:
+                continue
+            k = len(b1 & b2)
+            if (k + SURPRISE * math.sqrt(k)) / n >= MIN_SHARE_FRAC:
+                continue
+            dels.extend(int(e) for e in cell.edge_ids())
+    return sorted(set(dels))
+
+
 def break_lines(
     lines,
     D,

@@ -779,6 +779,28 @@ class Pipeline:
                     for (b, li), ps in positions.items():
                         lp3.setdefault(li, {})[b] = ps
                     self._line_positions = lp3
+                # position-free variant: flank-edge barcode-set sharing
+                # (KillMisassembledCellsAlt, Super.cc:802)
+                dels_alt = amis2.kill_misassembled_cells_alt(D, lines, ebcx)
+                if dels_alt:
+                    n_killed += len(dels_alt)
+                    D = del_edges(D, dels_alt)
+                    D.validate()
+                    lines = alines3.find_lines(D)
+                    self._dpaths, self._dlen = aplace2.place_reads(
+                        D, edges, plen,
+                        read_bc=rs.bc if rs.barcoded else None,
+                        lines=lines,
+                    )
+                    positions = amol.read_line_positions(
+                        D, lines, self._dpaths, self._dlen, rs.bc,
+                        base_paths=self._base_paths,
+                    )
+                    self._molecules = amol.infer_molecules(positions)
+                    lp4: dict = {}
+                    for (b, li), ps in positions.items():
+                        lp4.setdefault(li, {})[b] = ps
+                    self._line_positions = lp4
                 if n_killed:
                     self.stats.log(
                         "misassembled_cells_killed", n_killed,

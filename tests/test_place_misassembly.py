@@ -244,3 +244,55 @@ def test_place_reads_with_lines_smoke(rng):
     d0, l0 = aplace.place_reads(D, edges, plen, read_bc=bc)
     assert np.array_equal(l0, l1)  # unambiguous data: same placements
     assert np.array_equal(d0, d1)
+
+
+def test_kill_misassembled_cells_alt(rng):
+    from supernova_tpu.asm import lines as alines
+    from supernova_tpu.asm import misassembly as amis
+    from supernova_tpu.asm import supergraph as asg
+    from supernova_tpu.core import dna
+    from supernova_tpu.core.ragged import Ragged
+    from supernova_tpu.dbg import build as dbuild
+    from supernova_tpu.dbg import graph as dgraph
+    from supernova_tpu.ingest.reads import build_readset
+    from supernova_tpu.kmer import count as kcount
+    from tests.test_capture import _rand
+    from tests.test_dbg import perfect_readset
+
+    # diploid bubble A (M | M') B -> line [A][cell][B]
+    A, M, B = _rand(rng, 300), _rand(rng, 80), _rand(rng, 300)
+    M2 = M[:40] + ("A" if M[40] != "A" else "C") + M[41:]
+    g1 = dna.seq_to_codes(A + M + B)
+    g2 = dna.seq_to_codes(A + M2 + B)
+    rs1, rs2 = perfect_readset(g1), perfect_readset(g2)
+    reads = [rs1.read(i) for i in range(rs1.n_reads)] + [
+        rs2.read(i) for i in range(rs2.n_reads)
+    ]
+    quals = [np.full(len(r), 37, np.uint8) for r in reads]
+    rs = build_readset(
+        reads, quals, np.zeros(len(reads) // 2, np.int32), n_barcodes=0,
+        barcoded=False,
+    )
+    table = dbuild.trim_table(kcount.count_readset(rs, min_freq=2), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    D = asg.build_supergraph(bg)
+    lines = alines.find_lines(D)
+    target = next(
+        ln for ln in lines.lines
+        if len(ln.elements) == 3 and len(ln.elements[1].paths) == 2
+    )
+
+    # disjoint flank barcode sets -> the bubble cell is killed
+    disjoint = Ragged.from_rows(
+        [np.arange(e * 100, e * 100 + 12, dtype=np.int64) for e in range(bg.n_edges)],
+        dtype=np.int64,
+    )
+    dels = amis.kill_misassembled_cells_alt(D, lines, disjoint)
+    cell_edges = {int(e) for e in target.elements[1].edge_ids()}
+    assert cell_edges <= set(dels)
+
+    # identical flank barcode sets -> kept
+    shared = Ragged.from_rows(
+        [np.arange(12, dtype=np.int64)] * bg.n_edges, dtype=np.int64
+    )
+    assert amis.kill_misassembled_cells_alt(D, lines, shared) == []
