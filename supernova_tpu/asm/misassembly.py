@@ -106,6 +106,7 @@ def kill_misassembled_cells(
     bc_flank: int = BC_FLANK,
     bc_ignore: int = BC_IGNORE,
     lw_mol_len: float | None = None,
+    judge_repeats: bool = True,
 ) -> List[int]:
     """KillMisassembledCells proper (Super.cc:306-470): judge each cell /
     gap junction far enough from its line's ends by the number of barcodes
@@ -114,13 +115,32 @@ def kill_misassembled_cells(
     (expect = min(1, n/winpos) * BC_MIN); weak cells' D-edges are returned
     for deletion.  The dead zone shrinks to lw_mol_len/4 when the measured
     molecule length doesn't support it (Super.cc:357).
-    line_positions: {line: {bc: [positions]}}."""
+    line_positions: {line: {bc: [positions]}}.
+
+    judge_repeats additionally treats short STRAIGHT elements made of
+    repeat D-edges (any constituent base edge with D-multiplicity >= 2)
+    as junctions: a line crossing an unresolved repeat copy without
+    spanning molecules is a misjoin — break it there."""
     from .molecules import element_offsets
 
     if llens is None:
         llens = lines.lengths(D)
     if lw_mol_len:
         bc_ignore = min(bc_ignore, int(lw_mol_len) // 4)
+
+    rep_edge = None
+    if judge_repeats and getattr(D, "epaths", None) is not None:
+        from .local import compute_mult
+
+        mult = compute_mult(D)
+        rep_edge = np.zeros(D.n_edges, bool)
+        gm = D.gap_mask()
+        for d in range(D.n_edges):
+            if gm[d]:
+                continue
+            p = np.asarray(D.epaths.row(d), np.int64)
+            if len(p) and (mult[p] >= 2).any():
+                rep_edge[d] = True
 
     # genome-wide positions-per-window expectation (Super.cc:366-375)
     total_bases = 0
@@ -148,7 +168,10 @@ def kill_misassembled_cells(
         for j, cell in enumerate(ln.elements):
             is_bubble = len(cell.paths) > 1
             is_gap_el = any(D.is_gap(int(e)) for e in cell.edge_ids())
-            if not (is_bubble or is_gap_el):
+            is_rep = rep_edge is not None and all(
+                rep_edge[int(e)] for e in cell.edge_ids()
+            )
+            if not (is_bubble or is_gap_el or is_rep):
                 continue
             ncell = int(offs[j + 1] - offs[j])
             if ncell > BC_MAX_CELL:
