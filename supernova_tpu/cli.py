@@ -253,6 +253,20 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_bcmat(args) -> int:
+    """Export the edge->barcode incidence matrix (`tada bcmat` analogue,
+    cmd_graph_stats.rs:89) from a run directory's ebcx checkpoint."""
+    from .core.ragged import Ragged
+    from .out.exports import write_bcmat
+
+    z = np.load(Path(args.dir) / "ebcx.npz")
+    ebcx = Ragged(z["values"], z["offsets"])
+    out = write_bcmat(ebcx, args.out, comment=f"run dir: {args.dir}")
+    print(json.dumps({"out": str(out), "n_edges": ebcx.n_rows,
+                      "nnz": int(len(ebcx.values))}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -307,6 +321,11 @@ def main(argv=None) -> int:
 
     sc = sub.add_parser("sitecheck", help="environment diagnostics")
     sc.set_defaults(fn=cmd_sitecheck)
+
+    bm = sub.add_parser("bcmat", help="export edge->barcode MatrixMarket matrix")
+    bm.add_argument("--dir", required=True, help="run directory (has ebcx.npz)")
+    bm.add_argument("--out", required=True)
+    bm.set_defaults(fn=cmd_bcmat)
 
     b = sub.add_parser("bench", help="run the kmer-count benchmark")
     b.set_defaults(fn=cmd_bench)

@@ -168,3 +168,27 @@ def test_readset_pqvec_save_load(tmp_path, rng):
     back = ReadSet.load(tmp_path / "rs.npz")
     assert np.array_equal(back.quals, rs.quals)
     assert np.array_equal(back.codes, rs.codes)
+
+
+def test_bcmat_export(tmp_path):
+    import numpy as np
+
+    from supernova_tpu.cli import main
+    from supernova_tpu.core.ragged import Ragged
+    from supernova_tpu.out.exports import load_bcmat, write_bcmat
+
+    ebcx = Ragged.from_rows(
+        [np.array([0, 2], np.int64), np.array([1], np.int64),
+         np.zeros(0, np.int64)],
+        dtype=np.int64,
+    )
+    np.savez_compressed(
+        tmp_path / "ebcx.npz", values=ebcx.values, offsets=ebcx.offsets,
+        counts=np.zeros(3, np.int64),
+    )
+    out = tmp_path / "mat.mm"
+    rc = main(["bcmat", "--dir", str(tmp_path), "--out", str(out)])
+    assert rc == 0
+    n_edges, n_bcs, pairs = load_bcmat(out)
+    assert n_edges == 3 and n_bcs == 3
+    assert sorted(pairs) == [(0, 0), (0, 2), (1, 1)]
