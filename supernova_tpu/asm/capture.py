@@ -431,6 +431,72 @@ def capture_loops(D, canonical: bool = True):
     return D2, n
 
 
+XMAX_CANON = 4  # canonicalize cells with 3..4 parallel paths (CP.cc:1822)
+
+
+def canonicalize_cells(D, lines=None):
+    """Canon stage (CP.cc:1819-1860): a line cell with 3..XMAX_CANON
+    parallel multi-edge paths is replaced by that many parallel SINGLE
+    D-edges v->w (each path's base edges concatenated), plus the rc
+    mirror.  Simplifies cells into plain bubbles ahead of SuperFiles /
+    output.  Returns (D', n_canonicalized)."""
+    from .inversion import delete_edges
+
+    if lines is None:
+        from .lines import find_lines
+
+        lines = find_lines(D)
+    g = GraphEditor(D)
+    binv = np.asarray(g.bg.inv, np.int64)
+    n = 0
+    consumed: set = set()
+    for ln in lines.lines:
+        els = ln.elements
+        for j in range(1, len(els) - 1):
+            cell = els[j]
+            npaths = len(cell.paths)
+            if npaths <= 2 or npaths > XMAX_CANON:
+                continue
+            dels = sorted(int(e) for e in cell.edge_ids())
+            if any(g.is_gap(d) for d in dels):
+                continue
+            if any(d in consumed for d in dels):
+                continue
+            d1 = int(els[j - 1].paths[0][-1])
+            d2 = int(els[j + 1].paths[0][0])
+            rd1, rd2 = int(g.dinv[d2]), int(g.dinv[d1])
+            if len({d1, d2, rd1, rd2}) != 4:
+                continue
+            if (rd1, rd2) < (d1, d2):
+                continue  # rc site is canonical
+            v, w = int(g.to_v[d1]), int(g.from_v[d2])
+            rv, rw = int(g.to_v[rd1]), int(g.from_v[rd2])
+            news = []
+            for p in cell.paths:
+                news.append(
+                    np.concatenate(
+                        [np.asarray(g.rows[int(d)], np.int64) for d in p]
+                    )
+                )
+            fwd_ids = [g.add_edge(v, w, x) for x in news]
+            rc_ids = [
+                g.add_edge(rv, rw, binv[x[::-1]]) for x in news
+            ]
+            for a, b in zip(fwd_ids, rc_ids):
+                g.dinv[a] = b
+                g.dinv[b] = a
+            rdels = [int(g.dinv[d]) for d in dels]
+            consumed.update(dels)
+            consumed.update(rdels)
+            g.dels.extend(dels + rdels)
+            n += 1
+    if n == 0:
+        return D, 0
+    D2 = g.build()
+    D2 = delete_edges(D2, g.dels, force=True)
+    return D2, n
+
+
 def reinsert_loops(D):
     """Expand every {-4} cell edge back into live vertices/edges
     (ReinsertLoops, Gap.cc:11-93).  Self-inverse cell edges are left in

@@ -807,6 +807,32 @@ class Pipeline:
                         "D-edges deleted at unsupported junctions",
                         stage="scaffold",
                     )
+                # canon: flatten 3-4-path cells into parallel edges ahead
+                # of phasing/output (CP.cc:1819-1860)
+                from ..asm import capture as acap2
+
+                D2c2, n_canon = acap2.canonicalize_cells(D, lines)
+                if n_canon:
+                    D = D2c2
+                    D.validate()
+                    lines = alines3.find_lines(D)
+                    self._dpaths, self._dlen = aplace2.place_reads(
+                        D, edges, plen,
+                        read_bc=rs.bc if rs.barcoded else None,
+                        lines=lines,
+                    )
+                    positions = amol.read_line_positions(
+                        D, lines, self._dpaths, self._dlen, rs.bc,
+                        base_paths=self._base_paths,
+                    )
+                    self._molecules = amol.infer_molecules(positions)
+                    lp5: dict = {}
+                    for (b, li), ps in positions.items():
+                        lp5.setdefault(li, {})[b] = ps
+                    self._line_positions = lp5
+                    self.stats.log(
+                        "cells_canonicalized", n_canon, stage="scaffold"
+                    )
                 from ..asm.lines import canonical_lines
                 from ..asm.scaffold import Scaffold
 

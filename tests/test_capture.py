@@ -206,3 +206,47 @@ def test_capture_messy_loops(rng):
     assert n_back == 1
     D3.validate()
     assert _payload_multiset(D3) == before
+
+
+def test_canonicalize_cells(rng):
+    # triallelic bubble: A (M | M' | M'') B -> a 3-path cell, canonicalized
+    # into three parallel v->w edges (CP.cc:1819-1860)
+    A, M, B = _rand(rng, 300), _rand(rng, 80), _rand(rng, 300)
+    others = [b for b in "ACGT" if b != M[40]]
+    M2 = M[:40] + others[0] + M[41:]
+    M3 = M[:40] + others[1] + M[41:]
+    g1 = dna.seq_to_codes(A + M + B)
+    g2 = dna.seq_to_codes(A + M2 + B)
+    g3 = dna.seq_to_codes(A + M3 + B)
+    from supernova_tpu.ingest.reads import build_readset
+
+    rss = [perfect_readset(g) for g in (g1, g2, g3)]
+    reads = [r.read(i) for r in rss for i in range(r.n_reads)]
+    quals = [np.full(len(x), 37, np.uint8) for x in reads]
+    rs = build_readset(
+        reads, quals, np.zeros(len(reads) // 2, np.int32), n_barcodes=0,
+        barcoded=False,
+    )
+    table = dbuild.trim_table(kcount.count_readset(rs, min_freq=2), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    D = asg.build_supergraph(bg)
+    D.validate()
+    from supernova_tpu.asm import lines as alines
+
+    lines = alines.find_lines(D)
+    target = [ln for ln in lines.lines if ln.n_bubbles and
+              max(len(c.paths) for c in ln.elements) == 3]
+    assert target  # the triallelic cell exists
+    before = _payload_multiset(D)
+
+    D2, n = acap.canonicalize_cells(D, lines)
+    assert n == 1
+    D2.validate()
+    # same payloads, arms now direct parallel edges between two vertices
+    assert _payload_multiset(D2) == before
+    lines2 = alines.find_lines(D2)
+    t2 = [ln for ln in lines2.lines if ln.n_bubbles and
+          max(len(c.paths) for c in ln.elements) == 3]
+    assert t2
+    cell = next(c for c in t2[0].elements if len(c.paths) == 3)
+    assert all(len(p) == 1 for p in cell.paths)
