@@ -8,12 +8,18 @@ barcodes (placed or not — that is the point: reads inside the gap never
 placed anywhere), builds a local assembly from them, and walks it from
 the left flank to the right flank; closures are grafted back by Surgery.
 
-Here the local assembly is the shared mini-DBG machinery (asm/patch):
-majority-extension walk between flank anchors, with a long walk budget —
-barcode-gathered reads cover the gap interior, so multi-read-length gaps
-close.  Successful walks upgrade the {-2} gap edge to a {-3} sequence
-edge exactly like Stackaroo; unlike Stackaroo the read set comes from
-barcode membership, not placements.
+The local assembly runs at the global K (48) as a host-side unitig
+graph over the barcode reads — the analogue of BuildLocal's standard
+local assembly + ClosuresToGraph (BuildLocal.cc:419-447).  The closure
+between the two flank anchors is extracted as a sub-DAG; a linear
+closure upgrades the {-2} gap edge to a {-3} sequence edge in place,
+while a branched closure (e.g. a het SNP inside the gap) is grafted as
+a subgraph of parallel {-3} edges — the analogue of Surgery appending
+the local digraph Dl into D (BuildLocal.cc:895-1050, AppendWithUpdate
++ TransferEdgesWithUpdate).  Unlike Stackaroo the read set comes from
+barcode membership, not placements, so reads that never placed
+anywhere (the gap interior) participate.  The small-k majority walk
+(asm/patch) remains as a fallback for read sets too thin to unitig.
 """
 from __future__ import annotations
 
@@ -128,6 +134,174 @@ def get_barcodes(
     return np.unique(np.asarray(out, np.int64)) if out else np.zeros(0, np.int64)
 
 
+def local_unipath_edges(seqs, k: int = K, min_count: int = 2):
+    """Host-side unitig graph over the read set at kmer size k, both strands
+    (the standalone analogue of BuildLocal's local assembly,
+    BuildLocal.cc:419-447).  Returns [(from_node, to_node, seq)] where nodes
+    are (k-1)-mer strings; adjacent unitigs overlap by k-1 bases — exactly
+    the {-3} sequence-gap splice convention (GapAwareWalker)."""
+    from ..core import dna
+
+    counts: Dict[str, int] = {}
+    for s in seqs:
+        if len(s) < k:
+            continue
+        for strand in (dna.codes_to_seq(s), dna.codes_to_seq(dna.revcomp(s))):
+            for i in range(len(strand) - k + 1):
+                km = strand[i : i + k]
+                counts[km] = counts.get(km, 0) + 1
+    kept = [km for km, c in counts.items() if c >= min_count]
+    outs: Dict[str, List[str]] = {}
+    ins: Dict[str, List[str]] = {}
+    for km in kept:
+        outs.setdefault(km[:-1], []).append(km)
+        ins.setdefault(km[1:], []).append(km)
+
+    def simple(node: str) -> bool:
+        return len(outs.get(node, ())) == 1 and len(ins.get(node, ())) == 1
+
+    edges = []
+    for km in kept:
+        if simple(km[:-1]):
+            continue  # interior of a unitig
+        parts = [km]
+        cur = km[1:]
+        # walking only crosses simple nodes, so no node repeats (re-entry
+        # would need in-degree >= 2); termination is guaranteed
+        while simple(cur):
+            nx = outs[cur][0]
+            parts.append(nx[-1])
+            cur = nx[1:]
+        edges.append((km[:-1], cur, "".join(parts)))
+    return edges
+
+
+def _compress_chain(cl, k: int):
+    """Merge consecutive closure edges through nodes with unique in/out
+    (side-branch pruning leaves unitig breaks with no surviving branch)."""
+    while True:
+        ins: Dict[str, List[int]] = {}
+        outs: Dict[str, List[int]] = {}
+        for i, (x, y, _s) in enumerate(cl):
+            outs.setdefault(x, []).append(i)
+            ins.setdefault(y, []).append(i)
+        merged = False
+        for node in list(ins):
+            if node in ("L", "R"):
+                continue
+            if len(ins.get(node, ())) == 1 and len(outs.get(node, ())) == 1:
+                i, j = ins[node][0], outs[node][0]
+                if i == j:
+                    continue
+                x1, _y1, s1 = cl[i]
+                _x2, y2, s2 = cl[j]
+                cl = [e for t, e in enumerate(cl) if t not in (i, j)]
+                cl.append((x1, y2, s1 + s2[k - 1 :]))
+                merged = True
+                break
+        if not merged:
+            return cl
+
+
+def _extract_closure(edges, pat_l: str, pat_r: str, k: int,
+                     max_bases: int, max_edges: int):
+    """Sub-DAG of the local unitig graph from the left anchor kmer to the
+    right anchor kmer (the Dl/d1/p1/d2/p2 match of BuildLocal.cc:930-950).
+    Returns [(x, y, seq)] with x/y node ids or 'L'/'R' attachment marks;
+    the first/last edges are trimmed so the closure starts with the left
+    flank's last k-1 bases and ends with the right flank's first k-1."""
+    loc_l = [(i, e[2].find(pat_l)) for i, e in enumerate(edges) if pat_l in e[2]]
+    loc_r = [(i, e[2].find(pat_r)) for i, e in enumerate(edges) if pat_r in e[2]]
+    if len(loc_l) != 1 or len(loc_r) != 1:
+        return None  # anchors absent or ambiguously placed
+    (i1, p1), (i2, p2) = loc_l[0], loc_r[0]
+    if i1 == i2:
+        if p2 <= p1:
+            return None
+        return [("L", "R", edges[i1][2][p1 + 1 : p2 + k - 1])]
+    by_from: Dict[str, List[int]] = {}
+    by_to: Dict[str, List[int]] = {}
+    for j, (x, y, _s) in enumerate(edges):
+        by_from.setdefault(x, []).append(j)
+        by_to.setdefault(y, []).append(j)
+    fwd = set()
+    stack = [i1]
+    while stack:
+        j = stack.pop()
+        if j in fwd:
+            continue
+        fwd.add(j)
+        stack.extend(by_from.get(edges[j][1], ()))
+    if i2 not in fwd:
+        return None
+    bwd = set()
+    stack = [i2]
+    while stack:
+        j = stack.pop()
+        if j in bwd:
+            continue
+        bwd.add(j)
+        stack.extend(by_to.get(edges[j][0], ()))
+    kept = fwd & bwd
+    if len(kept) > max_edges:
+        return None
+    if sum(len(edges[j][2]) for j in kept) > max_bases + 2 * k:
+        return None
+    # cycle check (Kahn); in a DAG i1 is the unique source, i2 the sink
+    succ = {
+        j: [nj for nj in by_from.get(edges[j][1], ()) if nj in kept]
+        for j in kept
+    }
+    indeg = {j: 0 for j in kept}
+    for j in kept:
+        for nj in succ[j]:
+            indeg[nj] += 1
+    queue = [j for j in kept if indeg[j] == 0]
+    seen = 0
+    while queue:
+        j = queue.pop()
+        seen += 1
+        for nj in succ[j]:
+            indeg[nj] -= 1
+            if indeg[nj] == 0:
+                queue.append(nj)
+    if seen != len(kept):
+        return None
+    out = []
+    for j in kept:
+        x, y, s = edges[j]
+        if j == i1:
+            out.append(("L", y, s[p1 + 1 :]))
+        elif j == i2:
+            out.append((x, "R", s[: p2 + k - 1]))
+        else:
+            out.append((x, y, s))
+    return _compress_chain(out, k)
+
+
+def closure_graph(
+    seqs,
+    seq_l: str,
+    seq_r: str,
+    k: int = K,
+    min_counts=(2, 1),
+    max_bases: int = MAX_LOCAL_WALK,
+    max_edges: int = 64,
+):
+    """Local-assembly closure between flank sequences: unitig the reads at
+    the global K and extract the anchor-to-anchor sub-DAG, escalating to
+    min_count=1 when the strict graph loses an anchor or the path."""
+    pat_l, pat_r = seq_l[-k:], seq_r[:k]
+    if len(pat_l) < k or len(pat_r) < k:
+        return None
+    for mc in min_counts:
+        edges = local_unipath_edges(seqs, k, mc)
+        res = _extract_closure(edges, pat_l, pat_r, k, max_bases, max_edges)
+        if res is not None:
+            return res
+    return None
+
+
 def barcode_reads(rs, barcodes: np.ndarray, max_reads: int = MAX_READS) -> np.ndarray:
     """All read ids of the given barcodes via the bci CSR index
     (BuildLocal.cc:99-123; barcode 0 = unbarcoded block is never grabbed)."""
@@ -176,6 +350,55 @@ def _flanks(D) -> Dict[int, tuple]:
     return out
 
 
+def _apply_closures(D, linear: Dict[int, np.ndarray], grafts):
+    """Apply closure edits: `linear` rows replace {-2} payloads in place;
+    each graft (d, closure_edges) appends the local sub-DAG as {-3} D-edges
+    on both strands and deletes the gap (Surgery, BuildLocal.cc:895-1050:
+    AppendWithUpdate + TransferEdgesWithUpdate + gap deletion).  Returns
+    (D', n_grafted); edge ids are only renumbered when a graft happened."""
+    from ..core import dna
+    from . import gap as agap
+    from .capture import GraphEditor
+    from .inversion import delete_edges
+
+    g = GraphEditor(D)
+    for d, row in linear.items():
+        g.rows[d] = row
+    n_grafted = 0
+    edited_v = set()
+    for d, cl in grafts:
+        rd = int(g.dinv[d])
+        if d == rd:
+            continue
+        v, w = g.from_v[d], g.to_v[d]
+        rv, rw = g.from_v[rd], g.to_v[rd]
+        if {v, w, rv, rw} & edited_v:
+            continue  # edited-vertex guard (BuildLocal.cc:925-929)
+        fmap = {"L": v, "R": w}
+        rmap = {"L": rw, "R": rv}  # rc graft runs to_v[rd] <- ... <- from_v[rd]
+        for x, y, _s in cl:
+            for node in (x, y):
+                if node not in fmap:
+                    fmap[node] = g.add_vertex()
+                    rmap[node] = g.add_vertex()
+        for x, y, s in cl:
+            codes = dna.seq_to_codes(s)
+            row = agap.seq_to_gap(codes)
+            a = g.add_edge(fmap[x], fmap[y], row)
+            b = g.add_edge(rmap[y], rmap[x], agap.seq_to_gap(dna.revcomp(codes)))
+            g.dinv[a] = b
+            g.dinv[b] = a
+        g.dels.extend([d, rd])
+        edited_v |= {v, w, rv, rw}
+        n_grafted += 1
+    if not linear and n_grafted == 0:
+        return D, 0
+    D2 = g.build()
+    if g.dels:
+        D2 = delete_edges(D2, sorted(set(g.dels)), force=True)
+    return D2, n_grafted
+
+
 def unvoid(
     D,
     rs,
@@ -184,12 +407,13 @@ def unvoid(
     max_reads: int = MAX_READS,
 ):
     """Close remaining {-2} gaps by barcode-restricted local assembly
-    (Unvoid, BuildLocal.cc:1055-1233).  Returns (D', n_closed)."""
+    (Unvoid, BuildLocal.cc:1055-1233).  Linear closures upgrade the gap
+    payload to {-3} in place; branched closures (het variation inside the
+    gap) graft the local sub-DAG as parallel {-3} edges.  Returns
+    (D', n_closed)."""
     from ..core import dna
-    from ..core.ragged import Ragged
     from . import gap as agap
     from .patch import _mini_dbg_walk
-    from .supergraph import SuperGraph
 
     if not getattr(rs, "barcoded", False):
         return D, 0
@@ -198,8 +422,8 @@ def unvoid(
         return D, 0
     mult = compute_mult(D)
 
-    replacements: Dict[int, np.ndarray] = {}
-    n_closed = 0
+    linear: Dict[int, np.ndarray] = {}
+    grafts = []
     for d, (eL, eR) in flanks.items():
         # barcode harvest from both sides (use_rights), with gate escalation
         bcs = np.zeros(0, np.int64)
@@ -220,26 +444,25 @@ def unvoid(
         if len(seq_l) < K or len(seq_r) < K:
             continue
         seqs = [rs.read(int(r)) for r in rids]
-        fill = _mini_dbg_walk(
-            seqs, seq_l[-400:], seq_r[:400], k, max_walk=MAX_LOCAL_WALK
-        )
-        if fill is None or len(fill) < k:
-            continue
-        gseq = seq_l[-(K - 1) :] + fill + seq_r[k : K - 1]
-        row = agap.seq_to_gap(dna.seq_to_codes(gseq), 0, 0)
-        replacements[d] = row
-        replacements[int(D.dinv[d])] = agap.rc_gap(row)
-        n_closed += 1
+        cl = closure_graph(seqs, seq_l, seq_r)
+        if cl is not None and len(cl) == 1 and cl[0][0] == "L" and cl[0][1] == "R":
+            # linear closure: in-place {-2} -> {-3} payload upgrade
+            row = agap.seq_to_gap(dna.seq_to_codes(cl[0][2]))
+            linear[d] = row
+            linear[int(D.dinv[d])] = agap.rc_gap(row)
+        elif cl is not None:
+            grafts.append((d, cl))
+        else:
+            # fallback: small-k majority walk (thin read sets)
+            fill = _mini_dbg_walk(
+                seqs, seq_l[-400:], seq_r[:400], k, max_walk=MAX_LOCAL_WALK
+            )
+            if fill is None or len(fill) < k:
+                continue
+            gseq = seq_l[-(K - 1) :] + fill + seq_r[k : K - 1]
+            row = agap.seq_to_gap(dna.seq_to_codes(gseq), 0, 0)
+            linear[d] = row
+            linear[int(D.dinv[d])] = agap.rc_gap(row)
 
-    if not replacements:
-        return D, 0
-    rows = [replacements.get(d, D.epaths.row(d)) for d in range(D.n_edges)]
-    D2 = SuperGraph(
-        epaths=Ragged.from_rows(rows, dtype=np.int64),
-        dinv=D.dinv.copy(),
-        from_v=D.from_v.copy(),
-        to_v=D.to_v.copy(),
-        n_vertices=D.n_vertices,
-        bg=D.bg,
-    )
-    return D2, n_closed
+    D2, n_grafted = _apply_closures(D, linear, grafts)
+    return D2, len(linear) // 2 + n_grafted

@@ -99,6 +99,118 @@ def test_get_barcodes_walks_line(rng):
     assert len(rids) == rs.n_reads  # every read carries barcode 1 or 2
 
 
+def _het_gap_scenario(rng):
+    """Like _gap_scenario, but the gap interior M carries a het SNP: the
+    barcode molecule reads come in two variants.  Unvoid should graft the
+    local sub-DAG (a bubble of {-3} arms), not pick one arm."""
+    A, M, B = _rand(rng, 600), _rand(rng, 300), _rand(rng, 600)
+    M2 = M[:150] + ("A" if M[150] != "A" else "C") + M[151:]
+    G1 = dna.seq_to_codes(A + M + B)
+    G2 = dna.seq_to_codes(A + M2 + B)
+    gA, gB = dna.seq_to_codes(A), dna.seq_to_codes(B)
+    dense = _tiles(gA, 47) + _tiles(gB, 47)
+    sparse = _tiles(G1, 100) + _tiles(G2, 100)
+    reads = dense + dense + sparse
+    bc = np.concatenate(
+        [
+            np.ones(len(dense) // 2, np.int32),
+            np.full(len(dense) // 2, 2, np.int32),
+            np.ones(len(sparse) // 2, np.int32),
+        ]
+    )
+    quals = [np.full(len(r), 37, np.uint8) for r in reads]
+    rs = build_readset(reads, quals, bc, n_barcodes=2, barcoded=True)
+    table = dbuild.trim_table(kcount.count_readset(rs, min_freq=3), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    D = asg.build_supergraph(bg)
+
+    def edge_with(seq):
+        for d in range(D.n_edges):
+            if seq in D.edge_seq(d):
+                return d
+        raise AssertionError("edge not found")
+
+    dA = edge_with(A[100:400])
+    dB = edge_with(B[100:400])
+    v, w = int(D.to_v[dA]), int(D.from_v[dB])
+    vr, wr = int(D.to_v[D.dinv[dB]]), int(D.from_v[D.dinv[dA]])
+    D = asg.append_gap_edges(D, [(v, w, agap.bc_gap(300), vr, wr)])
+    D.validate()
+    ebcx = Ragged.from_rows(
+        [np.array([1, 2], np.int64)] * bg.n_edges, dtype=np.int64
+    )
+    return D, rs, ebcx, (A, M, M2, B)
+
+
+def _splice_paths(D, da, db):
+    """All simple D-paths to_v[da] -> from_v[db], spliced with the flanks
+    via the gap-aware walker."""
+    outs = {}
+    for d in range(D.n_edges):
+        outs.setdefault(int(D.from_v[d]), []).append(d)
+    seqs = []
+
+    def walk(vv, acc):
+        if vv == int(D.from_v[db]):
+            w = agap.GapAwareWalker(48)
+            w.add_seq(D.edge_seq(da))
+            for d in acc:
+                w.add_gap(D.epaths.row(d))
+            w.add_seq(D.edge_seq(db))
+            seqs.append(w.sequence())
+            return
+        for d in outs.get(vv, ()):
+            if d in acc or not D.is_gap(d):
+                continue
+            walk(int(D.to_v[d]), acc + [d])
+
+    walk(int(D.to_v[da]), [])
+    return seqs
+
+
+def test_unvoid_grafts_het_bubble(rng):
+    D, rs, ebcx, (A, M, M2, B) = _het_gap_scenario(rng)
+    D2, n = alocal.unvoid(D, rs, ebcx)
+    assert n == 1
+    D2.validate()
+    # the {-2} gap is gone, replaced by a grafted sub-DAG of {-3} edges
+    assert not any(
+        agap.is_bc_gap(D2.epaths.row(d)) for d in range(D2.n_edges)
+    )
+    seq_gaps = [
+        d for d in range(D2.n_edges) if agap.is_seq_gap(D2.epaths.row(d))
+    ]
+    assert len(seq_gaps) >= 6  # stem + two arms (+ rc images)
+
+    def edge_with(seq):
+        for d in range(D2.n_edges):
+            if D2.is_gap(d):
+                continue
+            if seq in D2.edge_seq(d):
+                return d
+        raise AssertionError("edge not found")
+
+    da, db = edge_with(A[100:400]), edge_with(B[100:400])
+    haps = _splice_paths(D2, da, db)
+    assert len(haps) == 2
+    want1, want2 = A[-100:] + M + B[:100], A[-100:] + M2 + B[:100]
+    assert any(want1 in h for h in haps)
+    assert any(want2 in h for h in haps)
+
+
+def test_closure_graph_linear(rng):
+    """A clean interior yields a single L->R closure edge."""
+    A, M, B = _rand(rng, 300), _rand(rng, 200), _rand(rng, 300)
+    G = dna.seq_to_codes(A + M + B)
+    seqs = _tiles(G, 40)
+    cl = alocal.closure_graph(seqs, A, B)
+    assert cl is not None and len(cl) == 1
+    x, y, s = cl[0]
+    assert (x, y) == ("L", "R")
+    assert s.startswith(A[-47:]) and s.endswith(B[:47])
+    assert M in s
+
+
 def test_unvoid_unbarcoded_noop(rng):
     D, rs, ebcx, _, _ = _gap_scenario(rng)
     rs.barcoded = False
