@@ -352,8 +352,9 @@ def _flanks(D) -> Dict[int, tuple]:
 
 def _apply_closures(D, linear: Dict[int, np.ndarray], grafts):
     """Apply closure edits: `linear` rows replace {-2} payloads in place;
-    each graft (d, closure_edges) appends the local sub-DAG as {-3} D-edges
-    on both strands and deletes the gap (Surgery, BuildLocal.cc:895-1050:
+    each graft (v, w, rv, rw, closure_edges, dels) appends the local
+    sub-DAG as {-3} D-edges on both strands between v->w (rc strand
+    rv->rw) and deletes the `dels` edges (Surgery, BuildLocal.cc:895-1050:
     AppendWithUpdate + TransferEdgesWithUpdate + gap deletion).  Returns
     (D', n_grafted); edge ids are only renumbered when a graft happened."""
     from ..core import dna
@@ -366,16 +367,13 @@ def _apply_closures(D, linear: Dict[int, np.ndarray], grafts):
         g.rows[d] = row
     n_grafted = 0
     edited_v = set()
-    for d, cl in grafts:
-        rd = int(g.dinv[d])
-        if d == rd:
-            continue
-        v, w = g.from_v[d], g.to_v[d]
-        rv, rw = g.from_v[rd], g.to_v[rd]
+    for v, w, rv, rw, cl, dels in grafts:
+        if len({v, w, rv, rw}) != 4:
+            continue  # degenerate/palindromic attachment
         if {v, w, rv, rw} & edited_v:
             continue  # edited-vertex guard (BuildLocal.cc:925-929)
         fmap = {"L": v, "R": w}
-        rmap = {"L": rw, "R": rv}  # rc graft runs to_v[rd] <- ... <- from_v[rd]
+        rmap = {"L": rw, "R": rv}  # rc graft runs rv -> ... -> rw
         for x, y, _s in cl:
             for node in (x, y):
                 if node not in fmap:
@@ -388,13 +386,13 @@ def _apply_closures(D, linear: Dict[int, np.ndarray], grafts):
             b = g.add_edge(rmap[y], rmap[x], agap.seq_to_gap(dna.revcomp(codes)))
             g.dinv[a] = b
             g.dinv[b] = a
-        g.dels.extend([d, rd])
+        g.dels.extend(dels)
         edited_v |= {v, w, rv, rw}
         n_grafted += 1
     if not linear and n_grafted == 0:
         return D, 0
     D2 = g.build()
-    if g.dels:
+    if n_grafted or g.dels:
         D2 = delete_edges(D2, sorted(set(g.dels)), force=True)
     return D2, n_grafted
 
@@ -451,7 +449,19 @@ def unvoid(
             linear[d] = row
             linear[int(D.dinv[d])] = agap.rc_gap(row)
         elif cl is not None:
-            grafts.append((d, cl))
+            rd = int(D.dinv[d])
+            if d == rd:
+                continue
+            grafts.append(
+                (
+                    int(D.from_v[d]),
+                    int(D.to_v[d]),
+                    int(D.from_v[rd]),
+                    int(D.to_v[rd]),
+                    cl,
+                    [d, rd],
+                )
+            )
         else:
             # fallback: small-k majority walk (thin read sets)
             fill = _mini_dbg_walk(
@@ -466,3 +476,178 @@ def unvoid(
 
     D2, n_grafted = _apply_closures(D, linear, grafts)
     return D2, len(linear) // 2 + n_grafted
+
+
+MIN_LINE_TO_WALK = 1000  # CP.cc:731
+NHOOD_DEPTH = 3  # CP.cc:732
+MIN_AD = 0.9  # ChooseClosure advantage gate (BuildLocal.cc:1299)
+LCONTENT_CAP = 5000  # bases of candidate-line front used for containment
+
+
+def choose_closure(cands, line_fronts: Dict[int, str], k: int = K):
+    """If two closures compete for one line end, pick a clear winner by
+    kmer-content containment (ChooseClosure, BuildLocal.cc:1263-1308):
+    frac[j] = fraction of candidate line j's front kmers contained in the
+    OTHER closure's assembly; a >= MIN_AD advantage decides.  Returns the
+    winning (s2, closure_edges) or None (ambiguous / >2 candidates)."""
+    if len(cands) == 1:
+        return cands[0]
+    if len(cands) != 2:
+        return None
+
+    def kmer_set(cl):
+        st = set()
+        for _x, _y, s in cl:
+            for i in range(len(s) - k + 1):
+                st.add(s[i : i + k])
+        return st
+
+    dcontent = [kmer_set(c[1]) for c in cands]
+    frac = []
+    for j in (0, 1):
+        seq = line_fronts.get(int(cands[j][0]), "")
+        n_km = len(seq) - k + 1
+        if n_km <= 0:
+            return None
+        present = sum(
+            1 for i in range(n_km) if seq[i : i + k] in dcontent[1 - j]
+        )
+        frac.append(present / n_km)
+    if frac[0] - frac[1] >= MIN_AD:
+        return cands[0]
+    if frac[1] - frac[0] >= MIN_AD:
+        return cands[1]
+    return None
+
+
+def unvoid_voids(
+    D,
+    rs,
+    ebcx,
+    lines,
+    line_bcs,
+    llens,
+    max_reads: int = MAX_READS,
+):
+    """First Unvoid call site (CP.cc:660-790): close VOIDS — line right
+    ends that extend nowhere (no gap edge at all) — by walking the
+    barcode-local assembly from the line's last edge toward the front
+    edges of its barcode-neighborhood lines (lhood, NHOOD_DEPTH
+    orientations each way).  Competing closures are arbitrated by
+    ChooseClosure; the winner is grafted as a {-3} sub-DAG joining the
+    two line-end vertices (Surgery).  Returns (D', n_closed)."""
+    from . import star as astar
+
+    if not getattr(rs, "barcoded", False):
+        return D, 0
+    n = lines.n_lines
+    if n == 0:
+        return D, 0
+    linv = np.asarray(lines.linv, np.int64)
+    lhood = astar.line_prox(line_bcs, list(range(n)))
+    indeg = np.bincount(D.to_v, minlength=D.n_vertices)
+    outdeg = np.bincount(D.from_v, minlength=D.n_vertices)
+    mult = compute_mult(D)
+    gm = D.gap_mask()
+
+    def last_edge(li):
+        return int(lines.lines[li].elements[-1].paths[0][-1])
+
+    def first_edge(li):
+        return int(lines.lines[li].elements[0].paths[0][0])
+
+    grafts = []
+    n_closed = 0
+    for l1 in range(n):
+        if llens[l1] < MIN_LINE_TO_WALK:
+            continue
+        s1 = last_edge(l1)
+        if gm[s1]:
+            continue  # "very weird thing" guard (CP.cc:740)
+        v = int(D.to_v[s1])
+        if outdeg[v] != 0 or indeg[v] > 1:
+            continue  # not a void (CP.cc:742-743)
+        # candidate partner lines: both orientations of the NHOOD_DEPTH
+        # nearest neighbors (CP.cc:749-758)
+        l2s = []
+        for _s, l2 in lhood.get(l1, ())[:NHOOD_DEPTH]:
+            for cand in (int(l2), int(linv[l2])):
+                # the rc twin shares every barcode and always ranks high
+                # in lhood; it is never a legitimate rightward partner
+                if cand in (l1, int(linv[l1])):
+                    continue
+                if cand not in l2s:
+                    l2s.append(cand)
+        s2s = []
+        overlaps = False
+        for l2 in l2s:
+            s2 = first_edge(l2)
+            if len({s1, s2, int(D.dinv[s1]), int(D.dinv[s2])}) != 4:
+                overlaps = True  # IsUnique fail (CP.cc:763-768)
+                break
+            if gm[s2]:
+                continue
+            w = int(D.from_v[s2])
+            if indeg[w] != 0 or outdeg[w] != 1:
+                continue  # partner start is not itself a void end
+            s2s.append(s2)
+        if overlaps or not s2s:
+            continue
+        # one barcode harvest + one local assembly per l1 (use_rights=False:
+        # barcodes come from the s1 side only, CP.cc:787)
+        bcs = np.zeros(0, np.int64)
+        for min_kmers in MIN_KMERS_PASSES:
+            bcs = get_barcodes(D, s1, ebcx, mult, min_kmers)
+            if len(bcs) <= MAX_BARCODES:
+                break
+        if len(bcs) == 0 or len(bcs) > MAX_BARCODES:
+            continue
+        rids = barcode_reads(rs, bcs, max_reads)
+        if len(rids) < 2:
+            continue
+        seq_l = D.edge_seq(s1)
+        if len(seq_l) < K:
+            continue
+        seqs = [rs.read(int(r)) for r in rids]
+        cands = []
+        local_edges = None
+        for mc in (2, 1):
+            local_edges = local_unipath_edges(seqs, K, mc)
+            cands = []
+            for s2 in s2s:
+                seq_r = D.edge_seq(s2)
+                if len(seq_r) < K:
+                    continue
+                cl = _extract_closure(
+                    local_edges, seq_l[-K:], seq_r[:K], K,
+                    MAX_LOCAL_WALK, 64,
+                )
+                if cl is not None:
+                    cands.append((s2, cl))
+            if cands:
+                break
+        if not cands:
+            continue
+        fronts = {
+            s2: D.edge_seq(s2)[:LCONTENT_CAP] for s2, _cl in cands
+        }
+        win = choose_closure(cands, fronts)
+        if win is None:
+            continue
+        s2, cl = win
+        grafts.append(
+            (
+                v,
+                int(D.from_v[s2]),
+                int(D.to_v[int(D.dinv[s2])]),
+                int(D.from_v[int(D.dinv[s1])]),
+                cl,
+                [],
+            )
+        )
+        n_closed += 1
+
+    if not grafts:
+        return D, 0
+    D2, n_grafted = _apply_closures(D, {}, grafts)
+    return D2, n_grafted

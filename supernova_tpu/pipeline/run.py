@@ -683,21 +683,51 @@ class Pipeline:
                 # Unvoid: barcode-restricted local assembly over the {-2}
                 # gaps Stackaroo left open (BuildLocal.cc:1055, CP.cc:790;
                 # barcode membership reaches reads that never placed)
+                from ..asm import lines as alines2
                 from ..asm import local as alocal
+                from ..asm import place as aplace2
+
+                def _refresh(D):
+                    ln = alines2.find_lines(D)
+                    self._dpaths, self._dlen = aplace2.place_reads(
+                        D, edges, plen,
+                        read_bc=rs.bc if rs.barcoded else None,
+                        lines=ln,
+                    )
+                    return ln
 
                 D2u, n_unvoid = alocal.unvoid(D, rs, ebcx)
                 if n_unvoid:
                     D = D2u
                     D.validate()
+                    # grafted sub-DAG closures renumber edges: refresh
+                    # lines and placements before downstream stages
+                    lines = _refresh(D)
                     self.stats.log(
                         "gaps_unvoided", n_unvoid,
                         "gaps closed by barcode-local assembly",
                         stage="scaffold",
                     )
+                # Unvoid call site 1 (CP.cc:660-790): close voids at line
+                # dead-ends toward barcode-neighborhood lines, competing
+                # closures arbitrated by ChooseClosure
+                llens_u, _lbp_u, line_bcs_u, _pos_u = self._line_evidence(
+                    D, lines, rs, ebcx, asc.good_barcodes(rs.bc)
+                )
+                D2v, n_voids = alocal.unvoid_voids(
+                    D, rs, ebcx, lines, line_bcs_u, llens_u
+                )
+                if n_voids:
+                    D = D2v
+                    D.validate()
+                    lines = _refresh(D)
+                    self.stats.log(
+                        "voids_closed", n_voids,
+                        "line dead-ends joined by barcode-local assembly",
+                        stage="scaffold",
+                    )
                 # pair-linked {-2} gaps -> {-1}, then Splat the saved DF
                 # closures across them (CP.cc:1233-1257 + Splat.cc)
-                from ..asm import lines as alines2
-                from ..asm import place as aplace2
                 from ..asm import splat as aspl
 
                 D2c, n_conv = aspl.convert_bc_gaps(

@@ -216,3 +216,81 @@ def test_unvoid_unbarcoded_noop(rng):
     rs.barcoded = False
     D2, n = alocal.unvoid(D, rs, ebcx)
     assert n == 0 and D2 is D
+
+
+def _mk_closure(seq, k=48):
+    """A single-edge closure whose kmer content is seq's kmers."""
+    return [("L", "R", seq)]
+
+
+def test_choose_closure_containment(rng):
+    """ChooseClosure picks the line whose content appears in BOTH local
+    assemblies (the true immediate continuation, BuildLocal.cc:1263-1308)."""
+    X = _rand(rng, 500)  # line 7's front
+    Y = _rand(rng, 500)  # line 9's front
+    # assembly toward 9 passes through line 7's sequence first; assembly
+    # toward 7 never sees line 9's content
+    cands = [(7, _mk_closure(X)), (9, _mk_closure(X + Y[:40]))]
+    fronts = {7: X, 9: Y}
+    win = alocal.choose_closure(cands, fronts)
+    assert win is not None and win[0] == 7
+    # ambiguous: both assemblies contain both fronts -> no winner
+    cands2 = [(7, _mk_closure(X + Y)), (9, _mk_closure(Y + X))]
+    assert alocal.choose_closure(cands2, fronts) is None
+    # solo candidate passes through
+    assert alocal.choose_closure([(3, _mk_closure(X))], {3: X})[0] == 3
+    # >2 candidates: no arbitration
+    assert (
+        alocal.choose_closure(
+            [(1, _mk_closure(X)), (2, _mk_closure(X)), (3, _mk_closure(X))],
+            {1: X, 2: X, 3: X},
+        )
+        is None
+    )
+
+
+def test_unvoid_voids_joins_dead_ends(rng):
+    """Two line islands with no gap edge between them: unvoid_voids joins
+    them with real sequence from the barcode-local assembly (the CP.cc:660
+    'build' call site)."""
+    A, M, B = _rand(rng, 1500), _rand(rng, 300), _rand(rng, 1500)
+    G = dna.seq_to_codes(A + M + B)
+    gA, gB = dna.seq_to_codes(A), dna.seq_to_codes(B)
+    dense = _tiles(gA, 47) + _tiles(gB, 47)
+    sparse = _tiles(G, 100)
+    reads = dense + dense + sparse
+    bc = np.concatenate(
+        [
+            np.ones(len(dense) // 2, np.int32),
+            np.full(len(dense) // 2, 2, np.int32),
+            np.ones(len(sparse) // 2, np.int32),
+        ]
+    )
+    quals = [np.full(len(r), 37, np.uint8) for r in reads]
+    rs = build_readset(reads, quals, bc, n_barcodes=2, barcoded=True)
+    table = dbuild.trim_table(kcount.count_readset(rs, min_freq=3), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    D = asg.build_supergraph(bg)
+    assert D.n_edges == 4  # A, B islands + rc — and NO gap edge (a void)
+    from supernova_tpu.asm import lines as alines
+
+    lines = alines.find_lines(D)
+    line_bcs = [np.array([1, 2], np.int64)] * lines.n_lines
+    llens = np.full(lines.n_lines, 1500)
+    ebcx = Ragged.from_rows(
+        [np.array([1, 2], np.int64)] * bg.n_edges, dtype=np.int64
+    )
+    D2, n = alocal.unvoid_voids(D, rs, ebcx, lines, line_bcs, llens)
+    assert n == 1
+    D2.validate()
+
+    def edge_with(seq):
+        for d in range(D2.n_edges):
+            if not D2.is_gap(d) and seq in D2.edge_seq(d):
+                return d
+        raise AssertionError("edge not found")
+
+    da, db = edge_with(A[100:400]), edge_with(B[100:400])
+    haps = _splice_paths(D2, da, db)
+    assert len(haps) == 1
+    assert A[-100:] + M + B[:100] in haps[0]
