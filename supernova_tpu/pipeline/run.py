@@ -119,6 +119,25 @@ class Pipeline:
                     "big_bc_perc", 100.0 * big / total_bc_reads,
                     "% reads in >=50k-read barcodes", stage="ingest",
                 )
+            # occupancy-based GEM count (EstimateGEMCount, DfTools.cc:550)
+            from ..stats import gems as sgems
+
+            n_gems = sgems.estimate_gem_count(rs.bci, rs.n_barcodes)
+            if n_gems:
+                self.stats.log(
+                    "est_gem_count", n_gems,
+                    "estimated GEM partitions (whitelist occupancy)",
+                    stage="ingest",
+                )
+        # OOM-precursor check (alarms-supernova.json:17-22)
+        from ..stats import gems as sgems2
+
+        mpr = sgems2.mem_per_read_mb(rs.n_reads)
+        if mpr is not None:
+            self.stats.log(
+                "mem_per_read", mpr,
+                "MB of available memory per input read", stage="ingest",
+            )
         q30 = float((rs.quals >= 30).mean() * 100) if len(rs.quals) else 0.0
         self.stats.log("q30_r2_perc", q30, "Q30 bases %", stage="ingest")
         # bad-cycles check (DF.cc:364-424 qual-stat alerts / the
@@ -519,6 +538,14 @@ class Pipeline:
                     "length-weighted mean molecule length",
                     cs=True,
                 )
+                from ..stats import gems as sgems
+
+                lm = sgems.estimate_loading_mass_ng(mols)
+                if lm is not None:
+                    self.stats.log(
+                        "loading_mass", lm,
+                        "estimated input DNA loading mass (ng)",
+                    )
                 from ..stats import histograms as hist
 
                 h = hist.length_histogram(

@@ -67,6 +67,16 @@ DEFAULT_ALERTS: List[Alert] = [
     Alert("est_genome_size", "value > 3200000000", "alarm",
           "estimated genome size {value:.0f} > 3.2 Gb; outside the "
           "supported envelope."),
+    # resource / library-prep envelope (alarms-supernova.json:17-36)
+    Alert("mem_per_read", "value < 0.0001066", "alarm",
+          "only {value:.6f} MB of memory available per input read; the "
+          "run is at risk of running out of memory."),
+    Alert("loading_mass", "value < 0.6", "alarm",
+          "estimated loading mass {value:.3g} ng < 0.6 ng; library "
+          "complexity may be reduced."),
+    Alert("loading_mass", "value > 2.5", "alarm",
+          "estimated loading mass {value:.3g} ng > 2.5 ng; the effect "
+          "of overloading is unknown."),
     # molecule / line health (alarms-supernova.json pr tier)
     Alert("lw_mean_mol_len", "value < 40000", "alarm",
           "length-weighted mean molecule length {value:.0f} < 40 kb; "
