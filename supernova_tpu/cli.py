@@ -267,6 +267,42 @@ def cmd_bcmat(args) -> int:
     return 0
 
 
+def cmd_graph_stats(args) -> int:
+    """Per-edge TSV export (`tada stats` analogue, cmd_graph_stats.rs:29)."""
+    from .core.ragged import Ragged
+    from .dbg.graph import BaseGraph
+    from .out.exports import write_graph_stats
+
+    bg = BaseGraph.load(Path(args.dir) / "graph.npz")
+    ebcx = None
+    ep = Path(args.dir) / "ebcx.npz"
+    if ep.exists():
+        z = np.load(ep)
+        ebcx = Ragged(z["values"], z["offsets"])
+    out = write_graph_stats(bg, ebcx, args.out)
+    print(json.dumps({"out": str(out), "n_edges": bg.n_edges}))
+    return 0
+
+
+def cmd_scaf_graph(args) -> int:
+    """Barcode-overlap contig proximity graph (`tada scaf-graph` analogue,
+    scaf_graph.rs:84-97)."""
+    from .core.ragged import Ragged
+    from .dbg.graph import BaseGraph
+    from .out.exports import write_scaf_graph
+
+    bg = BaseGraph.load(Path(args.dir) / "graph.npz")
+    z = np.load(Path(args.dir) / "ebcx.npz")
+    ebcx = Ragged(z["values"], z["offsets"])
+    out = write_scaf_graph(
+        bg.edges.lengths(), ebcx, args.out,
+        min_ctg=args.min_ctg, min_bcs=args.min_bcs, max_bcs=args.max_bcs,
+    )
+    n = sum(1 for _ in open(out))
+    print(json.dumps({"out": str(out), "n_links": n}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -326,6 +362,19 @@ def main(argv=None) -> int:
     bm.add_argument("--dir", required=True, help="run directory (has ebcx.npz)")
     bm.add_argument("--out", required=True)
     bm.set_defaults(fn=cmd_bcmat)
+
+    gs = sub.add_parser("graph-stats", help="per-edge TSV (len/bcs/degree/seq)")
+    gs.add_argument("--dir", required=True, help="run directory (has graph.npz)")
+    gs.add_argument("--out", required=True)
+    gs.set_defaults(fn=cmd_graph_stats)
+
+    sg = sub.add_parser("scaf-graph", help="barcode-overlap contig graph CSV")
+    sg.add_argument("--dir", required=True, help="run directory")
+    sg.add_argument("--out", required=True)
+    sg.add_argument("--min-ctg", type=int, default=500)
+    sg.add_argument("--min-bcs", type=int, default=2)
+    sg.add_argument("--max-bcs", type=int, default=5000)
+    sg.set_defaults(fn=cmd_scaf_graph)
 
     b = sub.add_parser("bench", help="run the kmer-count benchmark")
     b.set_defaults(fn=cmd_bench)
