@@ -185,13 +185,19 @@ def cmd_evaluate(args) -> int:
     from .core import dna
     from .out.fasta import read_fasta
 
-    contigs = []
+    contigs, scaffolds = [], []
     for _, seq in read_fasta(args.fasta):
+        scaffolds.append(dna.seq_to_codes(seq, n_as=4))
         for part in seq.split("N"):
             if len(part) >= args.min_len:
                 contigs.append(dna.seq_to_codes(part))
     haps = [np.load(p) for p in args.truth]
     res = evaluate_assembly(contigs, haps)
+    # scaffold-level dis/ori/ord misassembly decomposition + gap accuracy
+    # (astats/Misassembly.cc + MeasureGaps.cc analogues)
+    from .asm.astats import evaluate_scaffolds
+
+    res.update(evaluate_scaffolds(scaffolds, haps))
     print(json.dumps(res, indent=1))
     return 0
 

@@ -24,13 +24,17 @@ _CODE[ord("n")] = 0
 _BASE_ARR = np.frombuffer("ACGT".encode(), dtype=np.uint8)
 
 
-def seq_to_codes(seq: str) -> np.ndarray:
-    """ASCII DNA string -> uint8 codes (0..3)."""
+def seq_to_codes(seq: str, n_as: int = 0) -> np.ndarray:
+    """ASCII DNA string -> uint8 codes (0..3).  n_as sets the code N
+    maps to (default 0 = A; pass 4 to keep scaffold gaps distinct)."""
     raw = np.frombuffer(seq.encode(), dtype=np.uint8)
     codes = _CODE[raw]
     if (codes == 255).any():
         bad = chr(raw[int(np.argmax(codes == 255))])
         raise ValueError(f"invalid base {bad!r}")
+    if n_as != 0:
+        codes = codes.copy()
+        codes[(raw == ord("N")) | (raw == ord("n"))] = n_as
     return codes
 
 
