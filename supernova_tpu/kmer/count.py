@@ -288,23 +288,32 @@ def recompute_adjacencies(table: KmerTable) -> KmerTable:
 # ----------------------------------------------------------------- host prep
 
 def good_lengths_np(quals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Host (numpy) qual-trim rule — same semantics as good_lengths."""
+    """Host (numpy) qual-trim rule — same semantics as good_lengths.
+
+    The good length of a read is the largest prefix whose last K bases
+    are all >= MIN_QUAL.  The per-read candidate (p+1-start at positions
+    with a clean K-streak) is increasing in p, so the max is simply the
+    LAST qualifying position per read — two searchsorteds instead of a
+    (slow, elementwise) np.maximum.at scatter."""
     nb = len(quals)
     n_reads = len(offsets) - 1
-    p = np.arange(nb, dtype=np.int64)
+    offsets = np.asarray(offsets, np.int64)
+    if nb == 0 or n_reads == 0:
+        return np.zeros(n_reads, dtype=np.int32)
+    p = np.arange(1, nb + 1, dtype=np.int64)
     bad = np.asarray(quals) < MIN_QUAL
-    lens = np.diff(offsets)
-    pos_read = np.repeat(np.arange(n_reads), lens)
-    read_start = np.repeat(offsets[:-1], lens)
-    blocker = np.where(bad, p + 1, 0)
-    last_bad = np.maximum.accumulate(blocker) if nb else blocker
+    read_start = np.repeat(offsets[:-1], np.diff(offsets))
+    blocker = np.where(bad, p, 0)
+    last_bad = np.maximum.accumulate(blocker)
     bound = np.maximum(last_bad, read_start)
-    streak = p + 1 - bound
-    ok_end = streak >= K
-    cand = np.where(ok_end, p + 1 - read_start, 0)
-    out = np.zeros(n_reads, dtype=np.int32)
-    np.maximum.at(out, pos_read, cand.astype(np.int32))
-    return out
+    good_pos = np.flatnonzero(p - bound >= K)  # clean-K-streak ends
+    if len(good_pos) == 0:
+        return np.zeros(n_reads, dtype=np.int32)
+    hi = np.searchsorted(good_pos, offsets[1:], side="left")
+    lo = np.searchsorted(good_pos, offsets[:-1], side="left")
+    last = good_pos[np.maximum(hi - 1, 0)]
+    out = np.where(hi > lo, last + 1 - offsets[:-1], 0)
+    return out.astype(np.int32)
 
 
 def _round_up(x: int, m: int) -> int:
