@@ -41,13 +41,16 @@ def cmd_run(args) -> int:
         ds = {"gigabases": args.downsample_gb}
     pl = Pipeline(args.out, downsample=ds, resume=getattr(args, "resume", False))
     flavors = tuple(args.flavors.split(","))
+    cmdline = " ".join(sys.argv)
     try:
         pl.run_full(rs, flavors=flavors)
     except RuntimeError as e:
         print(f"ERROR: {e}", file=sys.stderr)
+        make_mri_bundle(args.out, ecode=185, cmdline=cmdline)
         return 185  # controlled exit, like Martian::exit (Martian.h:13)
     except MemoryError:
         _crash_forensics(args.out)
+        make_mri_bundle(args.out, ecode=99, cmdline=cmdline)
         print(
             "ERROR: out of memory — rerun with --downsample-reads or on a "
             "larger host (reference exit code 99 semantics)",
@@ -56,7 +59,9 @@ def cmd_run(args) -> int:
         return 99
     except Exception:
         _crash_forensics(args.out)
+        make_mri_bundle(args.out, ecode=1, cmdline=cmdline)
         raise
+    make_mri_bundle(args.out, ecode=0, cmdline=cmdline)
     print(json.dumps(json.loads((Path(args.out) / "summary.json").read_text()), indent=1))
     return 0
 
@@ -103,6 +108,11 @@ def _crash_forensics(outdir) -> None:
 def cmd_sitecheck(args) -> int:
     """Environment diagnostics — the reference's `supernova sitecheck`
     (tenkit/bin/sitecheck)."""
+    print(json.dumps(_sitecheck_info(), indent=1))
+    return 0
+
+
+def _sitecheck_info() -> dict:
     import platform
     import shutil as sh
 
@@ -141,7 +151,52 @@ def cmd_sitecheck(args) -> int:
         info["open_fd_limit"] = [soft, hard]
     except Exception:
         pass
-    print(json.dumps(info, indent=1))
+    return info
+
+
+def make_mri_bundle(outdir, ecode: int = 0, cmdline: str = "") -> "Path | None":
+    """Bundle run diagnostics into <outdir>/<name>.mri.tgz — the
+    reference's `tarmri` (tenkit/bin/tarmri): captures _cmdline,
+    _sitecheck and _filelist into the run dir, then tars every small
+    (<1 MB) text/JSON artifact, skipping the bulk data payloads."""
+    import tarfile
+
+    outdir = Path(outdir)
+    if not outdir.is_dir():
+        return None
+    (outdir / "_cmdline").write_text(cmdline + "\n")
+    (outdir / "_sitecheck").write_text(json.dumps(_sitecheck_info(), indent=1))
+    entries = sorted(p for p in outdir.rglob("*") if p.is_file())
+    (outdir / "_filelist").write_text(
+        "".join(f"{p.stat().st_size}\t{p.relative_to(outdir)}\n"
+                for p in entries)
+    )
+    bundle = outdir / (outdir.name + ".mri.tgz")
+    skip_suffixes = {".npz", ".npy", ".gz", ".pkl", ".tgz", ".mm"}
+    always = {"summary.json", "summary_cs.csv", "all_stats.json",
+              "alerts.json", "pipestance.json"}
+    with tarfile.open(bundle, "w:gz") as tf:
+        for p in sorted(outdir.rglob("*")):
+            if not p.is_file() or p == bundle:
+                continue
+            if p.name not in always and (
+                    p.suffix in skip_suffixes or p.stat().st_size >= 1 << 20):
+                continue
+            tf.add(p, arcname=str(p.relative_to(outdir)))
+    if ecode != 0:
+        print(f"Saved diagnostics to {bundle} — attach it when reporting "
+              "this failure.", file=sys.stderr)
+    return bundle
+
+
+def cmd_tarmri(args) -> int:
+    """Standalone diagnostics bundler (`tarmri` analogue)."""
+    b = make_mri_bundle(args.dir, ecode=args.ecode,
+                        cmdline=" ".join(sys.argv))
+    if b is None:
+        print(f"ERROR: {args.dir} is not a directory", file=sys.stderr)
+        return 1
+    print(json.dumps({"bundle": str(b), "bytes": b.stat().st_size}))
     return 0
 
 
@@ -273,6 +328,16 @@ def cmd_bcmat(args) -> int:
     return 0
 
 
+def cmd_readcount(args) -> int:
+    """Print the read count of a reads.npz checkpoint — the reference's
+    FastFastbCount utility (10X/FastFastbCount.cc, used by the DF stage's
+    downsampling split, mro/stages/denovo/df/__init__.py:25-27)."""
+    z = np.load(args.reads)
+    n = int(len(z["offsets"]) - 1)
+    print(json.dumps({"n_reads": n, "n_bases": int(z["offsets"][-1])}))
+    return 0
+
+
 def cmd_graph_stats(args) -> int:
     """Per-edge TSV export (`tada stats` analogue, cmd_graph_stats.rs:29)."""
     from .core.ragged import Ragged
@@ -368,6 +433,15 @@ def main(argv=None) -> int:
     bm.add_argument("--dir", required=True, help="run directory (has ebcx.npz)")
     bm.add_argument("--out", required=True)
     bm.set_defaults(fn=cmd_bcmat)
+
+    tm = sub.add_parser("tarmri", help="bundle run diagnostics into .mri.tgz")
+    tm.add_argument("--dir", required=True, help="run directory")
+    tm.add_argument("--ecode", type=int, default=0)
+    tm.set_defaults(fn=cmd_tarmri)
+
+    rc = sub.add_parser("readcount", help="read count of a reads.npz (FastFastbCount)")
+    rc.add_argument("--reads", required=True)
+    rc.set_defaults(fn=cmd_readcount)
 
     gs = sub.add_parser("graph-stats", help="per-edge TSV (len/bcs/degree/seq)")
     gs.add_argument("--dir", required=True, help="run directory (has graph.npz)")

@@ -192,3 +192,22 @@ def test_bcmat_export(tmp_path):
     n_edges, n_bcs, pairs = load_bcmat(out)
     assert n_edges == 3 and n_bcs == 3
     assert sorted(pairs) == [(0, 0), (0, 2), (1, 1)]
+
+
+def test_tarmri_and_readcount(tmp_path):
+    """tarmri bundle + FastFastbCount analogue on a run directory."""
+    import tarfile
+    import numpy as np
+    from supernova_tpu import cli
+
+    d = tmp_path / "run"
+    d.mkdir()
+    (d / "summary.json").write_text("{}")
+    (d / "big.npz").write_bytes(b"x" * 100)  # payload: excluded
+    np.savez(d / "reads.npz", offsets=np.array([0, 150, 300]),
+             codes=np.zeros(300, np.uint8))
+    assert cli.main(["tarmri", "--dir", str(d)]) == 0
+    names = tarfile.open(d / "run.mri.tgz").getnames()
+    assert "summary.json" in names and "_sitecheck" in names
+    assert "big.npz" not in names and "reads.npz" not in names
+    assert cli.main(["readcount", "--reads", str(d / "reads.npz")]) == 0
