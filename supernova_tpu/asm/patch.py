@@ -192,7 +192,7 @@ def insert_patches(bg, closures: List[np.ndarray]):
         seqs, quals, np.zeros(len(seqs) // 2, np.int32), n_barcodes=0,
         barcoded=False,
     )
-    table = kcount.count_readset(prs, min_freq=1)
+    table = kcount.count_readset(prs, min_freq=1, min_read_len=K)
     table = dbuild.trim_table(table)
     dg = dbuild.build_graph(table)
     return dgraph.from_device(dg, table)

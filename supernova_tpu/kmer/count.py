@@ -99,6 +99,7 @@ def extract_occurrences(
     pos_read,  # (NB,) int32 read id per flat position (nondecreasing)
     glen_pos,  # (NB,) int32 qual-trimmed good length of the row's read
     bc_pos,  # (NB,) int32 barcode of the row's read (BC_IGNORED or > 0)
+    min_read_len: int = K + 1,
 ):
     """Per-position canonical kmer occurrences (the Kmerizer::map phase).
     Per-read attributes arrive pre-broadcast to positions (host np.repeat is
@@ -123,7 +124,11 @@ def extract_occurrences(
     start = jax.lax.cummax(jnp.where(read_first, p, 0))
     pir = p - start  # position in read
     glen = glen_pos
-    valid = (pir + K <= glen) & (glen >= K + 1)
+    # reads below K+1 good bases contribute nothing (Kmerizer,
+    # BuildReadQGraph48.cc:160); rebuild-from-edges callers pass
+    # min_read_len=K so single-kmer edges survive (edge re-kmerization
+    # uses size-K+1 with no minimum, BuildReadQGraph48.cc:742)
+    valid = (pir + K <= glen) & (glen >= min_read_len)
 
     has_pred = pir > 0
     # neighbor bases as STATIC slices (codes_ext[p-1], codes_ext[p+K] as
@@ -251,7 +256,7 @@ def reduce_occurrences(
     )
 
 
-@partial(jax.jit, static_argnames=("min_freq", "min_bc"))
+@partial(jax.jit, static_argnames=("min_freq", "min_bc", "min_read_len"))
 def count_kmers(
     codes_ext,
     pos_read,
@@ -259,10 +264,11 @@ def count_kmers(
     bc_pos,
     min_freq: int = MIN_FREQ,
     min_bc: int = MIN_BC,
+    min_read_len: int = K + 1,
 ) -> KmerTable:
     """Count + filter canonical 48-mers over all reads.  Fully on device."""
     canon, bc, lm, rm, valid = extract_occurrences(
-        codes_ext, pos_read, glen_pos, bc_pos
+        codes_ext, pos_read, glen_pos, bc_pos, min_read_len
     )
     return reduce_occurrences(canon, bc, lm, rm, valid, min_freq, min_bc)
 
@@ -385,7 +391,10 @@ def estimate_coverage(table: KmerTable, read_len: float = 150.0):
     return read_cov, genome_est
 
 
-def count_readset(rs, min_freq: int = MIN_FREQ, min_bc: int = MIN_BC) -> KmerTable:
+def count_readset(
+    rs, min_freq: int = MIN_FREQ, min_bc: int = MIN_BC,
+    min_read_len: int = K + 1,
+) -> KmerTable:
     """End-to-end host entry: ReadSet -> filtered, adjacency-true KmerTable.
 
     The table is trimmed from occurrence-padded size down to ~n_valid BEFORE
@@ -401,5 +410,6 @@ def count_readset(rs, min_freq: int = MIN_FREQ, min_bc: int = MIN_BC) -> KmerTab
         inp["bc_pos"],
         min_freq=min_freq,
         min_bc=min_bc,
+        min_read_len=min_read_len,
     )
     return recompute_adjacencies(trim_table(table))

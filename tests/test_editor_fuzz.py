@@ -88,3 +88,76 @@ def test_fuzz_capture_reinsert_roundtrip(seed):
     D2.validate()
     if n and m == n:
         assert payloads(D2) == before
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_splat_random_closures(seed):
+    """Random {-1} pair gaps + random closure paths: splat must keep the
+    supergraph valid and the involution intact (TODO: Splat.cc editors)."""
+    from supernova_tpu.asm import splat as asplat
+
+    rng = np.random.default_rng(500 + seed)
+    D = _build_D(rng)
+    # sprinkle pair gaps between random real-edge endpoints
+    nong = [x for x in range(D.n_edges) if not D.is_gap(x)]
+    for _ in range(3):
+        if len(nong) < 2:
+            break
+        a, b = rng.choice(nong, 2, replace=False)
+        v, w = int(D.to_v[a]), int(D.from_v[b])
+        vr = int(D.to_v[D.dinv[b]])
+        wr = int(D.from_v[D.dinv[a]])
+        D = asg.append_gap_edges(D, [(v, w, agap.pair_gap(), vr, wr)])
+    D.validate()
+    # random closure paths: mixtures of real base-edge walks and junk
+    binv = np.asarray(D.bg.inv, np.int64)
+    cpaths = []
+    for _ in range(12):
+        if rng.random() < 0.5 and D.n_edges:
+            d = int(rng.choice(nong))
+            row = np.asarray(D.epaths.row(d), np.int64)
+            if len(row) == 0:
+                continue
+            lo = int(rng.integers(0, len(row)))
+            hi = int(rng.integers(lo + 1, len(row) + 1))
+            cp = row[lo:hi]
+        else:
+            cp = rng.integers(0, D.bg.n_edges, size=rng.integers(1, 5))
+        cpaths.append(np.asarray(cp, np.int64))
+        cpaths.append(binv[np.asarray(cp, np.int64)][::-1].copy())  # rc image
+    D2, n = asplat.splat(D, cpaths)
+    D2.validate()
+    assert np.array_equal(D2.dinv[D2.dinv], np.arange(D2.n_edges))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_patch_insertion(seed):
+    """Random closures appended to the base graph: insert_patches must
+    produce a valid graph containing every original (canonical) kmer."""
+    from supernova_tpu.asm import patch as apatch
+    from supernova_tpu.core.kmer_codec import K
+
+    rng = np.random.default_rng(900 + seed)
+    g = _random_repeaty_genome(rng)
+    rs = perfect_readset(g)
+    table = dbuild.trim_table(kcount.count_readset(rs, min_freq=2), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    closures = []
+    for _ in range(int(rng.integers(1, 4))):
+        # random splice of two genome windows (a plausible chimeric closure)
+        a = int(rng.integers(0, len(g) - 2 * K))
+        b = int(rng.integers(0, len(g) - 2 * K))
+        closures.append(np.concatenate([g[a:a + K + 10], g[b:b + K + 10]]))
+    bg2 = apatch.insert_patches(bg, closures)
+    bg2.validate()
+    # every edge kmer of the old graph survives (counted at min_freq=1)
+    def kmer_set(bgx):
+        s = set()
+        for e in range(bgx.n_edges):
+            seq = bgx.edge_seq(e)
+            for i in range(len(seq) - K + 1):
+                km = seq[i:i + K]
+                rc = dna.codes_to_seq(dna.revcomp(dna.seq_to_codes(km)))
+                s.add(min(km, rc))
+        return s
+    assert kmer_set(bg) <= kmer_set(bg2)
