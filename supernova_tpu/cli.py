@@ -328,6 +328,46 @@ def cmd_bcmat(args) -> int:
     return 0
 
 
+def cmd_demux(args) -> int:
+    """Sample-index demultiplexing of basecalled FASTQs (the BCL_PROCESSOR
+    demultiplex stage, tenkit/mro/stages/bcl_processor/demultiplex)."""
+    from .ingest.demux import demultiplex
+
+    reads = {}
+    for spec in args.reads:
+        rt, _, path = spec.partition("=")
+        if not path:
+            print(f"ERROR: --reads wants TYPE=PATH, got {spec!r}", file=sys.stderr)
+            return 1
+        reads[rt] = path
+    summary = demultiplex(
+        args.si, reads, args.out,
+        indexes=args.indexes.split(",") if args.indexes else None,
+        lane=args.lane,
+    )
+    print(json.dumps({"out": args.out, "indexes": summary}))
+    return 0
+
+
+def cmd_mkfastq(args) -> int:
+    """BCL run folder -> demultiplexed FASTQs (`supernova mkfastq`).  Raw
+    BCL basecalling needs Illumina's bcl2fastq, which this image lacks —
+    detect the run folder and say so; basecalled FASTQs go through demux."""
+    run = Path(args.run)
+    if (run / "RunInfo.xml").exists() or (run / "Data" / "Intensities").exists():
+        print(
+            "ERROR: raw Illumina BCL decoding requires bcl2fastq (not in "
+            "this environment). Basecall the run first, then use "
+            "`supernova_tpu demux --si <I1.fastq.gz> --reads "
+            "R1=<R1> R2=<R2> --out <dir>`.",
+            file=sys.stderr,
+        )
+        return 1
+    print(f"ERROR: {run} does not look like an Illumina run folder "
+          "(no RunInfo.xml)", file=sys.stderr)
+    return 1
+
+
 def cmd_readcount(args) -> int:
     """Print the read count of a reads.npz checkpoint — the reference's
     FastFastbCount utility (10X/FastFastbCount.cc, used by the DF stage's
@@ -438,6 +478,20 @@ def main(argv=None) -> int:
     tm.add_argument("--dir", required=True, help="run directory")
     tm.add_argument("--ecode", type=int, default=0)
     tm.set_defaults(fn=cmd_tarmri)
+
+    dx = sub.add_parser("demux", help="demultiplex FASTQs by sample index")
+    dx.add_argument("--si", required=True, help="sample-index (I1) fastq[.gz]")
+    dx.add_argument("--reads", nargs="+", required=True,
+                    help="TYPE=PATH pairs (e.g. R1=a.fq.gz R2=b.fq.gz)")
+    dx.add_argument("--out", required=True)
+    dx.add_argument("--indexes", default=None,
+                    help="comma-separated SI seqs (default: auto-discover)")
+    dx.add_argument("--lane", type=int, default=1)
+    dx.set_defaults(fn=cmd_demux)
+
+    mf = sub.add_parser("mkfastq", help="BCL run folder -> FASTQs (gated)")
+    mf.add_argument("--run", required=True)
+    mf.set_defaults(fn=cmd_mkfastq)
 
     rc = sub.add_parser("readcount", help="read count of a reads.npz (FastFastbCount)")
     rc.add_argument("--reads", required=True)

@@ -14,9 +14,11 @@ list ranking run distributed:
      — this is the sedge-gluing neighbor exchange of the reference's shard
      design (cmd_shard_asm.rs) expressed as mesh collectives.
 
-The dense fixed-capacity exchanges below are the CPU-testable fallback
-(XLA:CPU lacks ragged_all_to_all); on TPU the same bodies swap in
-ragged_all_to_all exactly as parallel/sharded_count.py does.
+Every exchange runs in one of two modes (picked by backend, like
+parallel/sharded_count.py): ragged_all_to_all on TPU (only real rows move;
+only the TOTAL per receiver must fit the buffer) or the dense
+fixed-capacity all_to_all fallback on XLA:CPU, which lacks the
+ragged-all-to-all thunk.
 
 After the distributed phase, compact_links() drops the per-shard padding,
 re-sorts rows lexicographically, and remaps node ids — yielding the SAME
@@ -43,10 +45,15 @@ I32 = jnp.int32
 U32 = jnp.uint32
 
 
-def _dense_exchange(cols, owner, n_dev: int, cap_per: int, fills):
-    """Route rows to their owner shard: sort by owner, pad to cap_per per
-    destination, all_to_all.  Returns (received cols, recv_slot_of_input,
-    perm) where perm re-orders inputs by owner (for the return trip)."""
+def _exchange(cols, owner, n_dev: int, cap_per: int, fills, use_ragged: bool = False):
+    """Route rows to their owner shard: sort by owner, exchange.  Returns
+    (received cols, ctx) where ctx drives the return trip.
+
+    Dense mode pads every destination block to cap_per and always moves
+    n_dev*cap_per rows (XLA:CPU fallback — no ragged-all-to-all thunk).
+    Ragged mode (TPU) moves only the real rows with ragged_all_to_all into
+    the same n_dev*cap_per receive buffer: no padding traffic, and only the
+    TOTAL (not per-destination) has to fit — strictly fewer drops."""
     n = owner.shape[0]
     perm0 = jnp.arange(n, dtype=I32)
     owner_s, perm = jax.lax.sort((owner.astype(I32), perm0), num_keys=1, is_stable=True)
@@ -55,6 +62,26 @@ def _dense_exchange(cols, owner, n_dev: int, cap_per: int, fills):
         indices_are_sorted=True,
     )[:n_dev]
     offs = jnp.cumsum(counts) - counts
+
+    if use_ragged:
+        capacity = n_dev * cap_per
+        S = jax.lax.all_gather(counts, AXIS)  # (sender, dest)
+        me = jax.lax.axis_index(AXIS)
+        recv_sizes = S[:, me]  # from each sender
+        col_excl = jnp.cumsum(S, axis=0) - S  # my block's remote offset
+        out_offs = col_excl[me, :]
+        received = [
+            jax.lax.ragged_all_to_all(
+                col[perm],
+                jnp.full((capacity,), fill, col.dtype),
+                offs.astype(I32), counts.astype(I32),
+                out_offs.astype(I32), recv_sizes.astype(I32),
+                axis_name=AXIS,
+            )
+            for col, fill in zip(cols, fills)
+        ]
+        return received, ("ragged", perm, offs, counts, S, n)
+
     rank = jnp.arange(n, dtype=I32) - offs[jnp.minimum(owner_s, n_dev - 1)]
     ok = (owner_s < n_dev) & (rank < cap_per)
     slot = jnp.where(ok, jnp.minimum(owner_s, n_dev - 1) * cap_per + rank, n_dev * cap_per)
@@ -68,12 +95,30 @@ def _dense_exchange(cols, owner, n_dev: int, cap_per: int, fills):
                 buf.reshape(n_dev, cap_per), AXIS, 0, 0, tiled=False
             ).reshape(n_dev * cap_per)
         )
-    return received, slot, perm
+    return received, ("dense", slot, perm, n, cap_per)
 
 
-def _dense_return(resp, slot, perm, n, n_dev: int, cap_per: int, fill):
-    """Send per-slot responses back to the requesting shard and restore the
-    original row order."""
+def _return(resp, ctx, n_dev: int, fill):
+    """Send per-row responses back to the requesting shard and restore the
+    original row order (inverse of _exchange)."""
+    if ctx[0] == "ragged":
+        _, perm, offs, counts, S, n = ctx
+        me = jax.lax.axis_index(AXIS)
+        col_excl = jnp.cumsum(S, axis=0) - S
+        row_excl = jnp.cumsum(S, axis=1) - S
+        # I (owner) send sender s's response block back: it sits at
+        # col_excl[s, me] in my buffer, sized S[s, me], and lands at
+        # row_excl[s, me] in s's owner-sorted query order.
+        back = jax.lax.ragged_all_to_all(
+            resp,
+            jnp.full((n,), fill, resp.dtype),
+            col_excl[:, me].astype(I32), S[:, me].astype(I32),
+            row_excl[:, me].astype(I32), counts.astype(I32),
+            axis_name=AXIS,
+        )
+        return jnp.full((n,), fill, resp.dtype).at[perm].set(back)
+
+    _, slot, perm, n, cap_per = ctx
     back = jax.lax.all_to_all(
         resp.reshape(n_dev, cap_per), AXIS, 0, 0, tiled=False
     ).reshape(n_dev * cap_per)
@@ -83,16 +128,15 @@ def _dense_return(resp, slot, perm, n, n_dev: int, cap_per: int, fill):
     return jnp.full((n,), fill, resp.dtype).at[perm].set(vals)
 
 
-def _neighbor_query(words: W3, flip, degree_mask_pick, table: KmerTable, n_dev, cap, cap_per):
+def _neighbor_query(words: W3, flip, degree_mask_pick, table: KmerTable, n_dev, cap, cap_per, use_ragged=False):
     """Resolve neighbor kmers on their owner shard -> global oriented node
     id, or -1 (absent / wrong degree).  degree_mask_pick chooses which mask
     bounds the neighbor's degree ('in' for successor links, 'out' for
     predecessor links)."""
     owner = kmer_shard_hash(words) % np.uint32(n_dev)
-    n = words.a.shape[0]
     cols = (words.a, words.b, words.c, flip.astype(U32))
     fills = (kc.SENTINEL, kc.SENTINEL, kc.SENTINEL, np.uint32(0))
-    (qa, qb, qc, qf), slot, perm = _dense_exchange(cols, owner, n_dev, cap_per, fills)
+    (qa, qb, qc, qf), ctx = _exchange(cols, owner, n_dev, cap_per, fills, use_ragged)
 
     qw = W3(qa, qb, qc)
     srow, found = kc.lookup_words_merge(table.words, qw)
@@ -110,24 +154,25 @@ def _neighbor_query(words: W3, flip, degree_mask_pick, table: KmerTable, n_dev, 
     me = jax.lax.axis_index(AXIS)
     grow = (me.astype(I32) * cap + srow).astype(I32)
     v = jnp.where(found & deg_ok, 2 * grow + qflip, -1)
-    return _dense_return(v, slot, perm, n, n_dev, cap_per, jnp.asarray(-1, I32))
+    return _return(v, ctx, n_dev, jnp.asarray(-1, I32))
 
 
-def _dist_gather(vals, idx, n_dev: int, cap: int, cap_per: int):
+def _dist_gather(vals, idx, n_dev: int, cap: int, cap_per: int, use_ragged=False):
     """Distributed vals[idx]: idx are global node ids; vals is the local
     shard's slice (2*cap,).  Owner of node u = (u>>1)//cap."""
     owner = ((idx >> 1) // cap).astype(U32)
     cols = (idx.astype(U32),)
-    (qi,), slot, perm = _dense_exchange(cols, owner, n_dev, cap_per, (np.uint32(0),))
+    (qi,), ctx = _exchange(cols, owner, n_dev, cap_per, (np.uint32(0),), use_ragged)
     me = jax.lax.axis_index(AXIS).astype(I32)
     local = qi.astype(I32) - me * 2 * cap
     safe = jnp.clip(local, 0, 2 * cap - 1)
     resp = vals[safe]
-    return _dense_return(resp, slot, perm, idx.shape[0], n_dev, cap_per, jnp.asarray(0, I32))
+    return _return(resp, ctx, n_dev, jnp.asarray(0, I32))
 
 
 def _links_local(
-    wa, wb, wc, count, nbc, lmask, rmask, nvalid, n_dev: int, cap: int, steps: int
+    wa, wb, wc, count, nbc, lmask, rmask, nvalid, n_dev: int, cap: int,
+    steps: int, use_ragged: bool = False,
 ):
     """Per-shard body: distributed adjacency recompute + build_links
     (kmer/count.py recompute_adjacencies + dbg/build.py:66-117)."""
@@ -149,12 +194,12 @@ def _links_local(
     for x in range(4):
         xs = jnp.full((cap,), x, I32)
         sc, sf = kc.canonicalize(kc.successor_words(rw, xs))
-        sm = _neighbor_query(sc, sf, None, table0, n_dev, cap, cap_per_m) >= 0
+        sm = _neighbor_query(sc, sf, None, table0, n_dev, cap, cap_per_m, use_ragged) >= 0
         new_r = new_r | jnp.where(
             sm & (((rmask >> x) & 1) == 1), 1 << x, 0
         ).astype(rmask.dtype)
         pc, pf = kc.canonicalize(kc.predecessor_words(rw, xs))
-        pm = _neighbor_query(pc, pf, None, table0, n_dev, cap, cap_per_m) >= 0
+        pm = _neighbor_query(pc, pf, None, table0, n_dev, cap, cap_per_m, use_ragged) >= 0
         new_l = new_l | jnp.where(
             pm & (((lmask >> x) & 1) == 1), 1 << x, 0
         ).astype(lmask.dtype)
@@ -181,7 +226,7 @@ def _links_local(
     b = single_bit_index(out_mask)
     succ = kc.successor_words(ow, b)
     canon, flip = kc.canonicalize(succ)
-    v = _neighbor_query(canon, flip, "in", table, n_dev, cap, cap_per_q)
+    v = _neighbor_query(canon, flip, "in", table, n_dev, cap, cap_per_q, use_ragged)
     link_ok = (outdeg == 1) & valid & (v >= 0) & (v != u)
     nxt = jnp.where(link_ok, v, -1)
 
@@ -189,7 +234,7 @@ def _links_local(
     pb = single_bit_index(in_mask)
     pred = kc.predecessor_words(ow, pb)
     pcanon, pflip = kc.canonicalize(pred)
-    pw = _neighbor_query(pcanon, pflip, "out", table, n_dev, cap, cap_per_q)
+    pw = _neighbor_query(pcanon, pflip, "out", table, n_dev, cap, cap_per_q, use_ragged)
     prv_ok = (indeg == 1) & valid & (pw >= 0) & (pw != u)
     prv = jnp.where(prv_ok, pw, -1)
 
@@ -199,12 +244,12 @@ def _links_local(
 
     def cyc_body(_, st):
         ptr, mn = st
-        ptr2 = _dist_gather(ptr, ptr, n_dev, cap, cap_per)
-        mnp = _dist_gather(mn, ptr, n_dev, cap, cap_per)
+        ptr2 = _dist_gather(ptr, ptr, n_dev, cap, cap_per, use_ragged)
+        mnp = _dist_gather(mn, ptr, n_dev, cap, cap_per, use_ragged)
         return ptr2, jnp.minimum(mn, mnp)
 
     ptr, mn = jax.lax.fori_loop(0, steps, cyc_body, (ptr, mn))
-    prv_at_ptr = _dist_gather(prv, ptr, n_dev, cap, cap_per)
+    prv_at_ptr = _dist_gather(prv, ptr, n_dev, cap, cap_per, use_ragged)
     in_cycle = prv_at_ptr >= 0
     prv = jnp.where(in_cycle & (u == mn), -1, prv)
 
@@ -214,18 +259,22 @@ def _links_local(
 
     def rank_body(_, st):
         ptr, dist = st
-        dp = _dist_gather(dist, ptr, n_dev, cap, cap_per)
-        ptr2 = _dist_gather(ptr, ptr, n_dev, cap, cap_per)
+        dp = _dist_gather(dist, ptr, n_dev, cap, cap_per, use_ragged)
+        ptr2 = _dist_gather(ptr, ptr, n_dev, cap, cap_per, use_ragged)
         return ptr2, dist + dp
 
     ptr, dist = jax.lax.fori_loop(0, steps, rank_body, (ptr, dist))
     return nxt, prv, ptr, dist, lmask, rmask
 
 
-@partial(jax.jit, static_argnames=("mesh", "n_dev", "cap", "steps"))
-def sharded_links(mesh, tables_stacked: KmerTable, n_dev: int, cap: int, steps: int):
+@partial(jax.jit, static_argnames=("mesh", "n_dev", "cap", "steps", "use_ragged"))
+def sharded_links(mesh, tables_stacked: KmerTable, n_dev: int, cap: int,
+                  steps: int, use_ragged: bool | None = None):
     """Distributed Links over the sharded table (global node ids)."""
-    fn = partial(_links_local, n_dev=n_dev, cap=cap, steps=steps)
+    if use_ragged is None:
+        use_ragged = jax.default_backend() == "tpu"
+    fn = partial(_links_local, n_dev=n_dev, cap=cap, steps=steps,
+                 use_ragged=use_ragged)
     return jax.shard_map(
         fn,
         mesh=mesh,
@@ -324,7 +373,8 @@ def compact_links(tables_stacked: KmerTable, links6, pad_multiple: int = 256):
     )
 
 
-def sharded_build_graph(mesh, tables_stacked: KmerTable, n_dev: int):
+def sharded_build_graph(mesh, tables_stacked: KmerTable, n_dev: int,
+                        use_ragged: bool | None = None):
     """Host entry: sharded tables -> BaseGraph via distributed links +
     single-device materialization (edges are an output artifact)."""
     from ..dbg import graph as dgraph
@@ -333,7 +383,8 @@ def sharded_build_graph(mesh, tables_stacked: KmerTable, n_dev: int):
     cap = np.asarray(tables_stacked.count).shape[0] // n_dev
     n2g = 2 * n_dev * cap
     steps = int(np.ceil(np.log2(max(n2g, 2)))) + 1
-    links6 = sharded_links(mesh, tables_stacked, n_dev, cap, steps)
+    links6 = sharded_links(mesh, tables_stacked, n_dev, cap, steps,
+                           use_ragged=use_ragged)
     table, links = compact_links(tables_stacked, links6)
     n_edges, flat = _edge_shape(links, int(table.n_valid))
     e_pad = _round_up(n_edges + 1, 512)
