@@ -321,14 +321,23 @@ class Pipeline:
         from ..asm import dups as adups
         from ..asm import patch as apatch
 
+        import time as _time
+
         edges = np.asarray(rp.edges)[: rs.n_reads]
         plen = np.asarray(rp.path_len)[: rs.n_reads]
         offset = np.asarray(rp.offset)[: rs.n_reads]
+        t0 = _time.time()
         dup = adups.mark_dups(edges, plen, offset, rs.bc)
         pairs = apatch.find_edge_pairs(bg, edges, plen, dup)
+        t1 = _time.time()
         closures = apatch.close_gaps(bg, rs, pairs)
+        t2 = _time.time()
         self.stats.log("gap_pairs", len(pairs), "dead-end edge pairs", stage="patch")
         self.stats.log("gap_closures", len(closures), "gaps closed", stage="patch")
+        self.stats.log("etime_patch_find_s", t1 - t0,
+                       "patch: pair discovery wall", stage="patch")
+        self.stats.log("etime_patch_close_s", t2 - t1,
+                       "patch: closure consensus wall", stage="patch")
         if not closures:
             return bg, rp
         np.savez_compressed(
@@ -340,7 +349,12 @@ class Pipeline:
         )
         bg2 = apatch.insert_patches(bg, closures)
         bg2.save(self.outdir / "graph.patched.npz")
+        t3 = _time.time()
+        self.stats.log("etime_patch_rebuild_s", t3 - t2,
+                       "patch: graph rebuild wall", stage="patch")
         rp2 = self.stage_paths(bg2, rs)
+        self.stats.log("etime_patch_repath_s", _time.time() - t3,
+                       "patch: re-path wall", stage="patch")
         return bg2, rp2
 
     def stage_supergraph(self, bg, rp, rs):
