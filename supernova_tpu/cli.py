@@ -207,7 +207,11 @@ def cmd_simulate(args) -> int:
     rng = np.random.default_rng(args.seed)
     g = sim.random_genome(rng, args.genome_size, n_repeat_chunks=args.repeats)
     _, hb = sim.diploidize(rng, g, het_rate=args.het_rate)
-    wl = sim.make_whitelist(rng, args.whitelist_size)
+    # the whitelist must be at least as large as the barcode draw
+    # (sim samples barcodes without replacement, mirroring the reference's
+    # 4M-barcode whitelist being far larger than any run's GEM count)
+    wl_size = max(args.whitelist_size, 2 * args.barcodes)
+    wl = sim.make_whitelist(rng, wl_size)
     reads = sim.simulate_linked_reads(
         rng,
         (g, hb),
