@@ -53,7 +53,9 @@ def main():
 
     @jax.jit
     def step(codes_ext, pos_read, glen_pos, bc_pos):
-        t = count_kmers(codes_ext, pos_read, glen_pos, bc_pos)
+        t = count_kmers(
+            codes_ext, pos_read, glen_pos, bc_pos, uniform_rl=read_len
+        )
         return t.n_valid
 
     # warmup/compile (int() forces a full device round trip)

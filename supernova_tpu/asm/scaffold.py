@@ -68,15 +68,13 @@ def scaffold_lines(
     lists with {-2}-style gaps."""
     n = lines.n_lines
     canon = [i for i in range(n) if i <= lines.linv[i] and line_lens[i] >= min_line_len]
-    # pairwise shared barcodes (candidate links) — lines are few (1e3-1e5);
-    # restrict to lines with nonempty barcode sets
-    links: Dict[Tuple[int, int], int] = {}
+    # candidate links via the sparse barcode-pair join (AllTinks engine;
+    # the mesh-sharded device variant is parallel/sharded_scaffold.py)
+    from .links import incidence_from_sets, link_triples_np, links_as_dict
+
     with_bc = [i for i in canon if len(line_bcs[i])]
-    for ii, i in enumerate(with_bc):
-        for j in with_bc[ii + 1 :]:
-            s = shared_count(line_bcs[i], line_bcs[j])
-            if s >= min_shared:
-                links[(i, j)] = s
+    bcv, item = incidence_from_sets([line_bcs[i] for i in with_bc], with_bc)
+    links = links_as_dict(*link_triples_np(bcv, item, min_shared=min_shared))
 
     # best + runner-up per line for the advantage gate
     best: Dict[int, Tuple[int, int]] = {}

@@ -85,18 +85,13 @@ def line_prox(
 ) -> Dict[int, List[Tuple[int, int]]]:
     """LineProx analogue: per line, candidate neighbors ranked by shared
     good-barcode count -> {line: [(shared, other), ...]}."""
-    out: Dict[int, List[Tuple[int, int]]] = {}
+    from .links import incidence_from_sets, link_triples_np, neighbors_ranked
+
     with_bc = [i for i in canon if len(line_bcs[i])]
-    for i in with_bc:
-        cands = []
-        for j in with_bc:
-            if j == i:
-                continue
-            s = len(np.intersect1d(line_bcs[i], line_bcs[j], assume_unique=True))
-            if s:
-                cands.append((s, j))
-        cands.sort(key=lambda t: (-t[0], t[1]))
-        out[i] = cands[: 2 * max_view]
+    bcv, item = incidence_from_sets([line_bcs[i] for i in with_bc], with_bc)
+    i1, i2, s = link_triples_np(bcv, item, min_shared=1)
+    out: Dict[int, List[Tuple[int, int]]] = {i: [] for i in with_bc}
+    out.update(neighbors_ranked(i1, i2, s, max_view=2 * max_view))
     return out
 
 

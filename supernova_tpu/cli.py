@@ -426,6 +426,14 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    # stage progress (STAGE x: begin/done lines) goes to stderr — the
+    # reference's Date()-stamped cout tracing (SURVEY §5.1)
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
     ap = argparse.ArgumentParser(prog="supernova_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -181,14 +181,17 @@ def unpack_bases(w: W3):
     return jnp.concatenate(cols, axis=1)
 
 
-def sort_by_words(w: W3, extra_keys=(), payloads=()):
-    """Stable lexicographic sort by the 3 kmer words (+ extra key arrays).
+def sort_by_words(w: W3, extra_keys=(), payloads=(), stable: bool = True):
+    """Lexicographic sort by the 3 kmer words (+ extra key arrays).
 
     Returns (W3 sorted, extra_keys_sorted tuple, payloads_sorted tuple).
+    Pass stable=False when rows with fully-equal keys are interchangeable
+    (e.g. occurrence rows with all attributes packed into the keys) — the
+    unstable sort is measurably faster on TPU.
     """
     ops = [w.a, w.b, w.c, *extra_keys, *payloads]
     num_keys = 3 + len(extra_keys)
-    out = jax.lax.sort(tuple(ops), num_keys=num_keys, is_stable=True)
+    out = jax.lax.sort(tuple(ops), num_keys=num_keys, is_stable=stable)
     nk = len(extra_keys)
     return W3(*out[:3]), tuple(out[3 : 3 + nk]), tuple(out[3 + nk :])
 

@@ -178,7 +178,8 @@ def reduce_occurrences(
     nb = canon.a.shape[0]
     packed = pack_occurrence_attrs(bc, lm, rm, valid)
 
-    ws, (pk,), _ = kc.sort_by_words(canon, extra_keys=(packed,))
+    # unstable: rows with equal (kmer, packed-attrs) are identical records
+    ws, (pk,), _ = kc.sort_by_words(canon, extra_keys=(packed,), stable=False)
 
     if jax.default_backend() == "tpu" and nb % 128 == 0:
         # fused Pallas pass: all per-run statistics + the keep decision in
@@ -256,7 +257,9 @@ def reduce_occurrences(
     )
 
 
-@partial(jax.jit, static_argnames=("min_freq", "min_bc", "min_read_len"))
+@partial(
+    jax.jit, static_argnames=("min_freq", "min_bc", "min_read_len", "uniform_rl")
+)
 def count_kmers(
     codes_ext,
     pos_read,
@@ -265,11 +268,29 @@ def count_kmers(
     min_freq: int = MIN_FREQ,
     min_bc: int = MIN_BC,
     min_read_len: int = K + 1,
+    uniform_rl: int | None = None,
 ) -> KmerTable:
-    """Count + filter canonical 48-mers over all reads.  Fully on device."""
+    """Count + filter canonical 48-mers over all reads.  Fully on device.
+
+    uniform_rl: if every read (including host padding) is laid out in
+    blocks of exactly this length, the last K-1 positions of each block can
+    never start a kmer — a static reshape+slice drops them BEFORE the big
+    sort, cutting ~(K-1)/rl (~30% at rl=150) of the sort/reduce/compaction
+    work.  Requires the row count to stay a multiple of 128 on TPU, i.e.
+    pad reads in multiples of 128 (prepare_reads does)."""
     canon, bc, lm, rm, valid = extract_occurrences(
         codes_ext, pos_read, glen_pos, bc_pos, min_read_len
     )
+    if uniform_rl is not None:
+        cols = uniform_rl - K + 1
+        pk = pack_occurrence_attrs(bc, lm, rm, valid)
+
+        def cut(x):
+            return x.reshape(-1, uniform_rl)[:, :cols].reshape(-1)
+
+        canon = W3(cut(canon.a), cut(canon.b), cut(canon.c))
+        bc, lm, rm, valid = unpack_occurrence_attrs(cut(pk))
+        canon = canon.where(valid, kc.SENTINEL)
     return reduce_occurrences(canon, bc, lm, rm, valid, min_freq, min_bc)
 
 
@@ -331,9 +352,21 @@ def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024) -> dict
 
     Shapes are rounded up to buckets so different inputs share compiled
     programs; padding positions belong to a fake empty read (good_len 0).
+
+    When every read has the same length, the dict carries `uniform_rl` and
+    the base padding is a multiple of rl*128, enabling count_kmers' static
+    tail cut (~30% less device work at rl=150).
     """
     nb = int(rs.offsets[-1])
     n_reads = rs.n_reads
+    lens_all = np.diff(rs.offsets)
+    uniform_rl = (
+        int(lens_all[0])
+        if n_reads > 0 and (lens_all == lens_all[0]).all() and lens_all[0] > K
+        else None
+    )
+    if uniform_rl is not None:
+        base_bucket = uniform_rl * 128
     nbp = _round_up(max(nb, 1), base_bucket)
     rp = _round_up(n_reads + 1, read_bucket)
 
@@ -362,6 +395,7 @@ def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024) -> dict
         bc_pos=jnp.asarray(bc_pos),
         rlen_pos=jnp.asarray(rlen_pos),
         read_bc=jnp.asarray(read_bc),
+        uniform_rl=uniform_rl,
     )
 
 
@@ -411,5 +445,6 @@ def count_readset(
         min_freq=min_freq,
         min_bc=min_bc,
         min_read_len=min_read_len,
+        uniform_rl=inp["uniform_rl"],
     )
     return recompute_adjacencies(trim_table(table))

@@ -164,3 +164,41 @@ def test_unbarcoded_dataset_passes_bc_filter(rng):
     # unbarcoded: every kmer with count>=3 passes (ignored-barcode rule),
     # which is a superset of the barcoded filter
     assert set(expect) <= set(got)
+
+
+def test_uniform_tail_cut_matches_general_path(rng):
+    """count_kmers' static tail cut (uniform_rl) must produce the same
+    table as the general padded path on identical reads."""
+    rs = small_readset(rng, error_rate=0.002)
+    inp = kcount.prepare_reads(rs)
+    assert inp["uniform_rl"] is not None  # sim reads are uniform length
+    args = (inp["codes_ext"], inp["pos_read"], inp["glen_pos"], inp["bc_pos"])
+    t_cut = kcount.count_kmers(*args, uniform_rl=inp["uniform_rl"])
+    t_gen = kcount.count_kmers(*args, uniform_rl=None)
+    n1, n2 = int(t_cut.n_valid), int(t_gen.n_valid)
+    assert n1 == n2
+    for f in ("count", "nbc", "left_mask", "right_mask"):
+        assert np.array_equal(
+            np.asarray(getattr(t_cut, f))[:n1], np.asarray(getattr(t_gen, f))[:n2]
+        ), f
+    from supernova_tpu.core.kmer_codec import soa_to_np
+
+    assert np.array_equal(soa_to_np(t_cut.words)[:n1], soa_to_np(t_gen.words)[:n2])
+
+
+def test_nonuniform_reads_skip_the_cut(rng):
+    from supernova_tpu.ingest.reads import build_readset
+
+    g = rng.integers(0, 4, 4000, dtype=np.uint8)
+    reads, quals, bcs = [], [], []
+    for i in range(60):
+        ln = int(rng.integers(80, 151))
+        s = int(rng.integers(0, len(g) - ln))
+        reads.append(g[s : s + ln].copy())
+        quals.append(np.full(ln, 37, np.uint8))
+        bcs.append(1 + i % 7)
+    rs = build_readset(reads, quals, np.asarray(bcs), n_barcodes=8)
+    inp = kcount.prepare_reads(rs)
+    assert inp["uniform_rl"] is None
+    table = kcount.count_readset(rs, min_freq=1, min_bc=1)
+    assert int(table.n_valid) > 0
