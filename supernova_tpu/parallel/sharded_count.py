@@ -71,13 +71,25 @@ def _sharded_count_local(
     min_freq: int,
     min_bc: int,
     use_ragged: bool,
+    uniform_rl: int | None = None,
 ):
     """Per-device body (runs under shard_map over AXIS)."""
     canon, bc, lm, rm, valid = extract_occurrences(
         codes_ext, pos_read, glen_pos, bc_pos
     )
-    nbl = canon.a.shape[0]
     packed = pack_occurrence_attrs(bc, lm, rm, valid)
+    if uniform_rl is not None:
+        # static tail cut: the last K-1 positions of each uniform-length
+        # read block never start a kmer (see kmer/count.count_kmers)
+        cols = uniform_rl - kc.K + 1
+
+        def cut(x):
+            return x.reshape(-1, uniform_rl)[:, :cols].reshape(-1)
+
+        canon = W3(cut(canon.a), cut(canon.b), cut(canon.c))
+        packed = cut(packed)
+        valid = ((packed >> np.uint32(1)) & np.uint32(1)) == 1
+    nbl = canon.a.shape[0]
 
     shard = jnp.where(valid, kmer_shard_hash(canon) % np.uint32(n_dev), U32(n_dev))
     shard_s, w0, w1, w2, pk = jax.lax.sort(
@@ -152,7 +164,10 @@ def _sharded_count_local(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "n_dev", "capacity", "min_freq", "min_bc", "use_ragged"),
+    static_argnames=(
+        "mesh", "n_dev", "capacity", "min_freq", "min_bc", "use_ragged",
+        "uniform_rl",
+    ),
 )
 def sharded_count(
     mesh,
@@ -165,12 +180,15 @@ def sharded_count(
     min_freq: int = MIN_FREQ,
     min_bc: int = MIN_BC,
     use_ragged: bool | None = None,
+    uniform_rl: int | None = None,
 ):
     """Jitted multi-device counting step: returns per-shard KmerTables
     (leading axis = shard, leaves concatenated) + per-shard overflow.
 
     use_ragged: ragged_all_to_all (TPU) vs fixed-capacity dense all_to_all
-    (XLA:CPU lacks ragged-all-to-all); default picks by backend."""
+    (XLA:CPU lacks ragged-all-to-all); default picks by backend.
+    uniform_rl: common read length (from split_readset) enabling the static
+    tail cut before the pre-exchange sort."""
     if use_ragged is None:
         use_ragged = jax.default_backend() == "tpu"
     capacity = -(-capacity // n_dev) * n_dev  # multiple of n_dev
@@ -181,6 +199,7 @@ def sharded_count(
         min_freq=min_freq,
         min_bc=min_bc,
         use_ragged=use_ragged,
+        uniform_rl=uniform_rl,
     )
     table_spec = KmerTable(
         W3(P(AXIS), P(AXIS), P(AXIS)), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)
@@ -198,10 +217,23 @@ def sharded_count(
 
 def split_readset(rs, n_dev: int, base_bucket: int = 16384, read_bucket: int = 1024):
     """Split a ReadSet into n_dev equal-shape device blocks (by read pairs,
-    so mates stay together), returning stacked host arrays."""
+    so mates stay together), returning stacked host arrays.
+
+    The final element of the return tuple is `uniform_rl` (the common read
+    length, or None): when set, per-device blocks are padded in multiples
+    of rl*128 so sharded_count can statically cut never-valid kmer starts
+    (last K-1 positions of every read) before its sort + exchange."""
     from ..kmer.count import BC_IGNORED as IGN, _round_up
     from ..core.kmer_codec import K
 
+    lens_all = np.diff(rs.offsets)
+    uniform_rl = (
+        int(lens_all[0])
+        if rs.n_reads > 0 and (lens_all == lens_all[0]).all() and lens_all[0] > K
+        else None
+    )
+    if uniform_rl is not None:
+        base_bucket = uniform_rl * 128
     pairs = rs.n_pairs
     per = -(-pairs // n_dev)
     blocks = []
@@ -247,7 +279,7 @@ def split_readset(rs, n_dev: int, base_bucket: int = 16384, read_bucket: int = 1
 
     packed = [pack(i, l) for i, l in blocks]
     cat = lambda k: np.concatenate([p[k] for p in packed])
-    return cat(0), cat(1), cat(2), cat(3), nbl, rl
+    return cat(0), cat(1), cat(2), cat(3), nbl, rl, uniform_rl
 
 
 def merge_shard_tables(tables_stacked) -> "KmerTable":

@@ -40,11 +40,12 @@ def test_sharded_count_matches_single(rng):
 
     n_dev = 8
     mesh = make_mesh(n_dev)
-    codes, pr, glp, bcp, nbl, rl = split_readset(
+    codes, pr, glp, bcp, nbl, rl, url = split_readset(
         rs, n_dev, base_bucket=4096, read_bucket=128
     )
     tables, overflow = sharded_count(
-        mesh, codes, pr, glp, bcp, n_dev=n_dev, capacity=4 * nbl
+        mesh, codes, pr, glp, bcp, n_dev=n_dev, capacity=4 * nbl,
+        uniform_rl=url,
     )
     assert int(np.asarray(overflow).sum()) == 0
     merged = merge_shard_tables(tables)
