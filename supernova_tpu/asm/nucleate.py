@@ -172,6 +172,7 @@ def nucleate_graph(
     interior_matches: bool = False,
     extra_unions=None,
     interior_pairs=None,
+    device_glue: bool | None = None,
 ):
     """Closures -> SuperGraph D by gluing (ClosuresToGraph analogue).
 
@@ -226,6 +227,29 @@ def nucleate_graph(
             b0 = int(cstart[ids[0][0]] + ids[0][1])
             for c, p in ids[1:]:
                 extra_pairs.append((b0, int(cstart[c] + p)))
+
+    # device glue core (parallel/device_nucleate.py: the sort/join/min-label
+    # formulation of the same partition) — used on TPU for big closure sets;
+    # falls back to the host cores on budget overflow
+    plain_mode = (
+        not interior_matches and interior_pairs is None and not extra_unions
+    )
+    if device_glue is None:
+        import jax
+
+        device_glue = (
+            plain_mode
+            and jax.default_backend() == "tpu"
+            and sum(lens) > 200_000
+        )
+    if device_glue and plain_mode:
+        from ..parallel.device_nucleate import glue_closures_device
+
+        par = glue_closures_device(bg, cls, int(min_over_bases), adaptive)
+        if par is not None:
+            return _quotient(
+                bg, cls, cinv, lens, cstart, par, int(cstart[-1])
+            )
 
     # native glue core (hot loops in C++; bit-identical partition) with a
     # pure-python fallback
