@@ -24,6 +24,15 @@ def cmd_run(args) -> int:
     from .pipeline.preflight import preflight
     from .pipeline.run import Pipeline
 
+    if getattr(args, "addin", None):
+        # heuristic-constant overrides (the reference's addin map,
+        # df/__init__.py:138-139; see core/config.py)
+        from .core.config import apply_addins, parse_addin_args
+
+        applied = apply_addins(parse_addin_args(args.addin))
+        for k, v in parse_addin_args(args.addin).items():
+            print(f"addin: {k} = {v} (was {applied[k]})", file=sys.stderr)
+
     wl = load_whitelist(args.whitelist)
     pf = preflight(args.r1, args.r2, len(wl))
     for w in pf.warnings:
@@ -446,6 +455,11 @@ def main(argv=None) -> int:
     r.add_argument("--max-pairs", type=int, default=None)
     r.add_argument("--downsample-reads", type=int, default=None,
                    help="downsample to this many reads (reference's target_reads)")
+    r.add_argument("--addin", action="append", default=None,
+                   metavar="PATH=VALUE",
+                   help="override a heuristic constant, e.g. "
+                        "asm.star.MIN_ADVANTAGE=40 (repeatable; the "
+                        "reference's addin map)")
     r.add_argument("--downsample-gb", type=float, default=None,
                    help="downsample to this many gigabases")
     r.add_argument("--resume", action="store_true",
