@@ -120,5 +120,10 @@ def report_assembly_stats(
             cs=True,
         )
     stats.log("dup_perc", 100.0 * dup_frac, "% duplicate read pairs", cs=True)
-    stats.log("assembly_checksum", checksum, "deterministic checksum", stage="report")
+    # customer-facing (cs=True) like the reference's summary table, which
+    # carries the checksum row (AssemblyStats.cc:726,755-800)
+    stats.log(
+        "assembly_checksum", checksum, "deterministic checksum",
+        stage="report", cs=True,
+    )
     return stats
