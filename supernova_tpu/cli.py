@@ -209,6 +209,16 @@ def cmd_tarmri(args) -> int:
     return 0
 
 
+def cmd_sam(args) -> int:
+    """Export read->graph placements as SAM (the _ALIGNER/BAM QA analogue;
+    see out/sam.py)."""
+    from .out.sam import export_sam_from_run
+
+    n = export_sam_from_run(args.dir, args.out, sample=args.sample)
+    print(json.dumps({"sam": args.out, "records": n}))
+    return 0
+
+
 def cmd_simulate(args) -> int:
     from .ingest.tenx import write_sim_fastqs
     from .sim import genome as sim
@@ -522,6 +532,14 @@ def main(argv=None) -> int:
     rc = sub.add_parser("readcount", help="read count of a reads.npz (FastFastbCount)")
     rc.add_argument("--reads", required=True)
     rc.set_defaults(fn=cmd_readcount)
+
+    sm = sub.add_parser(
+        "sam", help="export read placements as SAM (BX tags; _ALIGNER QA analogue)"
+    )
+    sm.add_argument("--dir", required=True, help="finished run directory")
+    sm.add_argument("--out", required=True, help="output .sam or .sam.gz")
+    sm.add_argument("--sample", default="sample")
+    sm.set_defaults(fn=cmd_sam)
 
     gs = sub.add_parser("graph-stats", help="per-edge TSV (len/bcs/degree/seq)")
     gs.add_argument("--dir", required=True, help="run directory (has graph.npz)")
