@@ -10,10 +10,13 @@ mirroring the reference's START=<stage> re-entry (DF.cc:147-155).
 from __future__ import annotations
 
 import json
+import logging
 import time
 from pathlib import Path
 
 import numpy as np
+
+log = logging.getLogger("supernova_tpu")
 
 from ..align import index as pindex
 from ..align import pather
@@ -35,6 +38,7 @@ class Pipeline:
         resume: bool = False,
         downsample: dict | None = None,
         auto_downsample: bool = True,
+        multi_device: bool | None = None,
     ):
         """downsample: {"target_reads": N} or {"gigabases": G} — the
         reference's user downsampling knob (mro/assembler_cs.mro:12,
@@ -52,6 +56,11 @@ class Pipeline:
         self.resume = resume
         self.downsample = downsample
         self.auto_downsample = auto_downsample
+        # multi_device: None = auto (shard count+build over all local chips
+        # on TPU backends); True forces the mesh path (tests use the
+        # 8-virtual-device CPU mesh); False forces single-device
+        self.multi_device = multi_device
+        self._shard_tables = None  # per-shard tables for the sharded build
         self._t_start = time.time()
         from .orchestrate import Orchestrator
 
@@ -172,7 +181,11 @@ class Pipeline:
                 jnp.asarray(z["right_mask"]),
                 jnp.asarray(int(z["n_valid"]), jnp.int32),
             )
-        table = kcount.count_readset(rs)
+        ndev = self._mesh_ndev()
+        if ndev:
+            table = self._count_sharded(rs, ndev)
+        else:
+            table = kcount.count_readset(rs)
         table = dbuild.trim_table(table)
         n = int(table.n_valid)
         self.stats.log("kmers_distinct", n, "distinct filtered 48-mers", stage="count")
@@ -194,6 +207,42 @@ class Pipeline:
             n_valid=np.int64(n),
         )
         return table
+
+    def _mesh_ndev(self) -> int:
+        """Devices to shard count/build over (0 = single-device path)."""
+        import jax
+
+        n = len(jax.devices())
+        if self.multi_device is None:
+            return n if (n > 1 and jax.default_backend() == "tpu") else 0
+        return n if (self.multi_device and n > 1) else 0
+
+    def _count_sharded(self, rs: ReadSet, ndev: int):
+        """Mesh count: reads data-parallel, kmer space hash-sharded
+        (parallel/sharded_count.py); keeps the per-shard tables for the
+        distributed graph build.  Verified bit-identical to the
+        single-device path (tests/test_sharded_{count,build}.py)."""
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded_count import (
+            merge_shard_tables,
+            sharded_count,
+            split_readset,
+        )
+
+        codes, pr, glp, bcp, nbl, _rl, url = split_readset(rs, ndev)
+        mesh = make_mesh(ndev)
+        tables, ovf = sharded_count(
+            mesh, *map(np.asarray, (codes, pr, glp, bcp)),
+            n_dev=ndev, capacity=4 * nbl, uniform_rl=url,
+        )
+        if int(np.asarray(ovf).sum()) > 0:
+            log.warning("sharded count overflow; single-device fallback")
+            self._shard_tables = None
+            return kcount.count_readset(rs)
+        self._shard_tables = (mesh, tables, ndev)
+        self.stats.log("n_shards", ndev, "count/build mesh devices", stage="count")
+        merged = merge_shard_tables(tables)
+        return kcount.recompute_adjacencies(dbuild.trim_table(merged))
 
     def _count_with_cov_guard(self, rs: ReadSet):
         """Count, estimate coverage from the spectrum, and (auto mode)
@@ -233,8 +282,16 @@ class Pipeline:
         ck = self.outdir / "graph.npz"
         if self.resume and ck.exists():
             return dgraph.BaseGraph.load(ck)
-        dg = dbuild.build_graph(table)
-        bg = dgraph.from_device(dg, table)
+        if self._shard_tables is not None:
+            # distributed unipath build over the hash-sharded tables
+            # (adjacency + linking + list ranking as mesh collectives)
+            from ..parallel.sharded_build import sharded_build_graph
+
+            mesh, tables, ndev = self._shard_tables
+            bg = sharded_build_graph(mesh, tables, ndev)
+        else:
+            dg = dbuild.build_graph(table)
+            bg = dgraph.from_device(dg, table)
         bg.save(self.outdir / "graph.npz")
         lens = bg.edges.lengths()
         canonical = np.arange(bg.n_edges) <= bg.inv  # one per rc pair

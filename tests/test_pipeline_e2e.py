@@ -75,3 +75,34 @@ def test_e2e_exit_alert(tmp_path, rng):
     pl = Pipeline(tmp_path / "asm2")
     with pytest.raises(RuntimeError, match="exit alerts"):
         pl.run(rs)
+
+
+def test_e2e_multi_device_matches_single(tmp_path, rng):
+    """Pipeline(multi_device=True) shards count+build over the 8-device
+    CPU mesh and must produce the identical graph and contigs."""
+    g = sim.random_genome(rng, 6000, n_repeat_chunks=1, repeat_len=150)
+    _, hb = sim.diploidize(rng, g, het_rate=0.001)
+    wl = sim.make_whitelist(rng, 128)
+    reads = sim.simulate_linked_reads(
+        rng, (g, hb), wl, n_barcodes=50, molecules_per_barcode=2,
+        molecule_len=3000, coverage_per_molecule=2.0, error_rate=0.001,
+    )
+    rs = ingest_sim(reads, wl)
+    p1 = Pipeline(tmp_path / "single", multi_device=False)
+    p1.run_full(rs, flavors=("raw",))
+    p2 = Pipeline(tmp_path / "multi", multi_device=True)
+    p2.run_full(rs, flavors=("raw",))
+    import json
+
+    s1 = json.load(open(tmp_path / "single" / "all_stats.json"))
+    s2 = json.load(open(tmp_path / "multi" / "all_stats.json"))
+    get = lambda s, k: (s[k] if isinstance(s, dict) else
+                        {r["name"]: r["value"] for r in s}[k])
+    for k in ("assembly_checksum", "n_edges", "contig_N50", "assembly_size"):
+        assert get(s1, k) == get(s2, k), k
+    assert get(s2, "n_shards") >= 2
+    r1 = sorted(seq for _, seq in fout.read_fasta(
+        tmp_path / "single" / "assembly.raw.fasta.gz"))
+    r2 = sorted(seq for _, seq in fout.read_fasta(
+        tmp_path / "multi" / "assembly.raw.fasta.gz"))
+    assert r1 == r2
