@@ -312,6 +312,246 @@ def recompute_adjacencies(table: KmerTable) -> KmerTable:
     return table._replace(left_mask=lmask & new_l, right_mask=rmask & new_r)
 
 
+# ------------------------------------------------------- blocked counting
+
+class RawBlockTable(NamedTuple):
+    """Per-block UNFILTERED reduced table: one row per distinct canonical
+    kmer of the block, stats packed as nbc(12b)|lm(4b)|rm(4b)|has_ign(1b)
+    (the run_reduce stats word).  Blocks are split at barcode boundaries so
+    per-block nbc values sum exactly across blocks."""
+
+    words: W3
+    count: jax.Array  # (M,) int32
+    stats: jax.Array  # (M,) uint32
+    n_valid: jax.Array
+
+
+def _reduce_occurrences_raw(canon: W3, bc, lm, rm, valid) -> RawBlockTable:
+    """Sort + segment-reduce WITHOUT the (min_freq, min_bc) filter."""
+    nb = canon.a.shape[0]
+    packed = pack_occurrence_attrs(bc, lm, rm, valid)
+    ws, (pk,), _ = kc.sort_by_words(canon, extra_keys=(packed,), stable=False)
+
+    if jax.default_backend() == "tpu" and nb % 128 == 0:
+        from ..ops.pallas.run_reduce import run_reduce_pallas
+
+        # min_freq=1, min_bc=0 => keep every real run end
+        keep_u, count, stats = run_reduce_pallas(ws.a, ws.b, ws.c, pk, 1, 0)
+        keep = keep_u == 1
+    else:
+        bc_s = pk >> np.uint32(10)
+        lm_s = (pk >> np.uint32(6)) & np.uint32(15)
+        rm_s = (pk >> np.uint32(2)) & np.uint32(15)
+        valid_s = ((pk >> np.uint32(1)) & np.uint32(1)).astype(jnp.int32)
+        starts = seg.run_starts(ws.a, ws.b, ws.c)
+        ends = seg.run_end_mask(starts)
+        p = jnp.arange(nb, dtype=jnp.int32)
+        run_start_pos = jax.lax.cummax(jnp.where(starts, p, 0))
+
+        def run_total(ind):
+            ind = ind.astype(jnp.int32)
+            cs = jnp.cumsum(ind)
+            base = seg.run_broadcast_from_start(cs - ind, starts)
+            return cs - base
+
+        def run_any(ind):
+            last = jax.lax.cummax(jnp.where(ind, p, -1))
+            return last >= run_start_pos
+
+        count = run_total(valid_s)
+        new_pair = starts | (bc_s != jnp.roll(bc_s, 1))
+        nbc = run_total(
+            (valid_s == 1) & (bc_s > 0) & (bc_s != BC_FIELD_IGNORED) & new_pair
+        )
+        ign = run_any((valid_s == 1) & (bc_s == BC_FIELD_IGNORED))
+        lmask_u = jnp.zeros((nb,), U32)
+        rmask_u = jnp.zeros((nb,), U32)
+        for b in range(4):
+            lbit = run_any((valid_s == 1) & (((lm_s >> b) & 1) == 1))
+            rbit = run_any((valid_s == 1) & (((rm_s >> b) & 1) == 1))
+            lmask_u = lmask_u | (lbit.astype(U32) << b)
+            rmask_u = rmask_u | (rbit.astype(U32) << b)
+        stats = (
+            (jnp.minimum(nbc, 4095).astype(U32) << np.uint32(9))
+            | (lmask_u << np.uint32(5))
+            | (rmask_u << np.uint32(1))
+            | ign.astype(U32)
+        )
+        keep = ends & ~kc.is_sentinel(ws) & (count >= 1)
+
+    n_valid, (wa, wb, wc, c2, st2) = seg.stable_compact(
+        keep, ws.a, ws.b, ws.c, count, stats
+    )
+    m = jnp.arange(nb) < n_valid
+    w2 = W3(wa, wb, wc).where(m, kc.SENTINEL)
+    return RawBlockTable(w2, c2 * m, st2 * m.astype(U32), n_valid)
+
+
+@partial(jax.jit, static_argnames=("min_read_len", "uniform_rl"))
+def count_block_raw(
+    codes_ext, pos_read, glen_pos, bc_pos,
+    min_read_len: int = K + 1, uniform_rl: int | None = None,
+) -> RawBlockTable:
+    """One block of the blocked count: extract + reduce, no filter."""
+    canon, bc, lm, rm, valid = extract_occurrences(
+        codes_ext, pos_read, glen_pos, bc_pos, min_read_len
+    )
+    if uniform_rl is not None:
+        cols = uniform_rl - K + 1
+        pk = pack_occurrence_attrs(bc, lm, rm, valid)
+
+        def cut(x):
+            return x.reshape(-1, uniform_rl)[:, :cols].reshape(-1)
+
+        canon = W3(cut(canon.a), cut(canon.b), cut(canon.c))
+        bc, lm, rm, valid = unpack_occurrence_attrs(cut(pk))
+    return _reduce_occurrences_raw(canon, bc, lm, rm, valid)
+
+
+@partial(jax.jit, static_argnames=("min_freq", "min_bc"))
+def merge_raw_blocks(wa, wb, wc, count, stats, min_freq: int, min_bc: int
+                     ) -> KmerTable:
+    """Concat of per-block raw rows -> final filtered KmerTable.
+
+    Blocks are barcode-disjoint, so per-kmer: count=sum, nbc=sum,
+    masks=OR, has_ign=OR; then the reference filter applies."""
+    n = wa.shape[0]
+    ws = W3(wa, wb, wc)
+    o = jax.lax.sort((wa, wb, wc, count, stats), num_keys=3, is_stable=False)
+    ws = W3(o[0], o[1], o[2])
+    count, stats = o[3], o[4]
+    starts = seg.run_starts(ws.a, ws.b, ws.c)
+    ends = seg.run_end_mask(starts)
+    p = jnp.arange(n, dtype=jnp.int32)
+    run_start_pos = jax.lax.cummax(jnp.where(starts, p, 0))
+
+    def run_total(vals):
+        cs = jnp.cumsum(vals.astype(jnp.int32))
+        base = seg.run_broadcast_from_start(cs - vals.astype(jnp.int32), starts)
+        return cs - base
+
+    def run_any(ind):
+        last = jax.lax.cummax(jnp.where(ind, p, -1))
+        return last >= run_start_pos
+
+    total = run_total(count)
+    nbc = run_total((stats >> np.uint32(9)) & np.uint32(4095))
+    ign = run_any((stats & np.uint32(1)) == 1)
+    lm = jnp.zeros((n,), U32)
+    rm = jnp.zeros((n,), U32)
+    for b in range(4):
+        lb = run_any(((stats >> np.uint32(5 + b)) & 1) == 1)
+        rb = run_any(((stats >> np.uint32(1 + b)) & 1) == 1)
+        lm = lm | (lb.astype(U32) << b)
+        rm = rm | (rb.astype(U32) << b)
+    keep = (
+        ends & ~kc.is_sentinel(ws) & (total >= min_freq)
+        & (ign | (nbc >= min_bc))
+    )
+    n_valid, (a2, b2, c2, t2, n2, l2, r2) = seg.stable_compact(
+        keep, ws.a, ws.b, ws.c, total, nbc, lm, rm
+    )
+    m = jnp.arange(n) < n_valid
+    w2 = W3(a2, b2, c2).where(m, kc.SENTINEL)
+    return KmerTable(
+        w2, t2 * m, n2 * m, l2 * m.astype(U32), r2 * m.astype(U32), n_valid
+    )
+
+
+# positions per device block for the blocked count: each block's post-cut
+# sort must fit HBM alongside its buffers (~4 ops x rows x 4 B x ~2)
+BLOCK_POSITIONS = 160_000_000
+
+
+def split_readset_blocks(rs, max_positions: int):
+    """Split a barcode-sorted ReadSet into blocks at barcode boundaries
+    (and pair boundaries for the unbarcoded prefix), each <= max_positions
+    flat bases — so no barcode spans two blocks and per-block nbc values
+    sum exactly.  Returns a list of ReadSets (views)."""
+    from ..ingest.reads import ReadSet
+
+    nb = int(rs.offsets[-1])
+    if nb <= max_positions:
+        return [rs]
+    # candidate cut points (read indices): barcode starts from bci; the
+    # unbarcoded block [bci[0], bci[1]) may be cut at any pair boundary
+    cuts = set(int(x) for x in rs.bci[1:-1])
+    for r in range(0, int(rs.bci[1]) + 1, 2):
+        cuts.add(r)
+    cuts.add(rs.n_reads)
+    cuts = sorted(c for c in cuts if 0 < c <= rs.n_reads)
+    blocks = []
+    start = 0
+    prev = 0
+    for c in cuts:
+        if int(rs.offsets[c] - rs.offsets[start]) > max_positions and prev > start:
+            blocks.append((start, prev))
+            start = prev
+        prev = c
+    blocks.append((start, rs.n_reads))
+
+    out = []
+    for lo, hi in blocks:
+        o0, o1 = int(rs.offsets[lo]), int(rs.offsets[hi])
+        # barcode ids stay global; only the read ranges are re-based
+        bci = np.clip(rs.bci - lo, 0, hi - lo)
+        out.append(
+            ReadSet(
+                codes=rs.codes[o0:o1],
+                offsets=(rs.offsets[lo : hi + 1] - o0),
+                quals=rs.quals[o0:o1],
+                bc=rs.bc[lo:hi],
+                bci=bci,
+                barcoded=rs.barcoded,
+            )
+        )
+    return out
+
+
+def count_readset_blocked(
+    rs, min_freq: int = MIN_FREQ, min_bc: int = MIN_BC,
+    min_read_len: int = K + 1, max_positions: int = BLOCK_POSITIONS,
+) -> KmerTable:
+    """Blocked count for readsets whose occurrence arrays exceed HBM:
+    per-block unfiltered reduced tables (distinct-kmer scale), one device
+    merge + filter.  Bit-identical to the single-program count."""
+    from ..dbg.build import trim_table
+
+    blocks = split_readset_blocks(rs, max_positions)
+    was, wbs, wcs, cnts, sts = [], [], [], [], []
+    for blk in blocks:
+        inp = prepare_reads(blk)
+        raw = count_block_raw(
+            inp["codes_ext"], inp["pos_read"], inp["glen_pos"],
+            inp["bc_pos"], min_read_len=min_read_len,
+            uniform_rl=inp["uniform_rl"],
+        )
+        nv = int(raw.n_valid)
+        was.append(np.asarray(raw.words.a)[:nv])
+        wbs.append(np.asarray(raw.words.b)[:nv])
+        wcs.append(np.asarray(raw.words.c)[:nv])
+        cnts.append(np.asarray(raw.count)[:nv])
+        sts.append(np.asarray(raw.stats)[:nv])
+    tot = sum(len(x) for x in was)
+    m = _round_up(tot, 8192)
+
+    def cat(parts, fill, dt):
+        out = np.full(m, fill, dt)
+        out[:tot] = np.concatenate(parts)
+        return jnp.asarray(out)
+
+    table = merge_raw_blocks(
+        cat(was, kc.SENTINEL, np.uint32),
+        cat(wbs, kc.SENTINEL, np.uint32),
+        cat(wcs, kc.SENTINEL, np.uint32),
+        cat(cnts, 0, np.int32),
+        cat(sts, 0, np.uint32),
+        min_freq=min_freq,
+        min_bc=min_bc,
+    )
+    return recompute_adjacencies(trim_table(table))
+
+
 # ----------------------------------------------------------------- host prep
 
 def good_lengths_np(quals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -433,9 +673,14 @@ def count_readset(
 
     The table is trimmed from occurrence-padded size down to ~n_valid BEFORE
     the adjacency recompute — its 8 membership joins then run (and compile)
-    at distinct-kmer scale, not occurrence scale."""
+    at distinct-kmer scale, not occurrence scale.  Readsets whose occurrence
+    arrays would exceed HBM go through the blocked path (bit-identical)."""
     from ..dbg.build import trim_table
 
+    if int(rs.offsets[-1]) > BLOCK_POSITIONS:
+        return count_readset_blocked(
+            rs, min_freq=min_freq, min_bc=min_bc, min_read_len=min_read_len
+        )
     inp = prepare_reads(rs)
     table = count_kmers(
         inp["codes_ext"],

@@ -1,0 +1,58 @@
+"""Blocked counting (HBM-bounded): bit-identical to the single program."""
+import numpy as np
+
+from supernova_tpu.core.kmer_codec import soa_to_np
+from supernova_tpu.ingest.ingest import ingest_sim
+from supernova_tpu.kmer import count as kcount
+from supernova_tpu.sim import genome as sim
+
+
+def _tables_equal(t1, t2):
+    n1, n2 = int(t1.n_valid), int(t2.n_valid)
+    assert n1 == n2
+    assert np.array_equal(soa_to_np(t1.words)[:n1], soa_to_np(t2.words)[:n2])
+    for f in ("count", "nbc", "left_mask", "right_mask"):
+        assert np.array_equal(
+            np.asarray(getattr(t1, f))[:n1], np.asarray(getattr(t2, f))[:n2]
+        ), f
+
+
+def _readset(rng, size=9000, bcs=60, err=0.002):
+    g = sim.random_genome(rng, size, n_repeat_chunks=2, repeat_len=150)
+    _, hb = sim.diploidize(rng, g, 0.001)
+    wl = sim.make_whitelist(rng, 256)
+    reads = sim.simulate_linked_reads(
+        rng, (g, hb), wl, n_barcodes=bcs, molecules_per_barcode=2,
+        molecule_len=3000, coverage_per_molecule=2.0, error_rate=err,
+        bc_error_rate=0.02,
+    )
+    return ingest_sim(reads, wl)
+
+
+def test_blocked_equals_single(rng):
+    rs = _readset(rng)
+    single = kcount.count_readset(rs)
+    blocked = kcount.count_readset_blocked(rs, max_positions=200_000)
+    _tables_equal(single, blocked)
+
+
+def test_blocked_respects_barcode_boundaries(rng):
+    rs = _readset(rng, bcs=40)
+    blocks = kcount.split_readset_blocks(rs, 150_000)
+    assert len(blocks) >= 2
+    assert sum(b.n_reads for b in blocks) == rs.n_reads
+    seen = []
+    for b in blocks:
+        bset = set(int(x) for x in b.bc[b.bc > 0])
+        seen.append(bset)
+    for i in range(len(seen)):
+        for j in range(i + 1, len(seen)):
+            assert not (seen[i] & seen[j]), "barcode split across blocks"
+
+
+def test_blocked_unbarcoded(rng):
+    rs = _readset(rng)
+    rs.barcoded = False
+    single = kcount.count_readset(rs)
+    blocked = kcount.count_readset_blocked(rs, max_positions=200_000)
+    _tables_equal(single, blocked)
