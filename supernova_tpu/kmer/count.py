@@ -518,9 +518,14 @@ def count_readset_blocked(
     from ..dbg.build import trim_table
 
     blocks = split_readset_blocks(rs, max_positions)
+    # all blocks share one compiled shape (pad to the largest block)
+    pad_pos = max(int(b.offsets[-1]) for b in blocks)
+    pad_rd = max(b.n_reads for b in blocks)
     was, wbs, wcs, cnts, sts = [], [], [], [], []
     for blk in blocks:
-        inp = prepare_reads(blk)
+        inp = prepare_reads(
+            blk, pad_to_positions=pad_pos, pad_to_reads=pad_rd
+        )
         raw = count_block_raw(
             inp["codes_ext"], inp["pos_read"], inp["glen_pos"],
             inp["bc_pos"], min_read_len=min_read_len,
@@ -587,7 +592,9 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024) -> dict:
+def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024,
+                  pad_to_positions: int | None = None,
+                  pad_to_reads: int | None = None) -> dict:
     """Host-side packing of a ReadSet into static-shape device inputs.
 
     Shapes are rounded up to buckets so different inputs share compiled
@@ -596,6 +603,9 @@ def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024) -> dict
     When every read has the same length, the dict carries `uniform_rl` and
     the base padding is a multiple of rl*128, enabling count_kmers' static
     tail cut (~30% less device work at rl=150).
+
+    pad_to_positions/pad_to_reads force minimum padded sizes so sibling
+    blocks of a blocked count share one compiled program shape.
     """
     nb = int(rs.offsets[-1])
     n_reads = rs.n_reads
@@ -607,8 +617,8 @@ def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024) -> dict
     )
     if uniform_rl is not None:
         base_bucket = uniform_rl * 128
-    nbp = _round_up(max(nb, 1), base_bucket)
-    rp = _round_up(n_reads + 1, read_bucket)
+    nbp = _round_up(max(nb, 1, pad_to_positions or 1), base_bucket)
+    rp = _round_up(max(n_reads, pad_to_reads or 0) + 1, read_bucket)
 
     codes_ext = np.zeros(nbp + max(K, 128), dtype=np.int32)
     codes_ext[:nb] = rs.codes
