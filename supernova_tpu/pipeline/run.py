@@ -302,6 +302,51 @@ class Pipeline:
         self.stats.log("assembly_checksum", bg.checksum(), "graph checksum", stage="graph")
         return bg
 
+    def _path_sharded(self, bg, rs, ndev: int):
+        """Data-parallel pathing over the mesh (replicated dictionary,
+        parallel/sharded_path.py); per-read results identical to the
+        single-device pather."""
+        import jax.numpy as jnp
+
+        from ..core.kmer_codec import K as KK
+        from ..core.kmer_codec import np_to_soa
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded_path import sharded_path, split_for_pathing
+
+        mesh = make_mesh(ndev)
+        codes, off, pr, rlen, _nbl, rl, idx_blocks = split_for_pathing(
+            rs, ndev
+        )
+        rp = sharded_path(
+            mesh,
+            np_to_soa(bg.kmer_words),
+            jnp.asarray(bg.node_edge),
+            jnp.asarray(bg.node_pos),
+            jnp.asarray(bg.from_v.astype(np.int32)),
+            jnp.asarray(bg.to_v.astype(np.int32)),
+            jnp.asarray((bg.edges.lengths() - (KK - 1)).astype(np.int32)),
+            jnp.asarray(codes),
+            jnp.asarray(off),
+            jnp.asarray(pr),
+            jnp.asarray(rlen),
+        )
+        self.stats.log("n_shards_path", ndev, "pathing mesh devices", stage="paths")
+
+        def gather(col, width=None):
+            a = np.asarray(col)
+            a = a.reshape((ndev, rl) + a.shape[1:])
+            return np.concatenate(
+                [a[d][: len(idx_blocks[d])] for d in range(ndev)]
+            )
+
+        return pather.ReadPaths(
+            jnp.asarray(gather(rp.edges)),
+            jnp.asarray(gather(rp.path_len)),
+            jnp.asarray(gather(rp.offset)),
+            jnp.asarray(gather(rp.first_skip)),
+            jnp.asarray(gather(rp.overflow)),
+        )
+
     def stage_paths(self, bg, rs):
         ck = self.outdir / "paths.npz"
         if self.resume and ck.exists():
@@ -337,7 +382,11 @@ class Pipeline:
                     values=ebcx.values, offsets=ebcx.offsets, counts=counts,
                 )
                 return rp
-        rp = pather.path_readset(bg, rs)
+        ndev = self._mesh_ndev()
+        if ndev:
+            rp = self._path_sharded(bg, rs, ndev)
+        else:
+            rp = pather.path_readset(bg, rs)
         edges = np.asarray(rp.edges)[: rs.n_reads]
         plen = np.asarray(rp.path_len)[: rs.n_reads]
         offset = np.asarray(rp.offset)[: rs.n_reads]
