@@ -151,3 +151,45 @@ def build_readset(
     rs = ReadSet(codes, offsets, qvals, bc_sorted, bci, barcoded)
     rs.validate()
     return rs
+
+
+def build_readset_flat(
+    codes: np.ndarray,
+    offsets: np.ndarray,
+    quals: np.ndarray,
+    bc_ids: np.ndarray,
+    n_barcodes: Optional[int] = None,
+    barcoded: bool = True,
+) -> ReadSet:
+    """build_readset over FLAT storage (codes/quals + CSR offsets) — no
+    per-read Python objects; the barcode sort permutes the flat arrays with
+    one vectorized gather.  Identical output to build_readset."""
+    n_reads = len(offsets) - 1
+    assert n_reads % 2 == 0
+    bc_ids = np.asarray(bc_ids, dtype=np.int32)
+    if len(bc_ids) == n_reads // 2:
+        bc_ids = np.repeat(bc_ids, 2)
+    assert len(bc_ids) == n_reads
+
+    pair_ids = np.arange(n_reads, dtype=np.int64) // 2
+    order = np.lexsort((np.arange(n_reads), pair_ids, bc_ids))
+    lens = np.diff(offsets)
+    out_lens = lens[order]
+    out_offsets = lengths_to_offsets(out_lens)
+    total = int(out_offsets[-1])
+    # gather index: output position -> source position
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        out_offsets[:-1], out_lens
+    )
+    idx = np.repeat(offsets[:-1][order], out_lens) + within
+    codes_s = np.asarray(codes, np.uint8)[idx]
+    quals_s = np.asarray(quals, np.uint8)[idx]
+    bc_sorted = bc_ids[order]
+    if n_barcodes is None:
+        n_barcodes = int(bc_sorted.max()) if n_reads else 0
+    bci = np.searchsorted(
+        bc_sorted, np.arange(n_barcodes + 2), side="left"
+    ).astype(np.int64)
+    rs = ReadSet(codes_s, out_offsets, quals_s, bc_sorted, bci, barcoded)
+    rs.validate()
+    return rs

@@ -46,6 +46,13 @@ def _read_fastq_arrays(path: str | Path):
     return decode_fastq_bytes(data)
 
 
+def _within(lens: np.ndarray) -> np.ndarray:
+    """Per-segment position index for a flat concat of `lens` segments."""
+    total = int(lens.sum())
+    excl = np.cumsum(lens) - lens
+    return np.arange(total, dtype=np.int64) - np.repeat(excl, lens)
+
+
 def ingest_10x_fastqs(
     r1_paths: Sequence[str | Path],
     r2_paths: Sequence[str | Path],
@@ -53,37 +60,69 @@ def ingest_10x_fastqs(
     trim_length: int = TRIM_LENGTH,
     max_pairs: int | None = None,
 ) -> ReadSet:
-    """Paired R1/R2 FASTQ(.gz) files -> barcode-corrected, sorted ReadSet."""
-    r1s: List[np.ndarray] = []
-    q1s: List[np.ndarray] = []
-    r2s: List[np.ndarray] = []
-    q2s: List[np.ndarray] = []
-    bcs: List[np.ndarray] = []
-    bcqs: List[np.ndarray] = []
+    """Paired R1/R2 FASTQ(.gz) files -> barcode-corrected, sorted ReadSet.
+
+    Fully vectorized: the per-file record loop of the reference's Rust
+    sort-fastq is flat numpy gathers here (no per-read Python objects) —
+    the pair-interleaved flat layout feeds build_readset_flat directly."""
     skip = BC_LEN + trim_length
+    parts = []  # (codes, quals, offsets-interleaved, bc2d, bcq2d)
+    n_total = 0
     for p1, p2 in zip(r1_paths, r2_paths):
+        if max_pairs and n_total >= max_pairs:
+            break
         c1f, q1f, o1 = _read_fastq_arrays(p1)
         c2f, q2f, o2 = _read_fastq_arrays(p2)
         n = min(len(o1), len(o2)) - 1
-        for i in range(n):
-            a, b = int(o1[i]), int(o1[i + 1])
-            c, d = int(o2[i]), int(o2[i + 1])
-            if b - a < skip + 1:
-                continue
-            bcs.append(c1f[a : a + BC_LEN])
-            bcqs.append(q1f[a : a + BC_LEN])
-            r1s.append(c1f[a + skip : b])
-            q1s.append(q1f[a + skip : b])
-            r2s.append(c2f[c:d])
-            q2s.append(q2f[c:d])
-            if max_pairs and len(r1s) >= max_pairs:
-                break
-        if max_pairs and len(r1s) >= max_pairs:
-            break
-    if not r1s:
+        s1, l1 = o1[:n], np.diff(o1)[:n]
+        s2, l2 = o2[:n], np.diff(o2)[:n]
+        valid = l1 >= skip + 1
+        if max_pairs:
+            room = max_pairs - n_total
+            keep_idx = np.flatnonzero(valid)[:room]
+            valid = np.zeros_like(valid)
+            valid[keep_idx] = True
+        s1v, l1v = s1[valid] + skip, l1[valid] - skip
+        s2v, l2v = s2[valid], l2[valid]
+        npair = len(s1v)
+        if npair == 0:
+            continue
+        n_total += npair
+        bc2d = c1f[s1[valid][:, None] + np.arange(BC_LEN)]
+        bcq2d = q1f[s1[valid][:, None] + np.arange(BC_LEN)]
+        idx1 = np.repeat(s1v, l1v) + _within(l1v)
+        idx2 = np.repeat(s2v, l2v) + _within(l2v)
+        lens_i = np.empty(2 * npair, dtype=np.int64)
+        lens_i[0::2] = l1v
+        lens_i[1::2] = l2v
+        offs_i = np.zeros(2 * npair + 1, dtype=np.int64)
+        np.cumsum(lens_i, out=offs_i[1:])
+        comb_c = np.empty(int(lens_i.sum()), np.uint8)
+        comb_q = np.empty_like(comb_c)
+        d1 = np.repeat(offs_i[0:-1:2], l1v) + _within(l1v)
+        d2 = np.repeat(offs_i[1:-1:2], l2v) + _within(l2v)
+        comb_c[d1] = c1f[idx1]
+        comb_q[d1] = q1f[idx1]
+        comb_c[d2] = c2f[idx2]
+        comb_q[d2] = q2f[idx2]
+        parts.append((comb_c, comb_q, lens_i, bc2d, bcq2d))
+    if not parts:
         raise ValueError("no read pairs found in input FASTQs")
-    return ingest_pairs(
-        r1s, q1s, r2s, q2s, np.stack(bcs), np.stack(bcqs), wl
+    codes = np.concatenate([p[0] for p in parts])
+    quals = np.concatenate([p[1] for p in parts])
+    lens = np.concatenate([p[2] for p in parts])
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    bc_codes = np.concatenate([p[3] for p in parts])
+    bc_quals = np.concatenate([p[4] for p in parts])
+
+    from .ingest import correct_two_pass
+    from .reads import build_readset_flat
+
+    wl_idx = correct_two_pass(wl, bc_codes, bc_quals)
+    bc_ids = (wl_idx + 1).astype(np.int32)
+    return build_readset_flat(
+        codes, offsets, quals, bc_ids, n_barcodes=len(wl), barcoded=True
     )
 
 

@@ -1,0 +1,69 @@
+"""Vectorized FASTQ ingest == the list-based reference path, byte for byte."""
+import numpy as np
+
+from supernova_tpu.ingest.ingest import ingest_pairs
+from supernova_tpu.ingest.tenx import (
+    BC_LEN,
+    TRIM_LENGTH,
+    _read_fastq_arrays,
+    ingest_10x_fastqs,
+    write_sim_fastqs,
+)
+from supernova_tpu.ingest.barcodes import Whitelist
+from supernova_tpu.sim import genome as sim
+
+
+def _ingest_lists(r1p, r2p, wl, trim_length=TRIM_LENGTH, max_pairs=None):
+    """The original per-record loop (kept as the test oracle)."""
+    r1s, q1s, r2s, q2s, bcs, bcqs = [], [], [], [], [], []
+    skip = BC_LEN + trim_length
+    for p1, p2 in zip(r1p, r2p):
+        c1f, q1f, o1 = _read_fastq_arrays(p1)
+        c2f, q2f, o2 = _read_fastq_arrays(p2)
+        n = min(len(o1), len(o2)) - 1
+        for i in range(n):
+            a, b = int(o1[i]), int(o1[i + 1])
+            c, d = int(o2[i]), int(o2[i + 1])
+            if b - a < skip + 1:
+                continue
+            bcs.append(c1f[a : a + BC_LEN])
+            bcqs.append(q1f[a : a + BC_LEN])
+            r1s.append(c1f[a + skip : b])
+            q1s.append(q1f[a + skip : b])
+            r2s.append(c2f[c:d])
+            q2s.append(q2f[c:d])
+            if max_pairs and len(r1s) >= max_pairs:
+                break
+        if max_pairs and len(r1s) >= max_pairs:
+            break
+    return ingest_pairs(r1s, q1s, r2s, q2s, np.stack(bcs), np.stack(bcqs), wl)
+
+
+def _rs_equal(a, b):
+    assert a.n_reads == b.n_reads
+    assert np.array_equal(a.codes, b.codes)
+    assert np.array_equal(a.offsets, b.offsets)
+    assert np.array_equal(a.quals, b.quals)
+    assert np.array_equal(a.bc, b.bc)
+    assert np.array_equal(a.bci, b.bci)
+
+
+def test_flat_ingest_matches_list_path(tmp_path, rng):
+    g = sim.random_genome(rng, 20000)
+    _, hb = sim.diploidize(rng, g, 0.002)
+    wlc = sim.make_whitelist(rng, 256)
+    reads = sim.simulate_linked_reads(
+        rng, (g, hb), wlc, n_barcodes=50, molecules_per_barcode=2,
+        molecule_len=4000, coverage_per_molecule=1.0, error_rate=0.003,
+        bc_error_rate=0.05,
+    )
+    r1, r2 = write_sim_fastqs(reads, tmp_path)
+    wl = Whitelist.from_codes(wlc)
+    _rs_equal(
+        ingest_10x_fastqs([r1], [r2], wl),
+        _ingest_lists([r1], [r2], wl),
+    )
+    _rs_equal(
+        ingest_10x_fastqs([r1], [r2], wl, max_pairs=37),
+        _ingest_lists([r1], [r2], wl, max_pairs=37),
+    )
