@@ -48,7 +48,7 @@ class ReadPaths(NamedTuple):
     overflow: jax.Array  # (R,) bool
 
 
-@partial(jax.jit, static_argnames=("max_path",))
+@partial(jax.jit, static_argnames=("max_path", "uniform_rl"))
 def path_reads(
     kmer_words: W3,  # sorted canonical table (sentinel-padded), SoA
     node_edge,  # (2M,) int32
@@ -61,20 +61,43 @@ def path_reads(
     pos_read,  # (NB,) int32
     rlen_pos,  # (NB,) int32 read length of the row's read (host-broadcast)
     max_path: int = MAX_PATH,
+    uniform_rl: int | None = None,
 ) -> ReadPaths:
     nb = pos_read.shape[0]
     rp = read_offsets.shape[0] - 1
-    p = jnp.arange(nb, dtype=I32)
 
-    words = kc.sliding_words(codes_ext, nb)
+    if jax.default_backend() == "tpu" and nb % 128 == 0:
+        from ..ops.pallas.kmer_extract import sliding_words_pallas
+
+        words = sliding_words_pallas(jnp.asarray(codes_ext).astype(I32), nb)
+    else:
+        words = kc.sliding_words(codes_ext, nb)
     canon, flipped = kc.canonicalize(words)
-    row, found = kc.lookup_words_merge(kmer_words, canon)
 
-    read_first0 = jnp.concatenate(
-        [jnp.ones((1,), bool), pos_read[1:] != pos_read[:-1]]
-    )
-    start = jax.lax.cummax(jnp.where(read_first0, p, 0))
-    pir = p - start
+    if uniform_rl is not None:
+        # static tail cut (see kmer/count.count_kmers): the last K-1
+        # positions of each uniform-length read block never hold a kmer —
+        # the join and all per-position sorts below shrink by (K-1)/rl
+        cols = uniform_rl - K + 1
+
+        def cut(x):
+            return x.reshape(-1, uniform_rl)[:, :cols].reshape(-1)
+
+        canon = W3(cut(canon.a), cut(canon.b), cut(canon.c))
+        flipped = cut(flipped)
+        pos_read = cut(pos_read)
+        rlen_pos = cut(rlen_pos)
+        nb = canon.a.shape[0]
+        p = jnp.arange(nb, dtype=I32)
+        pir = p % cols
+    else:
+        p = jnp.arange(nb, dtype=I32)
+        read_first0 = jnp.concatenate(
+            [jnp.ones((1,), bool), pos_read[1:] != pos_read[:-1]]
+        )
+        start = jax.lax.cummax(jnp.where(read_first0, p, 0))
+        pir = p - start
+    row, found = kc.lookup_words_merge(kmer_words, canon)
     inb = pir + K <= rlen_pos
     hit = found & inb
 
@@ -119,9 +142,12 @@ def path_reads(
     mk = new_slot.astype(I32)
     cs = jnp.cumsum(mk)
     cs_excl = cs - mk
-    read_first = jnp.concatenate(
-        [jnp.ones((1,), bool), pos_read[1:] != pos_read[:-1]]
-    )
+    if uniform_rl is not None:
+        read_first = pir == 0
+    else:
+        read_first = jnp.concatenate(
+            [jnp.ones((1,), bool), pos_read[1:] != pos_read[:-1]]
+        )
     base = jax.lax.cummax(jnp.where(read_first, cs_excl, 0))
     slot = cs_excl - base  # valid at marker rows
 
@@ -145,8 +171,13 @@ def path_reads(
 
     # per-read totals from the cumsum at read boundaries (RP-scale gathers)
     cs_ext = jnp.concatenate([jnp.zeros((1,), I32), cs])
-    s_r = read_offsets[:-1].astype(I32)[:rp]
-    e_r = read_offsets[1:].astype(I32)[:rp]
+    if uniform_rl is not None:
+        cols_ = uniform_rl - K + 1
+        s_r = jnp.minimum(jnp.arange(rp, dtype=I32) * cols_, nb)
+        e_r = jnp.minimum(s_r + cols_, nb)
+    else:
+        s_r = read_offsets[:-1].astype(I32)[:rp]
+        e_r = read_offsets[1:].astype(I32)[:rp]
     n_slots = cs_ext[e_r] - cs_ext[s_r]
     overflow = n_slots > max_path
     raw_len = jnp.minimum(n_slots, max_path)
@@ -232,4 +263,5 @@ def path_readset(bg, rs, max_path: int = MAX_PATH) -> ReadPaths:
         inp["pos_read"],
         inp["rlen_pos"],
         max_path=max_path,
+        uniform_rl=inp["uniform_rl"],
     )
