@@ -418,6 +418,37 @@ def cmd_graph_stats(args) -> int:
     return 0
 
 
+def cmd_graph_fasta(args) -> int:
+    """Dump the unipath graph's edges as FASTA (`tada fasta` analogue,
+    lib/tada/src/main.rs graph export commands): one record per canonical
+    edge (id, length, kmers in the header)."""
+    import gzip as _gz
+
+    from .core import dna
+    from .dbg.graph import BaseGraph
+
+    bg = BaseGraph.load(Path(args.dir) / ("graph.patched.npz" if (
+        Path(args.dir) / "graph.patched.npz").exists() and args.patched
+        else "graph.npz"))
+    from .core.kmer_codec import K as KK
+
+    op = args.out
+    f = _gz.open(op, "wt") if str(op).endswith(".gz") else open(op, "w")
+    n = 0
+    with f:
+        for e in range(bg.n_edges):
+            if e > int(bg.inv[e]):
+                continue  # one record per rc pair
+            s = bg.edge_seq(e)
+            f.write(f">edge_{e} len={len(s)} kmers={len(s) - KK + 1} "
+                    f"inv={int(bg.inv[e])}\n")
+            for i in range(0, len(s), 80):
+                f.write(s[i : i + 80] + "\n")
+            n += 1
+    print(json.dumps({"out": str(op), "records": n}))
+    return 0
+
+
 def cmd_scaf_graph(args) -> int:
     """Barcode-overlap contig proximity graph (`tada scaf-graph` analogue,
     scaf_graph.rs:84-97)."""
@@ -540,6 +571,13 @@ def main(argv=None) -> int:
     sm.add_argument("--out", required=True, help="output .sam or .sam.gz")
     sm.add_argument("--sample", default="sample")
     sm.set_defaults(fn=cmd_sam)
+
+    gf = sub.add_parser("graph-fasta", help="unipath edges as FASTA (tada fasta)")
+    gf.add_argument("--dir", required=True)
+    gf.add_argument("--out", required=True)
+    gf.add_argument("--patched", action="store_true",
+                    help="use graph.patched.npz when present")
+    gf.set_defaults(fn=cmd_graph_fasta)
 
     gs = sub.add_parser("graph-stats", help="per-edge TSV (len/bcs/degree/seq)")
     gs.add_argument("--dir", required=True, help="run directory (has graph.npz)")

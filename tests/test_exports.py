@@ -130,3 +130,32 @@ def test_cli_exports(tmp_path):
     assert cli.main(["scaf-graph", "--dir", str(out),
                      "--out", str(tmp_path / "sg.csv"),
                      "--min-ctg", "100", "--min-bcs", "1"]) == 0
+
+
+def test_cli_graph_fasta(tmp_path):
+    from supernova_tpu import cli
+    from supernova_tpu.dbg.graph import BaseGraph
+    from supernova_tpu.ingest.ingest import ingest_sim
+    from supernova_tpu.out.fasta import read_fasta
+    from supernova_tpu.pipeline.run import Pipeline
+    from supernova_tpu.sim import genome as sim
+
+    rng = np.random.default_rng(5)
+    g = sim.random_genome(rng, 3000)
+    _, hb = sim.diploidize(rng, g, 0.002)
+    wl = sim.make_whitelist(rng, 64)
+    reads = sim.simulate_linked_reads(
+        rng, (g, hb), wl, n_barcodes=30, molecules_per_barcode=2,
+        molecule_len=1500, coverage_per_molecule=2.0)
+    rs = ingest_sim(reads, wl)
+    out = tmp_path / "run"
+    Pipeline(str(out)).run_full(rs, flavors=("raw",))
+    fa = tmp_path / "edges.fasta.gz"
+    assert cli.main(["graph-fasta", "--dir", str(out), "--out", str(fa)]) == 0
+    bg = BaseGraph.load(out / "graph.npz")
+    recs = list(read_fasta(fa))
+    canon = sum(1 for e in range(bg.n_edges) if e <= int(bg.inv[e]))
+    assert len(recs) == canon
+    for name, seq in recs:
+        e = int(name.split("_")[1].split()[0])
+        assert seq == bg.edge_seq(e)
