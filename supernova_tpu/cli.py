@@ -33,8 +33,31 @@ def cmd_run(args) -> int:
         for k, v in parse_addin_args(args.addin).items():
             print(f"addin: {k} = {v} (was {applied[k]})", file=sys.stderr)
 
+    interleaved = False
+    if getattr(args, "fastqs", None):
+        # directory discovery (tenkit find_input_fastqs; ingest/discovery.py)
+        from .ingest.discovery import discover_input_fastqs
+
+        try:
+            d = discover_input_fastqs(
+                args.fastqs, sample=getattr(args, "sample", None),
+                lanes=getattr(args, "lanes", None),
+            )
+        except (ValueError, FileNotFoundError) as e:
+            print(f"ERROR: {e}", file=sys.stderr)
+            return 1
+        args.r1, args.r2 = d["r1"], d["r2"]
+        interleaved = d["interleaved"]
+        print(
+            f"discovered {len(args.r1)} {d['mode']} FASTQ file(s)",
+            file=sys.stderr,
+        )
+    elif not (args.r1 and args.r2):
+        print("ERROR: pass --r1/--r2 or --fastqs DIR", file=sys.stderr)
+        return 1
+
     wl = load_whitelist(args.whitelist)
-    pf = preflight(args.r1, args.r2, len(wl))
+    pf = preflight(args.r1, args.r2 if not interleaved else args.r1, len(wl))
     for w in pf.warnings:
         print(f"WARNING: {w}", file=sys.stderr)
     if not pf.ok:
@@ -42,7 +65,10 @@ def cmd_run(args) -> int:
             print(f"ERROR: {e}", file=sys.stderr)
         return 1
 
-    rs = ingest_10x_fastqs(args.r1, args.r2, wl, max_pairs=args.max_pairs)
+    rs = ingest_10x_fastqs(
+        args.r1, args.r2, wl, max_pairs=args.max_pairs,
+        interleaved=interleaved,
+    )
     ds = None
     if getattr(args, "downsample_reads", None):
         ds = {"target_reads": args.downsample_reads}
@@ -488,8 +514,14 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("run", help="assemble 10x linked-read FASTQs")
-    r.add_argument("--r1", nargs="+", required=True)
-    r.add_argument("--r2", nargs="+", required=True)
+    r.add_argument("--r1", nargs="+", default=None)
+    r.add_argument("--r2", nargs="+", default=None)
+    r.add_argument("--fastqs", default=None,
+                   help="discover FASTQs in this directory (bcl2fastq or "
+                        "BCL_PROCESSOR naming; tenkit find_input_fastqs)")
+    r.add_argument("--sample", default=None,
+                   help="sample prefix / sample-index filter for --fastqs")
+    r.add_argument("--lanes", nargs="+", type=int, default=None)
     r.add_argument("--whitelist", required=True)
     r.add_argument("--out", required=True)
     r.add_argument("--flavors", default="raw,megabubbles,pseudohap,pseudohap2")

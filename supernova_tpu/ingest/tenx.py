@@ -53,59 +53,85 @@ def _within(lens: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(excl, lens)
 
 
+def _flat_pair_part(c1f, q1f, s1, l1, c2f, q2f, s2, l2, skip, room):
+    """Assemble one file's pairs into the interleaved flat layout.
+
+    -> (codes, quals, interleaved lens, bc2d, bcq2d) or None."""
+    valid = l1 >= skip + 1
+    if room is not None:
+        keep_idx = np.flatnonzero(valid)[:room]
+        valid = np.zeros_like(valid)
+        valid[keep_idx] = True
+    s1v, l1v = s1[valid] + skip, l1[valid] - skip
+    s2v, l2v = s2[valid], l2[valid]
+    npair = len(s1v)
+    if npair == 0:
+        return None
+    bc2d = c1f[s1[valid][:, None] + np.arange(BC_LEN)]
+    bcq2d = q1f[s1[valid][:, None] + np.arange(BC_LEN)]
+    idx1 = np.repeat(s1v, l1v) + _within(l1v)
+    idx2 = np.repeat(s2v, l2v) + _within(l2v)
+    lens_i = np.empty(2 * npair, dtype=np.int64)
+    lens_i[0::2] = l1v
+    lens_i[1::2] = l2v
+    offs_i = np.zeros(2 * npair + 1, dtype=np.int64)
+    np.cumsum(lens_i, out=offs_i[1:])
+    comb_c = np.empty(int(lens_i.sum()), np.uint8)
+    comb_q = np.empty_like(comb_c)
+    d1 = np.repeat(offs_i[0:-1:2], l1v) + _within(l1v)
+    d2 = np.repeat(offs_i[1:-1:2], l2v) + _within(l2v)
+    comb_c[d1] = c1f[idx1]
+    comb_q[d1] = q1f[idx1]
+    comb_c[d2] = c2f[idx2]
+    comb_q[d2] = q2f[idx2]
+    return comb_c, comb_q, lens_i, bc2d, bcq2d
+
+
 def ingest_10x_fastqs(
     r1_paths: Sequence[str | Path],
     r2_paths: Sequence[str | Path],
     wl: Whitelist,
     trim_length: int = TRIM_LENGTH,
     max_pairs: int | None = None,
+    interleaved: bool = False,
 ) -> ReadSet:
     """Paired R1/R2 FASTQ(.gz) files -> barcode-corrected, sorted ReadSet.
 
     Fully vectorized: the per-file record loop of the reference's Rust
     sort-fastq is flat numpy gathers here (no per-read Python objects) —
-    the pair-interleaved flat layout feeds build_readset_flat directly."""
+    the pair-interleaved flat layout feeds build_readset_flat directly.
+
+    interleaved=True reads BCL_PROCESSOR-style RA files (records alternate
+    R1, R2 within one file; r1_paths carries them, r2_paths is ignored)."""
     skip = BC_LEN + trim_length
     parts = []  # (codes, quals, offsets-interleaved, bc2d, bcq2d)
     n_total = 0
-    for p1, p2 in zip(r1_paths, r2_paths):
+    pairs_iter = (
+        [(p, None) for p in r1_paths] if interleaved else zip(r1_paths, r2_paths)
+    )
+    for p1, p2 in pairs_iter:
         if max_pairs and n_total >= max_pairs:
             break
-        c1f, q1f, o1 = _read_fastq_arrays(p1)
-        c2f, q2f, o2 = _read_fastq_arrays(p2)
-        n = min(len(o1), len(o2)) - 1
-        s1, l1 = o1[:n], np.diff(o1)[:n]
-        s2, l2 = o2[:n], np.diff(o2)[:n]
-        valid = l1 >= skip + 1
-        if max_pairs:
-            room = max_pairs - n_total
-            keep_idx = np.flatnonzero(valid)[:room]
-            valid = np.zeros_like(valid)
-            valid[keep_idx] = True
-        s1v, l1v = s1[valid] + skip, l1[valid] - skip
-        s2v, l2v = s2[valid], l2[valid]
-        npair = len(s1v)
-        if npair == 0:
+        if interleaved:
+            cf, qf, o = _read_fastq_arrays(p1)
+            lens = np.diff(o)
+            n = (len(o) - 1) // 2 * 2
+            c1f = c2f = cf
+            q1f = q2f = qf
+            s1, l1 = o[:n][0::2], lens[:n][0::2]
+            s2, l2 = o[:n][1::2], lens[:n][1::2]
+        else:
+            c1f, q1f, o1 = _read_fastq_arrays(p1)
+            c2f, q2f, o2 = _read_fastq_arrays(p2)
+            n = min(len(o1), len(o2)) - 1
+            s1, l1 = o1[:n], np.diff(o1)[:n]
+            s2, l2 = o2[:n], np.diff(o2)[:n]
+        room = (max_pairs - n_total) if max_pairs else None
+        part = _flat_pair_part(c1f, q1f, s1, l1, c2f, q2f, s2, l2, skip, room)
+        if part is None:
             continue
-        n_total += npair
-        bc2d = c1f[s1[valid][:, None] + np.arange(BC_LEN)]
-        bcq2d = q1f[s1[valid][:, None] + np.arange(BC_LEN)]
-        idx1 = np.repeat(s1v, l1v) + _within(l1v)
-        idx2 = np.repeat(s2v, l2v) + _within(l2v)
-        lens_i = np.empty(2 * npair, dtype=np.int64)
-        lens_i[0::2] = l1v
-        lens_i[1::2] = l2v
-        offs_i = np.zeros(2 * npair + 1, dtype=np.int64)
-        np.cumsum(lens_i, out=offs_i[1:])
-        comb_c = np.empty(int(lens_i.sum()), np.uint8)
-        comb_q = np.empty_like(comb_c)
-        d1 = np.repeat(offs_i[0:-1:2], l1v) + _within(l1v)
-        d2 = np.repeat(offs_i[1:-1:2], l2v) + _within(l2v)
-        comb_c[d1] = c1f[idx1]
-        comb_q[d1] = q1f[idx1]
-        comb_c[d2] = c2f[idx2]
-        comb_q[d2] = q2f[idx2]
-        parts.append((comb_c, comb_q, lens_i, bc2d, bcq2d))
+        n_total += len(part[3])
+        parts.append(part)
     if not parts:
         raise ValueError("no read pairs found in input FASTQs")
     codes = np.concatenate([p[0] for p in parts])
