@@ -33,6 +33,17 @@ def cmd_run(args) -> int:
         for k, v in parse_addin_args(args.addin).items():
             print(f"addin: {k} = {v} (was {applied[k]})", file=sys.stderr)
 
+    if getattr(args, "localcores", None):
+        # host-thread cap (the reference's --localcores; applies to the
+        # native cores' OpenMP pools and XLA:CPU)
+        import os
+
+        os.environ.setdefault("OMP_NUM_THREADS", str(args.localcores))
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            f"--xla_cpu_multi_thread_eigen=true "
+            f"intra_op_parallelism_threads={args.localcores}",
+        )
     interleaved = False
     if getattr(args, "fastqs", None):
         # directory discovery (tenkit find_input_fastqs; ingest/discovery.py)
@@ -75,6 +86,9 @@ def cmd_run(args) -> int:
     elif getattr(args, "downsample_gb", None):
         ds = {"gigabases": args.downsample_gb}
     pl = Pipeline(args.out, downsample=ds, resume=getattr(args, "resume", False))
+    for key in ("description", "localcores", "localmem"):
+        if getattr(args, key, None) is not None:
+            pl.stats.log(key, getattr(args, key), stage="ingest")
     flavors = tuple(args.flavors.split(","))
     cmdline = " ".join(sys.argv)
     try:
@@ -522,6 +536,13 @@ def main(argv=None) -> int:
     r.add_argument("--sample", default=None,
                    help="sample prefix / sample-index filter for --fastqs")
     r.add_argument("--lanes", nargs="+", type=int, default=None)
+    r.add_argument("--localcores", type=int, default=None,
+                   help="host thread cap (reference --localcores)")
+    r.add_argument("--localmem", type=int, default=None,
+                   help="advisory host memory cap in GB (recorded; the "
+                        "blocked count already bounds device memory)")
+    r.add_argument("--description", default=None,
+                   help="free-text run description (recorded in stats)")
     r.add_argument("--whitelist", required=True)
     r.add_argument("--out", required=True)
     r.add_argument("--flavors", default="raw,megabubbles,pseudohap,pseudohap2")
