@@ -19,7 +19,35 @@ import numpy as np
 REFERENCE_KMERS_PER_SEC = 20e6
 
 
+def probe_backend(total_wait_s: float = 1800.0, try_s: int = 120) -> bool:
+    """The axon TPU tunnel can hang jax backend init indefinitely when it
+    is down; probe it in a child process (killable) and wait up to
+    total_wait_s for it to come back before giving up."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + total_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; print(int(jnp.arange(8).sum()))"],
+                capture_output=True, timeout=try_s,
+            )
+            ok = r.returncode == 0 and b"28" in r.stdout
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return True
+        if time.time() > deadline:
+            return False
+        print("bench: TPU backend unresponsive, retrying...", flush=True)
+        time.sleep(60)
+
+
 def main():
+    if not probe_backend():
+        raise SystemExit("bench: TPU backend unreachable (tunnel down)")
     import jax
 
     from supernova_tpu.core.jaxconfig import ensure_cache
