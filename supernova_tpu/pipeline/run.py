@@ -429,6 +429,14 @@ class Pipeline:
 
         import time as _time
 
+        ck = self.outdir / "graph.patched.npz"
+        if self.resume and ck.exists():
+            # re-enter past patching: the patched graph + its paths.npz
+            # (stage_paths resume validates reads/graph consistency)
+            bg2 = dgraph.BaseGraph.load(ck)
+            rp2 = self.stage_paths(bg2, rs)
+            return bg2, rp2
+
         edges = np.asarray(rp.edges)[: rs.n_reads]
         plen = np.asarray(rp.path_len)[: rs.n_reads]
         offset = np.asarray(rp.offset)[: rs.n_reads]
@@ -1153,7 +1161,12 @@ class Pipeline:
             raise RuntimeError(f"preflight exit alerts: {exits}")
         table, rs = self._timed("count", self._count_with_cov_guard, rs)
         bg = self._timed("graph", self.stage_graph, table)
-        rp = self._timed("paths", self.stage_paths, bg, rs)
+        if self.resume and (self.outdir / "graph.patched.npz").exists():
+            # re-enter past patching: pre-patch paths are superseded by the
+            # patched graph's paths.npz (START=patch semantics)
+            rp = None
+        else:
+            rp = self._timed("paths", self.stage_paths, bg, rs)
         bg, rp = self._timed("patch", self.stage_patch, bg, rp, rs)
         D, lines, dup = self._timed("supergraph", self.stage_supergraph, bg, rp, rs)
         D, lines, scaffolds, phasings = self._timed(

@@ -80,3 +80,28 @@ def test_pipeline_resume(tmp_path, rng):
     out2 = p2.run_full(rs, flavors=("pseudohap",))
     assert p1.stats.get("contig_N50") == p2.stats.get("contig_N50")
     assert p1.stats.get("assembly_size") == p2.stats.get("assembly_size")
+
+
+def test_pipeline_resume_skips_patch_recompute(tmp_path, rng):
+    """START=patch semantics: resume must re-enter from graph.patched.npz
+    without re-running pair discovery / closure consensus."""
+    from supernova_tpu.pipeline.run import Pipeline
+
+    g = sim.random_genome(rng, 6000, n_repeat_chunks=1, repeat_len=150)
+    _, hb = sim.diploidize(rng, g, 0.002)
+    wl = sim.make_whitelist(rng, 64)
+    reads = sim.simulate_linked_reads(
+        rng, (g, hb), wl, n_barcodes=30, molecules_per_barcode=2,
+        molecule_len=3000, coverage_per_molecule=1.2,  # thin -> gaps -> patches
+    )
+    rs = ingest_sim(reads, wl)
+    p1 = Pipeline(tmp_path / "a")
+    p1.run_full(rs, flavors=("raw",))
+    patched = (tmp_path / "a" / "graph.patched.npz")
+    if not patched.exists():
+        return  # no gaps closed on this seed; nothing to re-enter from
+    mtime = patched.stat().st_mtime
+    p2 = Pipeline(tmp_path / "a", resume=True)
+    p2.run_full(rs, flavors=("raw",))
+    assert patched.stat().st_mtime == mtime, "patch stage recomputed"
+    assert p2.stats.get("assembly_checksum") == p1.stats.get("assembly_checksum")
