@@ -122,6 +122,9 @@ def barcode_join_links(
     min_advantage: float = MIN_ADVANTAGE,
 ) -> List[Tuple[int, int]]:
     """Symmetric (L1, L2) join links, reference search (CleanThe.cc:281-462)."""
+    from .star import lbp_arrays
+
+    lbp = lbp_arrays(lbp)
     linv = lines.linv
     succs, _preds = line_graph(lines, D)
     links: List[Tuple[int, int]] = []

@@ -46,38 +46,67 @@ def restrict_positions(
     return out
 
 
+def lbp_arrays(
+    lbp: Dict[int, List[Tuple[int, int]]]
+) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """Convert barcode-position lists to (bc, pos) array pairs once, so the
+    per-candidate score_order calls skip per-call list conversion."""
+    out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    for li, pairs in lbp.items():
+        if isinstance(pairs, tuple):
+            out[li] = pairs
+        elif len(pairs):
+            a = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+            out[li] = (a[:, 0], a[:, 1])
+        else:
+            out[li] = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    return out
+
+
 def score_order(
     order: Sequence[int],
-    lbp: Dict[int, List[Tuple[int, int]]],
+    lbp,
     llens: np.ndarray,
 ) -> float:
-    """ScoreOrder (LineOO.cc:264-317); lower is better."""
-    recs: List[Tuple[int, int, int]] = []  # (bc, line index in order, pos)
+    """ScoreOrder (LineOO.cc:264-317); lower is better.  Vectorized over
+    the concatenated (bc, order-index, coord) records; `lbp` values may be
+    [(bc, pos), ...] lists or (bc, pos) array pairs (lbp_arrays)."""
+    parts_b, parts_i, parts_p = [], [], []
     pos = 0
     for i, li in enumerate(order):
-        for bc, p in lbp.get(li, ()):
-            recs.append((bc, i, pos + p))
+        v = lbp.get(li)
+        if v is not None and len(v):
+            if isinstance(v, tuple):
+                b, p = v
+            else:
+                a = np.asarray(v, dtype=np.int64).reshape(-1, 2)
+                b, p = a[:, 0], a[:, 1]
+            if len(b):
+                parts_b.append(b)
+                parts_i.append(np.full(len(b), i, np.int64))
+                parts_p.append(p + pos)
         pos += int(llens[li])
-    recs.sort()
-    ad = 0.0
-    k = 0
-    n = len(recs)
-    while k < n:
-        l = k + 1
-        while l < n and recs[l][0] == recs[k][0]:
-            l += 1
-        cnt = l - k - 1
-        if cnt > 0:
-            span = recs[l - 1][2] - recs[k][2]
-            mean_gap = span / cnt if span > 0 else 1.0
-            if mean_gap > 0:
-                for z in range(k + 1, l):
-                    if recs[z][1] > recs[z - 1][1]:
-                        plus = (recs[z][2] - recs[z - 1][2]) / mean_gap
-                        if plus >= MIN_ADD:
-                            ad += plus
-        k = l
-    return ad
+    if not parts_b:
+        return 0.0
+    bcs = np.concatenate(parts_b)
+    idx = np.concatenate(parts_i)
+    ps = np.concatenate(parts_p)
+    o = np.lexsort((ps, idx, bcs))
+    b, ii, pp = bcs[o], idx[o], ps[o]
+    n = len(b)
+    if n < 2:
+        return 0.0
+    starts = np.r_[True, b[1:] != b[:-1]]
+    gid = np.cumsum(starts) - 1
+    sidx = np.flatnonzero(starts)
+    lidx = np.r_[sidx[1:], n] - 1
+    span = (pp[lidx] - pp[sidx])[gid]
+    cnt = (lidx - sidx)[gid]  # group size - 1
+    mean_gap = np.where((span > 0) & (cnt > 0), span / np.maximum(cnt, 1), 1.0)
+    inc = np.r_[False, ii[1:] > ii[:-1]] & ~starts
+    dpp = np.r_[0, np.diff(pp)]
+    plus = np.where(inc, dpp / mean_gap, 0.0)
+    return float(plus[plus >= MIN_ADD].sum())
 
 
 def line_prox(
@@ -266,7 +295,7 @@ def star_scaffold(
         li: [(bc, p) for bc, ps in line_positions.get(li, {}).items() for p in ps]
         for li in range(n)
     }
-    lbp = restrict_positions(lbp_all, llens)
+    lbp = lbp_arrays(restrict_positions(lbp_all, llens))
     canon = list(range(n))
     lhood = line_prox(line_bcs, canon)
     rdead = right_dead_ends(lines, D)

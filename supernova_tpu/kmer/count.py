@@ -562,29 +562,41 @@ def count_readset_blocked(
 def good_lengths_np(quals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Host (numpy) qual-trim rule — same semantics as good_lengths.
 
-    The good length of a read is the largest prefix whose last K bases
-    are all >= MIN_QUAL.  The per-read candidate (p+1-start at positions
-    with a clean K-streak) is increasing in p, so the max is simply the
-    LAST qualifying position per read — two searchsorteds instead of a
-    (slow, elementwise) np.maximum.at scatter."""
+    The good length of a read is the largest prefix whose last K bases are
+    all >= MIN_QUAL.  Sparse formulation: only BAD positions matter (rare),
+    so work is O(n_reads + n_bad), not O(total bases).  Between consecutive
+    bad positions (plus a virtual bad before each read start and the read
+    end as a bound), a clean segment of length >= K ending at `nxt` gives
+    candidate glen = nxt - start; the max such candidate is the LAST one,
+    found per read with np.maximum.reduceat over the read's segments."""
     nb = len(quals)
     n_reads = len(offsets) - 1
     offsets = np.asarray(offsets, np.int64)
     if nb == 0 or n_reads == 0:
         return np.zeros(n_reads, dtype=np.int32)
-    p = np.arange(1, nb + 1, dtype=np.int64)
-    bad = np.asarray(quals) < MIN_QUAL
-    read_start = np.repeat(offsets[:-1], np.diff(offsets))
-    blocker = np.where(bad, p, 0)
-    last_bad = np.maximum.accumulate(blocker)
-    bound = np.maximum(last_bad, read_start)
-    good_pos = np.flatnonzero(p - bound >= K)  # clean-K-streak ends
-    if len(good_pos) == 0:
-        return np.zeros(n_reads, dtype=np.int32)
-    hi = np.searchsorted(good_pos, offsets[1:], side="left")
-    lo = np.searchsorted(good_pos, offsets[:-1], side="left")
-    last = good_pos[np.maximum(hi - 1, 0)]
-    out = np.where(hi > lo, last + 1 - offsets[:-1], 0)
+    badpos = np.flatnonzero(np.asarray(quals) < MIN_QUAL)
+    starts = offsets[:-1]
+    # per-entry rows: virtual bad at start-1 for every read + real bads
+    vb = starts - 1
+    allb = np.concatenate([vb, badpos])
+    rid = np.concatenate(
+        [
+            np.arange(n_reads, dtype=np.int64),
+            np.searchsorted(offsets, badpos, side="right") - 1,
+        ]
+    )
+    order = np.lexsort((allb, rid))
+    allb = allb[order]
+    rid = rid[order]
+    ends = offsets[1:]
+    nxt = np.concatenate([allb[1:], [0]])
+    last_of_read = np.r_[rid[1:] != rid[:-1], True]
+    nxt = np.where(last_of_read, ends[rid], nxt)
+    seg_len = nxt - allb - 1  # clean run between this bad and the next
+    cand = np.where(seg_len >= K, nxt - starts[rid], 0)
+    first_of_read = np.r_[True, rid[1:] != rid[:-1]]
+    # reads are contiguous in (rid-sorted) rows; every read has >= 1 row
+    out = np.maximum.reduceat(cand, np.flatnonzero(first_of_read))
     return out.astype(np.int32)
 
 
@@ -607,6 +619,11 @@ def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024,
     pad_to_positions/pad_to_reads force minimum padded sizes so sibling
     blocks of a blocked count share one compiled program shape.
     """
+    key = (base_bucket, read_bucket, pad_to_positions, pad_to_reads,
+           rs.barcoded)
+    cached = getattr(rs, "_prep_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
     nb = int(rs.offsets[-1])
     n_reads = rs.n_reads
     lens_all = np.diff(rs.offsets)
@@ -637,7 +654,7 @@ def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024,
     bc_pos[:nb] = np.repeat(read_bc[:n_reads], lens)
     rlen_pos = np.zeros(nbp, dtype=np.int32)
     rlen_pos[:nb] = np.repeat(lens.astype(np.int32), lens)
-    return dict(
+    out = dict(
         codes_ext=jnp.asarray(codes_ext),
         read_offsets=jnp.asarray(offsets),
         pos_read=jnp.asarray(pos_read),
@@ -647,6 +664,11 @@ def prepare_reads(rs, base_bucket: int = 16384, read_bucket: int = 1024,
         read_bc=jnp.asarray(read_bc),
         uniform_rl=uniform_rl,
     )
+    try:  # ReadSets are immutable after ingest; reuse across count/path
+        rs._prep_cache = (key, out)
+    except Exception:
+        pass
+    return out
 
 
 def estimate_coverage(table: KmerTable, read_len: float = 150.0):

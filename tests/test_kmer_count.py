@@ -202,3 +202,21 @@ def test_nonuniform_reads_skip_the_cut(rng):
     assert inp["uniform_rl"] is None
     table = kcount.count_readset(rs, min_freq=1, min_bc=1)
     assert int(table.n_valid) > 0
+
+
+def test_good_lengths_np_sparse_matches_brute(rng):
+    """Sparse O(reads + bads) qual trim == the per-base brute rule."""
+    for trial in range(10):
+        n = int(rng.integers(1, 40))
+        lens = rng.integers(1, 200, n)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        quals = np.full(int(offsets[-1]), 37, np.uint8)
+        nbad = int(rng.integers(0, 60))
+        if offsets[-1] and nbad:
+            quals[rng.integers(0, offsets[-1], nbad)] = 2
+        got = kcount.good_lengths_np(quals, offsets)
+        want = np.array(
+            [brute_trim(quals[offsets[i]: offsets[i + 1]]) for i in range(n)],
+            np.int32,
+        )
+        assert np.array_equal(got, want), trial

@@ -54,3 +54,50 @@ def test_build_scaffolds_involution_consistent():
     scs = astar.build_scaffolds(4, linv, joins, llens)
     multi = [sc for sc in scs if len(sc.line_ids) > 1]
     assert len(multi) == 1  # the rc-mirror chain is not emitted twice
+
+
+def test_score_order_matches_reference_loop(rng):
+    """Vectorized ScoreOrder == the original per-record loop."""
+    from supernova_tpu.asm.star import MIN_ADD, lbp_arrays, score_order
+
+    def oracle(order, lbp, llens):
+        recs = []
+        pos = 0
+        for i, li in enumerate(order):
+            for bc, p in lbp.get(li, ()):
+                recs.append((bc, i, pos + p))
+            pos += int(llens[li])
+        recs.sort()
+        ad, k, n = 0.0, 0, len(recs)
+        while k < n:
+            l = k + 1
+            while l < n and recs[l][0] == recs[k][0]:
+                l += 1
+            cnt = l - k - 1
+            if cnt > 0:
+                span = recs[l - 1][2] - recs[k][2]
+                mean_gap = span / cnt if span > 0 else 1.0
+                if mean_gap > 0:
+                    for z in range(k + 1, l):
+                        if recs[z][1] > recs[z - 1][1]:
+                            plus = (recs[z][2] - recs[z - 1][2]) / mean_gap
+                            if plus >= MIN_ADD:
+                                ad += plus
+            k = l
+        return ad
+
+    for trial in range(20):
+        nl = int(rng.integers(2, 5))
+        llens = rng.integers(500, 5000, nl)
+        lbp = {}
+        for li in range(nl):
+            k = int(rng.integers(0, 30))
+            lbp[li] = [
+                (int(rng.integers(1, 12)), int(rng.integers(0, llens[li])))
+                for _ in range(k)
+            ]
+        order = list(rng.permutation(nl))
+        got = score_order(order, lbp, llens)
+        got2 = score_order(order, lbp_arrays(lbp), llens)
+        want = oracle(order, lbp, llens)
+        assert abs(got - want) < 1e-9 and abs(got2 - want) < 1e-9
