@@ -271,12 +271,14 @@ def place_reads(
                     uc.tolist(),
                 )
             )
+        bc_arr = np.asarray(read_bc)[:r] if read_bc is not None else None
+        pe_host = np.asarray(paths_edges)
         for rr in amb:
-            p = [int(e) for e in paths_edges[rr, : plen[rr]] if e >= 0]
+            p = [int(e) for e in pe_host[rr, : plen[rr]] if e >= 0]
             if not p:
                 continue
-            if read_bc is not None and int(np.asarray(read_bc)[rr]) > 0:
-                b = int(np.asarray(read_bc)[rr])
+            if bc_arr is not None and int(bc_arr[rr]) > 0:
+                b = int(bc_arr[rr])
                 terr = territories.get(b)
 
                 def score(d, b=b, terr=terr):
