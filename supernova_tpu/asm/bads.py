@@ -74,16 +74,52 @@ def mark_bads(
             mm = (read_b != graph_b) & (qual_b >= Q_HI) & inb & rinb
             bad[si] = mm.sum(axis=1) > max_mm
 
-    for r in np.nonzero(plen > 1)[0]:
-        read = rs.read(r)
-        qual = rs.qual(r)
-        span = spell_read_span(bg, paths_edges[r, : plen[r]], int(off[r]), len(read))
-        if span is None or len(span) == 0:
-            continue
-        m = min(len(span), len(read))
-        mm = (read[:m] != span[:m]) & (qual[:m] >= Q_HI)
-        if int(mm.sum()) > max_mm:
-            bad[r] = True
+    # multi-edge placements, vectorized over SLOTS (<= MAX_PATH) instead of
+    # reads: per slot, the covered span window maps to one contiguous gv
+    # range (edges overlap by K-1); chunked to bound the 2D temporaries
+    multi = np.nonzero(plen > 1)[0]
+    mp = paths_edges.shape[1]
+    for c0 in range(0, len(multi), 131072):
+        mi = multi[c0 : c0 + 131072]
+        rm = len(mi)
+        pe = paths_edges[mi].astype(np.int64)
+        kk = plen[mi][:, None]
+        slot = np.arange(mp)[None, :]
+        live = slot < kk
+        pes = np.clip(pe, 0, len(goff) - 2)
+        el = (goff[pes + 1] - goff[pes]).astype(np.int64)
+        seg = np.where(live, el - np.where(slot > 0, K - 1, 0), 0)
+        cum = np.cumsum(seg, axis=1) - seg  # span offset of each segment
+        total = seg.sum(axis=1)
+        ok_read = (off[mi] >= 0) & (off[mi] <= total)
+        cols = np.arange(lmax, dtype=np.int64)
+        t_g = off[mi][:, None] + cols[None, :]
+        ridx = rs.offsets[mi][:, None] + cols[None, :]
+        rinb = cols[None, :] < rlen[mi][:, None]
+        read_b = rs.codes[np.minimum(ridx, len(rs.codes) - 1)]
+        qual_b = rs.quals[np.minimum(ridx, len(rs.codes) - 1)]
+        graph_b = np.full((rm, lmax), -1, np.int16)
+        for j in range(mp):
+            lo = cum[:, j][:, None]
+            m = (
+                live[:, j][:, None]
+                & (t_g >= lo)
+                & (t_g < lo + seg[:, j][:, None])
+                & rinb
+                & ok_read[:, None]
+            )
+            if not m.any():
+                continue
+            src = (
+                goff[pes[:, j]][:, None]
+                + (K - 1 if j > 0 else 0)
+                + (t_g - lo)
+            )
+            graph_b = np.where(
+                m, gv[np.clip(src, 0, len(gv) - 1)].astype(np.int16), graph_b
+            )
+        mm = (read_b != graph_b) & (qual_b >= Q_HI) & (graph_b >= 0) & rinb
+        bad[mi] = mm.sum(axis=1) > max_mm
     return bad
 
 

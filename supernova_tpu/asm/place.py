@@ -229,21 +229,25 @@ def place_reads(
     valid = slot_ok & (paths_edges >= 0)
     ambiguous_row = (valid & (n_cand[safe] > 1)).any(axis=1)
 
-    # pass 1: vectorized run-compression through the unique map
+    # pass 1: run-compression through the unique map, fully 2D-vectorized:
+    # the "previous mapped edge" (skipping -1 slots) comes from a row-wise
+    # cummax of slot indices at valid cells + take_along_axis
     mapped = np.where(valid, d_of[safe], -1)
+    has = mapped >= 0
+    slot_i = np.broadcast_to(np.arange(mp)[None, :], (r, mp))
+    last_valid = np.maximum.accumulate(np.where(has, slot_i, -1), axis=1)
+    prev_valid = np.concatenate(
+        [np.full((r, 1), -1, last_valid.dtype), last_valid[:, :-1]], axis=1
+    )
+    prev_val = np.take_along_axis(mapped, np.maximum(prev_valid, 0), axis=1)
+    prev_val = np.where(prev_valid >= 0, prev_val, -1)
+    emit = has & (mapped != prev_val) & ~ambiguous_row[:, None]
+    kpos = np.cumsum(emit, axis=1) - 1
     dpaths = np.full((r, mp), -1, np.int32)
-    dlen = np.zeros(r, np.int32)
-    prev = np.full(r, -1, np.int64)
-    for j in range(mp):
-        d = mapped[:, j]
-        emit = (d >= 0) & (d != prev) & ~ambiguous_row
-        k = dlen[emit]
-        rows = np.nonzero(emit)[0]
-        ok = k < mp
-        dpaths[rows[ok], k[ok]] = d[emit][ok]
-        dlen[emit] += 1
-        prev = np.where(d >= 0, d, prev)
-    np.minimum(dlen, mp, out=dlen)
+    ok2 = emit & (kpos < mp)
+    rows2, cols2 = np.nonzero(ok2)
+    dpaths[rows2, kpos[rows2, cols2]] = mapped[rows2, cols2]
+    dlen = np.minimum(emit.sum(axis=1), mp).astype(np.int32)
 
     # pass 2: smart resolution of ambiguous reads by barcode support (+
     # territory restriction when lines are supplied — PlaceReadsSmart)

@@ -155,9 +155,17 @@ class Pipeline:
             lens = rs.lengths()
             L = int(lens.min())
             if L > 0:
-                starts = rs.offsets[:-1]
-                idx = starts[:, None] + np.arange(L)[None, :]
-                qmat = rs.quals[idx]
+                if (lens == lens[0]).all():
+                    # uniform reads: per-cycle view, no index matrix
+                    qmat = rs.quals.reshape(rs.n_reads, L)
+                else:
+                    # ragged: sample reads (the alert needs a fraction, not
+                    # an exact count; a 200k sample pins it to ~0.2%)
+                    take = np.linspace(
+                        0, rs.n_reads - 1, min(rs.n_reads, 200_000)
+                    ).astype(np.int64)
+                    starts = rs.offsets[:-1][take]
+                    qmat = rs.quals[starts[:, None] + np.arange(L)[None, :]]
                 bad_cycle_frac = float((qmat <= 2).mean(axis=0).max())
                 self.stats.log(
                     "worst_cycle_q2_frac", 100.0 * bad_cycle_frac,

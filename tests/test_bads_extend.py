@@ -77,3 +77,46 @@ def test_extend_paths_through_unique_walk(rng):
         )
         if span is not None and len(span) >= len(rs2.read(r)):
             assert np.array_equal(span[: len(rs2.read(r))], rs2.read(r))
+
+
+def test_mark_bads_multi_edge_matches_spelling_loop(rng):
+    """Vectorized multi-edge mark_bads == the per-read spelling oracle."""
+    from supernova_tpu.align import pather
+    from supernova_tpu.asm.bads import (
+        MAX_Q30_MISMATCHES,
+        Q_HI,
+        mark_bads,
+        spell_read_span,
+    )
+    from supernova_tpu.dbg import build as dbuild
+    from supernova_tpu.dbg import graph as dgraph
+    from supernova_tpu.kmer import count as kcount
+    from supernova_tpu.sim import genome as sim
+    from tests.test_dbg import perfect_readset
+
+    g = sim.random_genome(rng, 5000, n_repeat_chunks=2, repeat_len=160)
+    rs = perfect_readset(g, step=11)
+    # inject disagreements: corrupt some read bases at high quality
+    for i in rng.integers(0, rs.n_reads, 60):
+        o = int(rs.offsets[i])
+        ln = int(rs.offsets[i + 1] - o)
+        for p in rng.integers(0, ln, int(rng.integers(1, 9))):
+            rs.codes[o + int(p)] = (rs.codes[o + int(p)] + 1) % 4
+    table = dbuild.trim_table(kcount.count_readset(rs, min_freq=2), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    rp = pather.path_readset(bg, rs)
+    edges = np.asarray(rp.edges)[: rs.n_reads]
+    plen = np.asarray(rp.path_len)[: rs.n_reads]
+    off = np.asarray(rp.offset)[: rs.n_reads]
+    got = mark_bads(bg, rs, edges, plen, off)
+    assert (plen > 1).sum() > 10, "need multi-edge placements to test"
+    for r in range(rs.n_reads):
+        if plen[r] <= 1:
+            continue
+        read, qual = rs.read(r), rs.qual(r)
+        span = spell_read_span(bg, edges[r, : plen[r]], int(off[r]), len(read))
+        want = False
+        if span is not None and len(span):
+            m = min(len(span), len(read))
+            want = int(((read[:m] != span[:m]) & (qual[:m] >= Q_HI)).sum()) > MAX_Q30_MISMATCHES
+        assert bool(got[r]) == want, r
