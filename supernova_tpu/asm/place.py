@@ -150,16 +150,26 @@ def barcode_territories(
 
     eline = np.asarray(lines.line_of_edge)
     nd = D.n_edges
-    epos = np.full(nd, -1, np.int64)
-    eunit = np.full(nd, -1, np.int64)
-    unit_offs = {}
-    for li, ln in enumerate(lines.lines):
-        offs = element_offsets(D, ln)
-        unit_offs[li] = np.asarray(offs, np.int64)
-        for j, el in enumerate(ln.elements):
-            for d in el.edge_ids():
-                epos[int(d)] = offs[j]
-                eunit[int(d)] = j
+    cached = getattr(lines, "_territory_maps", None)
+    if cached is not None and cached[0] == nd:
+        _, epos, eunit, unit_offs = cached
+    else:
+        epos = np.full(nd, -1, np.int64)
+        eunit = np.full(nd, -1, np.int64)
+        unit_offs = {}
+        for li, ln in enumerate(lines.lines):
+            offs = element_offsets(D, ln)
+            unit_offs[li] = np.asarray(offs, np.int64)
+            for j, el in enumerate(ln.elements):
+                for d in el.edge_ids():
+                    epos[int(d)] = offs[j]
+                    eunit[int(d)] = j
+        try:  # memoize: Lines/D are immutable between placement passes
+            object.__setattr__(
+                lines, "_territory_maps", (nd, epos, eunit, unit_offs)
+            )
+        except Exception:
+            pass
 
     r, mp = dpaths.shape
     bc = np.asarray(read_bc)[:r]
