@@ -247,10 +247,20 @@ def path_reads(
 # --------------------------------------------------------------- host layer
 
 def path_readset(bg, rs, max_path: int = MAX_PATH) -> ReadPaths:
-    """BaseGraph + ReadSet -> ReadPaths (host entry)."""
-    from ..kmer.count import prepare_reads
+    """BaseGraph + ReadSet -> ReadPaths (host entry).
 
+    Readsets whose flat positions exceed the HBM budget are pathed in
+    pair-aligned blocks sharing one program shape (reads are independent,
+    results concatenate; same dispatch rule as the blocked count)."""
+    from ..kmer.count import BLOCK_POSITIONS, prepare_reads
+
+    if int(rs.offsets[-1]) > BLOCK_POSITIONS:
+        return _path_readset_blocked(bg, rs, max_path)
     inp = prepare_reads(rs)
+    return _path_prepared(bg, inp, max_path)
+
+
+def _path_prepared(bg, inp, max_path: int) -> ReadPaths:
     return path_reads(
         kc.np_to_soa(bg.kmer_words),
         jnp.asarray(bg.node_edge),
@@ -265,3 +275,28 @@ def path_readset(bg, rs, max_path: int = MAX_PATH) -> ReadPaths:
         max_path=max_path,
         uniform_rl=inp["uniform_rl"],
     )
+
+
+def _path_readset_blocked(bg, rs, max_path: int,
+                          max_positions: int | None = None) -> ReadPaths:
+    from ..kmer.count import (
+        BLOCK_POSITIONS,
+        prepare_reads,
+        split_readset_blocks,
+    )
+
+    blocks = split_readset_blocks(rs, max_positions or BLOCK_POSITIONS)
+    pad_pos = max(int(b.offsets[-1]) for b in blocks)
+    pad_rd = max(b.n_reads for b in blocks)
+    parts = []
+    for blk in blocks:
+        inp = prepare_reads(blk, pad_to_positions=pad_pos, pad_to_reads=pad_rd)
+        rp = _path_prepared(bg, inp, max_path)
+        n = blk.n_reads
+        parts.append(
+            tuple(np.asarray(x)[:n] for x in rp)
+        )
+    return ReadPaths(*(
+        jnp.asarray(np.concatenate([p[i] for p in parts]))
+        for i in range(5)
+    ))

@@ -473,6 +473,9 @@ def split_readset_blocks(rs, max_positions: int):
     nb = int(rs.offsets[-1])
     if nb <= max_positions:
         return [rs]
+    cached = getattr(rs, "_block_cache", None)
+    if cached is not None and cached[0] == max_positions:
+        return cached[1]
     # candidate cut points (read indices): barcode starts from bci; the
     # unbarcoded block [bci[0], bci[1]) may be cut at any pair boundary
     cuts = set(int(x) for x in rs.bci[1:-1])
@@ -505,6 +508,10 @@ def split_readset_blocks(rs, max_positions: int):
                 barcoded=rs.barcoded,
             )
         )
+    try:  # reuse the same block views (and their prep caches) across stages
+        rs._block_cache = (max_positions, out)
+    except Exception:
+        pass
     return out
 
 

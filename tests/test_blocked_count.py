@@ -56,3 +56,20 @@ def test_blocked_unbarcoded(rng):
     single = kcount.count_readset(rs)
     blocked = kcount.count_readset_blocked(rs, max_positions=200_000)
     _tables_equal(single, blocked)
+
+
+def test_blocked_pathing_equals_single(rng):
+    from supernova_tpu.align import pather
+    from supernova_tpu.dbg import build as dbuild
+    from supernova_tpu.dbg import graph as dgraph
+
+    rs = _readset(rng)
+    table = dbuild.trim_table(kcount.count_readset(rs), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    single = pather.path_readset(bg, rs)
+    blocked = pather._path_readset_blocked(bg, rs, pather.MAX_PATH, max_positions=200_000)
+    n = rs.n_reads
+    for f in range(5):
+        a = np.asarray(single[f])[:n]
+        b = np.asarray(blocked[f])[:n]
+        assert np.array_equal(a, b), f
