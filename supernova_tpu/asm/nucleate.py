@@ -173,6 +173,7 @@ def nucleate_graph(
     extra_unions=None,
     interior_pairs=None,
     device_glue: bool | None = None,
+    mesh=None,
 ):
     """Closures -> SuperGraph D by gluing (ClosuresToGraph analogue).
 
@@ -242,6 +243,18 @@ def nucleate_graph(
             and jax.default_backend() == "tpu"
             and sum(lens) > 200_000
         )
+    if mesh is not None and plain_mode and getattr(mesh.devices, "size", 1) > 1:
+        # mesh-sharded glue (parallel/sharded_nucleate.py): identical
+        # partition, distributed over the device mesh
+        from ..parallel.sharded_nucleate import glue_closures_sharded
+
+        par, ovf = glue_closures_sharded(
+            mesh, bg, cls, int(min_over_bases), adaptive
+        )
+        if ovf == 0:
+            return _quotient(
+                bg, cls, cinv, lens, cstart, par, int(cstart[-1])
+            )
     if device_glue and plain_mode:
         from ..parallel.device_nucleate import glue_closures_device
 

@@ -282,7 +282,8 @@ def build_supergraph(bg, keep: np.ndarray | None = None) -> SuperGraph:
     )
 
 
-def closures_to_graph(bg, closures, min_over_bases: int | None = None) -> SuperGraph:
+def closures_to_graph(bg, closures, min_over_bases: int | None = None,
+                      mesh=None) -> SuperGraph:
     """ClosuresToGraph analogue (10X/mergers/ClosuresToGraph.h): glue
     closure paths into the supergraph D by position-level nucleation —
     see asm/nucleate.py for the full construction (GetMatches overlap
@@ -291,7 +292,9 @@ def closures_to_graph(bg, closures, min_over_bases: int | None = None) -> SuperG
     from .nucleate import nucleate_graph
 
     # min_over_bases=None -> adaptive gate (see nucleate_graph docstring)
-    return nucleate_graph(bg, closures, min_over_bases=min_over_bases)
+    return nucleate_graph(
+        bg, closures, min_over_bases=min_over_bases, mesh=mesh
+    )
 
 
 def super_edge_support(D: SuperGraph, base_counts: np.ndarray) -> np.ndarray:

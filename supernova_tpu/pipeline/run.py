@@ -216,6 +216,16 @@ class Pipeline:
         )
         return table
 
+    def _glue_mesh(self):
+        """Mesh for the supergraph closure glue in multi-device mode
+        (parallel/sharded_nucleate.py), else None (host/device cores)."""
+        ndev = self._mesh_ndev()
+        if not ndev:
+            return None
+        from ..parallel.mesh import make_mesh
+
+        return make_mesh(ndev)
+
     def _mesh_ndev(self) -> int:
         """Devices to shard count/build over (0 = single-device path)."""
         import jax
@@ -537,7 +547,7 @@ class Pipeline:
                 )
         if cl:
             # faithful MC construction: glue closures into D
-            D = asg.closures_to_graph(bg, cl)
+            D = asg.closures_to_graph(bg, cl, mesh=self._glue_mesh())
             self.stats.log("supergraph_mode", "closures", stage="supergraph")
         else:
             D = asg.build_supergraph(bg, keep)
