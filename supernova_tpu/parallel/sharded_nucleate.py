@@ -49,18 +49,27 @@ def _label_owner(node, per: int, n_dev: int):
     return jnp.minimum(node // per, n_dev - 1).astype(I32)
 
 
-def _dist_label_gather(label_local, idx, valid, per: int, n_dev: int,
-                       cap_per: int, use_ragged: bool):
-    """Distributed label[idx] over range-sharded labels."""
+def _dist_range_gather(local, idx, valid, per: int, n_dev: int,
+                       cap_per: int, use_ragged: bool, fill):
+    """Distributed local[idx] over a range-sharded array (owner = idx//per);
+    rows with valid=False (or out of range) return `fill`."""
     owner = jnp.where(valid, _label_owner(idx, per, n_dev), n_dev)
     (qi,), ctx = _exchange(
         (idx.astype(I32),), owner, n_dev, cap_per, (0,), use_ragged
     )
     me = jax.lax.axis_index(AXIS).astype(I32)
-    local = jnp.clip(qi - me * per, 0, per - 1)
-    resp = label_local[local]
-    out = _return(resp, ctx, n_dev, jnp.asarray(BIG, I32))
-    return jnp.where(valid, out, BIG)
+    loc = jnp.clip(qi - me * per, 0, per - 1)
+    resp = local[loc]
+    out = _return(resp, ctx, n_dev, jnp.asarray(fill, local.dtype))
+    return jnp.where(valid, out, jnp.asarray(fill, local.dtype))
+
+
+def _dist_label_gather(label_local, idx, valid, per: int, n_dev: int,
+                       cap_per: int, use_ragged: bool):
+    """Distributed label[idx] over range-sharded labels."""
+    return _dist_range_gather(
+        label_local, idx, valid, per, n_dev, cap_per, use_ragged, BIG
+    )
 
 
 def _dist_label_min(label_local, idx, val, valid, per: int, n_dev: int,
@@ -78,7 +87,8 @@ def _dist_label_min(label_local, idx, val, valid, per: int, n_dev: int,
 
 def _sharded_glue_local(
     cvals, ccid, cpos,          # (rows,) per-shard closure position block
-    cvals_rep, coffs_rep,       # replicated flat closure values + offsets
+    cvals_rep, prefx_rep,       # flat closure values + exclusive kmer prefix
+    coffs_rep,                  # per-closure flat offsets (replicated)
     cstart, clen, cinv, kmers,  # replicated closure/edge tables
     *,
     n_dev: int,
@@ -92,11 +102,14 @@ def _sharded_glue_local(
     long_budget: int,
     pair_budget: int,
     use_ragged: bool,
+    value_shard: bool = False,
 ):
     rows = cvals.shape[0]
     C = cstart.shape[0]
     E = kmers.shape[0]
-    P = cvals_rep.shape[0]
+    # global flat position count: cvals_rep is the full array when
+    # replicated, or this shard's range slice when value_shard
+    P = cvals_rep.shape[0] * (n_dev if value_shard else 1)
     valid_pos = ccid < BIG
     cid_safe = jnp.minimum(ccid, C - 1)
 
@@ -194,22 +207,46 @@ def _sharded_glue_local(
     c1v, c2v = jnp.where(live0, k1, BIG), jnp.where(live0, k2, BIG)
     j1v, j2v = jnp.where(live0, q1, 0), jnp.where(live0, q2, 0)
 
-    # ---- extension against the replicated closure values ---------------
-    cvp = jnp.concatenate([cvals_rep, jnp.full((1,), BIG, I32)])
+    # ---- extension: replicated values, or distributed range gathers ----
+    if value_shard:
+        per_val = cvals_rep.shape[0]
+
+        def fetch_val(idx, valid, cap):
+            inr = valid & (idx >= 0) & (idx < P)
+            return _dist_range_gather(
+                cvals_rep, idx, inr, per_val, n_dev, cap, use_ragged, BIG
+            )
+
+        def fetch_pref(idx, valid, cap):
+            inr = valid & (idx >= 0) & (idx < P)
+            return _dist_range_gather(
+                prefx_rep, idx, inr, per_val, n_dev, cap, use_ragged,
+                np.uint32(0),
+            )
+    else:
+        cvp = jnp.concatenate([cvals_rep, jnp.full((1,), BIG, I32)])
+
+        def fetch_val(idx, valid, cap):
+            return jnp.where(valid, cvp[jnp.clip(idx, 0, P)], BIG)
+
+        def fetch_pref(idx, valid, cap):
+            return jnp.where(
+                valid, prefx_rep[jnp.clip(idx, 0, P - 1)], np.uint32(0)
+            )
 
     def extend(c1, j1, c2, j2, live):
         o1 = coffs_rep[jnp.minimum(c1, C - 1)]
         o2 = coffs_rep[jnp.minimum(c2, C - 1)]
         l1 = clen[jnp.minimum(c1, C - 1)]
         l2 = clen[jnp.minimum(c2, C - 1)]
+        cap = c1.shape[0]
 
         def back(state):
             a, active = state
             ok = active & (j1 - a - 1 >= 0) & (j2 - a - 1 >= 0)
-            ok = ok & (
-                cvp[jnp.clip(o1 + j1 - a - 1, 0, P)]
-                == cvp[jnp.clip(o2 + j2 - a - 1, 0, P)]
-            )
+            v1 = fetch_val(o1 + j1 - a - 1, ok, cap)
+            v2 = fetch_val(o2 + j2 - a - 1, ok, cap)
+            ok = ok & (v1 == v2) & (v1 < BIG)
             return a + ok.astype(I32), ok
 
         def cond_any(state):
@@ -222,10 +259,9 @@ def _sharded_glue_local(
         def fwd(state):
             b, active = state
             ok = active & (j1 + b < l1) & (j2 + b < l2)
-            ok = ok & (
-                cvp[jnp.clip(o1 + j1 + b, 0, P)]
-                == cvp[jnp.clip(o2 + j2 + b, 0, P)]
-            )
+            v1 = fetch_val(o1 + j1 + b, ok, cap)
+            v2 = fetch_val(o2 + j2 + b, ok, cap)
+            ok = ok & (v1 == v2) & (v1 < BIG)
             return b + ok.astype(I32), ok
 
         b_fin, _ = jax.lax.while_loop(
@@ -236,17 +272,13 @@ def _sharded_glue_local(
     s1, s2, L, o1c, l1c = extend(c1v, j1v, c2v, j2v, live0)
 
     # ---- end-reaching filter + (exact, replicated) adaptive gate -------
-    kmp_rep = jnp.where(
-        cvals_rep < BIG, kmers[jnp.minimum(cvals_rep, E - 1)], 0
-    ).astype(U32)
-    prefx = jnp.concatenate([jnp.zeros((1,), U32), jnp.cumsum(kmp_rep)])
+    def ksum(offs, lo, ln, live):
+        cap = offs.shape[0]
+        hi = fetch_pref(offs + lo + ln, live, cap)
+        lo_ = fetch_pref(offs + lo, live, cap)
+        return hi - lo_
 
-    def ksum(offs, lo, ln):
-        return prefx[jnp.clip(offs + lo + ln, 0, P)] - prefx[
-            jnp.clip(offs + lo, 0, P)
-        ]
-
-    over = jnp.where(live0, ksum(o1c, s1, L), 0)
+    over = jnp.where(live0, ksum(o1c, s1, L, live0), 0)
     l2c = clen[jnp.minimum(c2v, C - 1)]
     reach = (s1 + L >= l1c) & ((s1 == 0) | (s2 == 0))
     cand_ok = live0 & reach
@@ -392,12 +424,14 @@ def _sharded_glue_local(
 
 
 def sharded_glue(mesh, cvals_blocks, ccid_blocks, cpos_blocks,
-                 cvals_flat, coffs, cstart, clen, cinv, kmers,
+                 cvals_flat, prefx, coffs, cstart, clen, cinv, kmers,
                  n_bound: int, min_over: int, min_over_floor: int,
                  adaptive: bool, long_shift: int = 40,
-                 use_ragged: bool | None = None):
-    """Host entry: closure-aligned row blocks (n_dev, rows) + replicated
-    tables -> (labels (B,) numpy, overflow total)."""
+                 use_ragged: bool | None = None,
+                 value_shard: bool = False):
+    """Host entry: closure-aligned row blocks (n_dev, rows) + flat closure
+    values / kmer prefix (replicated, or range-sharded with
+    value_shard=True) -> (labels (B,) numpy, overflow total)."""
     if use_ragged is None:
         use_ragged = jax.default_backend() == "tpu"
     n_dev = mesh.devices.size
@@ -406,6 +440,19 @@ def sharded_glue(mesh, cvals_blocks, ccid_blocks, cpos_blocks,
     per_label = max(256, -(-per_label // 256) * 256)
     from jax.sharding import PartitionSpec as Pn
 
+    if value_shard:
+        # pad the flat arrays to an n_dev multiple for range sharding
+        P0 = cvals_flat.shape[0]
+        per_val = -(-P0 // n_dev)
+        pad = per_val * n_dev - P0
+        if pad:
+            cvals_flat = jnp.concatenate(
+                [cvals_flat, jnp.full((pad,), BIG, jnp.int32)]
+            )
+            prefx = jnp.concatenate(
+                [prefx, jnp.full((pad,), prefx[-1], prefx.dtype)]
+            )
+    vspec = Pn(AXIS) if value_shard else Pn()
     fn = partial(
         _sharded_glue_local,
         n_dev=n_dev,
@@ -420,18 +467,19 @@ def sharded_glue(mesh, cvals_blocks, ccid_blocks, cpos_blocks,
         long_budget=4 * n_dev * rows,
         pair_budget=8 * n_dev * rows,
         use_ragged=use_ragged,
+        value_shard=value_shard,
     )
     labels, ovf = jax.shard_map(
         fn,
         mesh=mesh,
         check_vma=False,
         in_specs=(Pn(AXIS), Pn(AXIS), Pn(AXIS),
-                  Pn(), Pn(), Pn(), Pn(), Pn(), Pn()),
+                  vspec, vspec, Pn(), Pn(), Pn(), Pn(), Pn()),
         out_specs=(Pn(AXIS), Pn(AXIS)),
     )(
         cvals_blocks.reshape(-1), ccid_blocks.reshape(-1),
         cpos_blocks.reshape(-1),
-        cvals_flat, coffs, cstart, clen, cinv, kmers,
+        cvals_flat, prefx, coffs, cstart, clen, cinv, kmers,
     )
     labels = np.asarray(labels)[:n_bound]
     return labels, int(np.asarray(ovf).sum())
@@ -472,7 +520,8 @@ def split_closure_rows(cls, n_dev: int, bucket: int = 1024):
 
 def glue_closures_sharded(mesh, bg, cls, min_over_bases: int, adaptive: bool,
                           min_over_floor_bases: int = 100,
-                          use_ragged: bool | None = None):
+                          use_ragged: bool | None = None,
+                          value_shard: bool = False):
     """Host wrapper mirroring device_nucleate.glue_closures_device, but over
     the mesh.  Returns (labels int64 (B,), overflow) — same partition."""
     from ..core.kmer_codec import K
@@ -501,17 +550,23 @@ def glue_closures_sharded(mesh, bg, cls, min_over_bases: int, adaptive: bool,
     )
     coffs = np.zeros(Cpad, np.int32)
     coffs[:n] = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    P = _round_up(int(lens.sum()), 1024)
+    nflat = int(lens.sum())
+    P = _round_up(nflat + 1, 1024)  # >= 1 pad slot: prefix index T stays < P
     flat = np.full(P, BIG, np.int32)
-    flat[: int(lens.sum())] = np.concatenate(
-        [np.asarray(c, np.int32) for c in cls]
-    )
+    flat[:nflat] = np.concatenate([np.asarray(c, np.int32) for c in cls])
     kmers = (bg.edges.lengths() - (K - 1)).astype(np.int32)
     Epad = _round_up(bg.n_edges, 256)
     km = np.zeros(Epad, np.int32)
     km[: bg.n_edges] = kmers
+    # exclusive kmer prefix over flat positions (prefx[i] = sum before i)
+    kmf = np.where(flat[:P] < np.int32(0x7FFFFFFF), km[np.minimum(
+        np.maximum(flat[:P], 0), Epad - 1)], 0).astype(np.uint32)
+    kmf[nflat:] = 0
+    prefx = np.zeros(P, np.uint32)
+    np.cumsum(kmf[:-1], out=prefx[1:], dtype=np.uint32)
     labels, ovf = sharded_glue(
-        mesh, cv, ci, cp, jnp.asarray(flat), jnp.asarray(coffs),
+        mesh, cv, ci, cp, jnp.asarray(flat), jnp.asarray(prefx),
+        jnp.asarray(coffs),
         jnp.asarray(cst), jnp.asarray(cln), jnp.asarray(cin),
         jnp.asarray(km),
         n_bound=total,
@@ -519,5 +574,6 @@ def glue_closures_sharded(mesh, bg, cls, min_over_bases: int, adaptive: bool,
         min_over_floor=max(min_over_floor_bases - (K - 1), 1),
         adaptive=adaptive,
         use_ragged=use_ragged,
+        value_shard=value_shard,
     )
     return labels.astype(np.int64), ovf

@@ -59,3 +59,23 @@ def test_sharded_glue_matches_device_adaptive(rng):
                                      adaptive=True)
     assert ovf == 0
     assert _partition_canonical(got) == _partition_canonical(want)
+
+
+def test_value_sharded_glue_matches_device(rng):
+    """Pod-scale variant: closure values range-sharded, extension via
+    distributed gathers — same partition."""
+    import jax
+
+    from supernova_tpu.parallel.device_nucleate import glue_closures_device
+    from supernova_tpu.parallel.mesh import make_mesh
+    from supernova_tpu.parallel.sharded_nucleate import glue_closures_sharded
+
+    g, bg = _graph(rng, 5000, repeats=2, rep_len=150)
+    closures = _random_walks(rng, bg, 50)
+    cls = sanitize_closures(bg, closures)
+    want = glue_closures_device(bg, cls, 100, adaptive=False)
+    mesh = make_mesh(min(8, len(jax.devices())))
+    got, ovf = glue_closures_sharded(mesh, bg, cls, 100, adaptive=False,
+                                     value_shard=True)
+    assert ovf == 0
+    assert _partition_canonical(got) == _partition_canonical(want)
