@@ -75,18 +75,17 @@ def path_reads(
     canon, flipped = kc.canonicalize(words)
 
     if uniform_rl is not None:
-        # static tail cut (see kmer/count.count_kmers): the last K-1
+        # static tail cut (kmer/count.uniform_tail_cut): the last K-1
         # positions of each uniform-length read block never hold a kmer —
         # the join and all per-position sorts below shrink by (K-1)/rl
+        from ..kmer.count import uniform_tail_cut
+
         cols = uniform_rl - K + 1
-
-        def cut(x):
-            return x.reshape(-1, uniform_rl)[:, :cols].reshape(-1)
-
-        canon = W3(cut(canon.a), cut(canon.b), cut(canon.c))
-        flipped = cut(flipped)
-        pos_read = cut(pos_read)
-        rlen_pos = cut(rlen_pos)
+        a_, b_, c_, flipped, pos_read, rlen_pos = uniform_tail_cut(
+            uniform_rl, canon.a, canon.b, canon.c, flipped, pos_read,
+            rlen_pos,
+        )
+        canon = W3(a_, b_, c_)
         nb = canon.a.shape[0]
         p = jnp.arange(nb, dtype=I32)
         pir = p % cols

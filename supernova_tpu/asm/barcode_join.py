@@ -369,10 +369,15 @@ def barcode_join(
     lbp: Dict[int, List[Tuple[int, int]]],
     lhood: Dict[int, List[Tuple[int, int]]],
     cov: np.ndarray,
-    min_big: int = MIN_BIG,
-    min_len: int = MIN_LEN,
+    min_big: int | None = None,
+    min_len: int | None = None,
 ) -> Tuple[object, int]:
-    """One BarcodeJoin pass -> (possibly new D, n_joins)."""
+    """One BarcodeJoin pass -> (possibly new D, n_joins).  None defaults
+    read MIN_BIG/MIN_LEN at call time (--addin overridable)."""
+    if min_big is None:
+        min_big = MIN_BIG
+    if min_len is None:
+        min_len = MIN_LEN
     links = barcode_join_links(
         lines, D, llens, lbp, lhood, cov, min_big=min_big, min_len=min_len
     )

@@ -34,9 +34,11 @@ def sketch(bcs: np.ndarray, k: int = SKETCH_K, seed: int = 1) -> np.ndarray:
 
 
 def jaccard_estimate(sa: np.ndarray, sb: np.ndarray) -> float:
-    """Jaccard similarity estimate from two k-min sketches (merged-k rule)."""
+    """Jaccard similarity estimate from two k-min sketches (merged-k rule:
+    the k smallest DISTINCT values of the union — duplicates must collapse
+    or shared minima occupy two slots and cap the estimate at ~0.5)."""
     k = len(sa)
-    merged = np.sort(np.concatenate([sa, sb]))[:k]
+    merged = np.unique(np.concatenate([sa, sb]))[:k]
     merged = merged[merged != np.uint64(0xFFFFFFFFFFFFFFFF)]
     if len(merged) == 0:
         return 0.0

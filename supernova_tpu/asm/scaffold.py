@@ -58,14 +58,17 @@ def scaffold_lines(
     lines,
     line_bcs: List[np.ndarray],
     line_lens: np.ndarray,
-    min_shared: int = MIN_SHARED_BC,
+    min_shared: int | None = None,  # None -> MIN_SHARED_BC (addin-able)
     min_line_len: int = 1,
     line_positions: Dict[int, Dict[int, list]] | None = None,
 ) -> List[Scaffold]:
     """Greedy mutual-best joining of canonical lines by shared-barcode count.
+    min_shared=None reads MIN_SHARED_BC at call time.
 
     Works on one representative per rc pair; emits scaffolds as ordered line
     lists with {-2}-style gaps."""
+    if min_shared is None:
+        min_shared = MIN_SHARED_BC
     n = lines.n_lines
     canon = [i for i in range(n) if i <= lines.linv[i] and line_lens[i] >= min_line_len]
     # candidate links via the sparse barcode-pair join (AllTinks engine;

@@ -129,8 +129,10 @@ def line_coverage(llens: np.ndarray, lbp: Dict[int, List[Tuple[int, int]]]) -> n
     normalized so the median long line sits at 1.0."""
     cov = np.zeros(len(llens))
     for li, pairs in lbp.items():
+        # pairs may be [(bc, pos), ...] or an (bc_arr, pos_arr) pair
+        n = len(pairs[0]) if isinstance(pairs, tuple) else len(pairs)
         if llens[li] > 0:
-            cov[li] = len(pairs) / llens[li]
+            cov[li] = n / llens[li]
     longs = cov[(llens >= MIN_BAR_TO) & (cov > 0)]
     med = np.median(longs) if len(longs) else 0.0
     return cov / med if med > 0 else cov
@@ -311,11 +313,15 @@ def star_joins(
     lbp: Dict[int, List[Tuple[int, int]]],
     lhood: Dict[int, List[Tuple[int, int]]],
     right_dead: Dict[int, bool],
-    min_star: int = MIN_STAR,
-    min_advantage: float = MIN_ADVANTAGE,
+    min_star: int | None = None,       # None -> MIN_STAR at call time
+    min_advantage: float | None = None,  # None -> MIN_ADVANTAGE (addin-able)
 ) -> List[Tuple[int, int, float]]:
     """One star pass -> [(L1, R, advantage)] right-joins.  `right_dead[li]`
     marks lines whose right end extends nowhere in D (oriented line ids)."""
+    if min_star is None:
+        min_star = MIN_STAR  # read at call time: --addin overridable
+    if min_advantage is None:
+        min_advantage = MIN_ADVANTAGE
     cov = line_coverage(llens, lbp)
     joins: List[Tuple[int, int, float]] = []
     order_ids = sorted(

@@ -33,17 +33,6 @@ def cmd_run(args) -> int:
         for k, v in parse_addin_args(args.addin).items():
             print(f"addin: {k} = {v} (was {applied[k]})", file=sys.stderr)
 
-    if getattr(args, "localcores", None):
-        # host-thread cap (the reference's --localcores; applies to the
-        # native cores' OpenMP pools and XLA:CPU)
-        import os
-
-        os.environ.setdefault("OMP_NUM_THREADS", str(args.localcores))
-        os.environ.setdefault(
-            "XLA_FLAGS",
-            f"--xla_cpu_multi_thread_eigen=true "
-            f"intra_op_parallelism_threads={args.localcores}",
-        )
     interleaved = False
     if getattr(args, "fastqs", None):
         # directory discovery (tenkit find_input_fastqs; ingest/discovery.py)
@@ -649,6 +638,25 @@ def main(argv=None) -> int:
     b.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    if getattr(args, "localcores", None):
+        # host-thread cap (the reference's --localcores).  Must be set
+        # BEFORE jax/XLA load (they are imported lazily inside the
+        # commands); BLAS pools bound at numpy import may keep their size —
+        # set OMP_NUM_THREADS in the shell for a hard cap.
+        import os
+
+        if os.environ.get("OMP_NUM_THREADS") not in (
+            None, str(args.localcores),
+        ):
+            print(
+                "WARNING: OMP_NUM_THREADS already set; --localcores "
+                "overrides it for this process", file=sys.stderr,
+            )
+        os.environ["OMP_NUM_THREADS"] = str(args.localcores)
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_cpu_multi_thread_eigen=true"
+        ).strip()
     return args.fn(args)
 
 

@@ -147,6 +147,20 @@ def extract_occurrences(
     return canon, bc_pos, lm, rm, valid
 
 
+def uniform_tail_cut(uniform_rl: int, *arrays):
+    """Static reshape+slice dropping the last K-1 positions of every
+    uniform-length read block — those positions can never start a kmer.
+    The ONE implementation shared by count_kmers, count_block_raw, the
+    sharded count, and the pather (keep them provably identical)."""
+    cols = uniform_rl - K + 1
+
+    def cut(x):
+        x = jnp.asarray(x)
+        return x.reshape(-1, uniform_rl)[:, :cols].reshape(-1)
+
+    return tuple(cut(x) for x in arrays)
+
+
 def pack_occurrence_attrs(bc, lm, rm, valid):
     """Pack the non-kmer occurrence attributes into ONE uint32 sort key:
     [31:10]=barcode (22 bits; caps ids at ~4.19M — covers the 4M whitelist),
@@ -282,15 +296,12 @@ def count_kmers(
         codes_ext, pos_read, glen_pos, bc_pos, min_read_len
     )
     if uniform_rl is not None:
-        cols = uniform_rl - K + 1
         pk = pack_occurrence_attrs(bc, lm, rm, valid)
-
-        def cut(x):
-            return x.reshape(-1, uniform_rl)[:, :cols].reshape(-1)
-
-        canon = W3(cut(canon.a), cut(canon.b), cut(canon.c))
-        bc, lm, rm, valid = unpack_occurrence_attrs(cut(pk))
-        canon = canon.where(valid, kc.SENTINEL)
+        a_, b_, c_, pk = uniform_tail_cut(
+            uniform_rl, canon.a, canon.b, canon.c, pk
+        )
+        bc, lm, rm, valid = unpack_occurrence_attrs(pk)
+        canon = W3(a_, b_, c_).where(valid, kc.SENTINEL)
     return reduce_occurrences(canon, bc, lm, rm, valid, min_freq, min_bc)
 
 
@@ -397,14 +408,12 @@ def count_block_raw(
         codes_ext, pos_read, glen_pos, bc_pos, min_read_len
     )
     if uniform_rl is not None:
-        cols = uniform_rl - K + 1
         pk = pack_occurrence_attrs(bc, lm, rm, valid)
-
-        def cut(x):
-            return x.reshape(-1, uniform_rl)[:, :cols].reshape(-1)
-
-        canon = W3(cut(canon.a), cut(canon.b), cut(canon.c))
-        bc, lm, rm, valid = unpack_occurrence_attrs(cut(pk))
+        a_, b_, c_, pk = uniform_tail_cut(
+            uniform_rl, canon.a, canon.b, canon.c, pk
+        )
+        bc, lm, rm, valid = unpack_occurrence_attrs(pk)
+        canon = W3(a_, b_, c_).where(valid, kc.SENTINEL)
     return _reduce_occurrences_raw(canon, bc, lm, rm, valid)
 
 
@@ -435,7 +444,13 @@ def merge_raw_blocks(wa, wb, wc, count, stats, min_freq: int, min_bc: int
         return last >= run_start_pos
 
     total = run_total(count)
-    nbc = run_total((stats >> np.uint32(9)) & np.uint32(4095))
+    # per-block nbc values are clamped to 4095 (the stats field width);
+    # clamping the merged sum reproduces the single-program clamp exactly:
+    # if no block clamped, sum == true total (then clamped identically);
+    # if any block clamped, both paths saturate at 4095
+    nbc = jnp.minimum(
+        run_total((stats >> np.uint32(9)) & np.uint32(4095)), 4095
+    )
     ign = run_any((stats & np.uint32(1)) == 1)
     lm = jnp.zeros((n,), U32)
     rm = jnp.zeros((n,), U32)
@@ -516,14 +531,19 @@ def split_readset_blocks(rs, max_positions: int):
 
 
 def count_readset_blocked(
-    rs, min_freq: int = MIN_FREQ, min_bc: int = MIN_BC,
+    rs, min_freq: int | None = None, min_bc: int | None = None,
     min_read_len: int = K + 1, max_positions: int = BLOCK_POSITIONS,
 ) -> KmerTable:
     """Blocked count for readsets whose occurrence arrays exceed HBM:
     per-block unfiltered reduced tables (distinct-kmer scale), one device
-    merge + filter.  Bit-identical to the single-program count."""
+    merge + filter.  Bit-identical to the single-program count.
+    min_freq/min_bc=None read MIN_FREQ/MIN_BC at call time (--addin)."""
     from ..dbg.build import trim_table
 
+    if min_freq is None:
+        min_freq = MIN_FREQ
+    if min_bc is None:
+        min_bc = MIN_BC
     blocks = split_readset_blocks(rs, max_positions)
     # all blocks share one compiled shape (pad to the largest block)
     pad_pos = max(int(b.offsets[-1]) for b in blocks)
@@ -705,7 +725,7 @@ def estimate_coverage(table: KmerTable, read_len: float = 150.0):
 
 
 def count_readset(
-    rs, min_freq: int = MIN_FREQ, min_bc: int = MIN_BC,
+    rs, min_freq: int | None = None, min_bc: int | None = None,
     min_read_len: int = K + 1,
 ) -> KmerTable:
     """End-to-end host entry: ReadSet -> filtered, adjacency-true KmerTable.
@@ -713,9 +733,14 @@ def count_readset(
     The table is trimmed from occurrence-padded size down to ~n_valid BEFORE
     the adjacency recompute — its 8 membership joins then run (and compile)
     at distinct-kmer scale, not occurrence scale.  Readsets whose occurrence
-    arrays would exceed HBM go through the blocked path (bit-identical)."""
+    arrays would exceed HBM go through the blocked path (bit-identical).
+    min_freq/min_bc=None read MIN_FREQ/MIN_BC at call time (--addin)."""
     from ..dbg.build import trim_table
 
+    if min_freq is None:
+        min_freq = MIN_FREQ
+    if min_bc is None:
+        min_bc = MIN_BC
     if int(rs.offsets[-1]) > BLOCK_POSITIONS:
         return count_readset_blocked(
             rs, min_freq=min_freq, min_bc=min_bc, min_read_len=min_read_len

@@ -161,7 +161,10 @@ def export_sam_from_run(outdir, sam_path, sample: str = "sample") -> int:
         raise FileNotFoundError(
             f"no graph checkpoint matching paths.npz in {outdir}"
         )
-    edges, plen, offset = pathzip.load_zipped(z, bg)
+    if "edges" in z:  # legacy dense checkpoint format
+        edges, plen, offset = z["edges"], z["path_len"], z["offset"]
+    else:
+        edges, plen, offset = pathzip.load_zipped(z, bg)
     return write_sam(
         sam_path, bg, rs, np.asarray(edges), np.asarray(plen),
         np.asarray(offset), sample=sample,

@@ -79,16 +79,13 @@ def _sharded_count_local(
     )
     packed = pack_occurrence_attrs(bc, lm, rm, valid)
     if uniform_rl is not None:
-        # static tail cut: the last K-1 positions of each uniform-length
-        # read block never start a kmer (see kmer/count.count_kmers)
-        cols = uniform_rl - kc.K + 1
+        from ..kmer.count import uniform_tail_cut
 
-        def cut(x):
-            return x.reshape(-1, uniform_rl)[:, :cols].reshape(-1)
-
-        canon = W3(cut(canon.a), cut(canon.b), cut(canon.c))
-        packed = cut(packed)
+        a_, b_, c_, packed = uniform_tail_cut(
+            uniform_rl, canon.a, canon.b, canon.c, packed
+        )
         valid = ((packed >> np.uint32(1)) & np.uint32(1)) == 1
+        canon = W3(a_, b_, c_).where(valid, kc.SENTINEL)
     nbl = canon.a.shape[0]
 
     shard = jnp.where(valid, kmer_shard_hash(canon) % np.uint32(n_dev), U32(n_dev))

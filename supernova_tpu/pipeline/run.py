@@ -190,6 +190,11 @@ class Pipeline:
                 jnp.asarray(int(z["n_valid"]), jnp.int32),
             )
         ndev = self._mesh_ndev()
+        if ndev and int(rs.offsets[-1]) > kcount.BLOCK_POSITIONS:
+            # per-device occurrence buffers would exceed HBM; the blocked
+            # single-device path bounds memory (sharded+blocked is future)
+            log.info("count: readset exceeds HBM budget; using blocked path")
+            ndev = 0
         if ndev:
             table = self._count_sharded(rs, ndev)
         else:
@@ -401,6 +406,8 @@ class Pipeline:
                 )
                 return rp
         ndev = self._mesh_ndev()
+        if ndev and int(rs.offsets[-1]) > kcount.BLOCK_POSITIONS:
+            ndev = 0  # HBM guard: blocked single-device pathing
         if ndev:
             rp = self._path_sharded(bg, rs, ndev)
         else:

@@ -30,10 +30,27 @@ def test_type_coercion_and_validation():
         parse_addin_args(["missing_equals"])
 
 
-def test_addin_affects_behavior():
-    """Overriding the kmer count min_freq constant changes the filter."""
-    from supernova_tpu.kmer import count as kc
+def test_addin_affects_behavior(rng):
+    """Overriding kmer.count.MIN_FREQ actually changes the filter output
+    (constants must be read at CALL time, not bound as defaults)."""
+    import numpy as np
 
-    prev = apply_addins({"kmer.count.MIN_FREQ": "5"})
-    assert kc.MIN_FREQ == 5
-    restore_addins(prev)
+    from supernova_tpu.ingest.ingest import ingest_sim
+    from supernova_tpu.kmer import count as kc
+    from supernova_tpu.sim import genome as sim
+
+    g = sim.random_genome(rng, 4000)
+    _, hb = sim.diploidize(rng, g, 0.001)
+    wl = sim.make_whitelist(rng, 64)
+    reads = sim.simulate_linked_reads(
+        rng, (g, hb), wl, n_barcodes=30, molecules_per_barcode=2,
+        molecule_len=2000, coverage_per_molecule=2.5,
+    )
+    rs = ingest_sim(reads, wl)
+    base = int(kc.count_readset(rs).n_valid)
+    prev = apply_addins({"kmer.count.MIN_FREQ": "9"})
+    try:
+        strict = int(kc.count_readset(rs).n_valid)
+    finally:
+        restore_addins(prev)
+    assert strict < base
