@@ -496,6 +496,59 @@ class Pipeline:
                        "patch: re-path wall", stage="patch")
         return bg2, rp2
 
+    def _resume_supergraph(self, bg, rs, ck, dck):
+        """START=supergraph re-entry: rebuild D/lines + the placement and
+        molecule side state from supergraph.npz + dpaths.npz (the orig/a.sup
+        snapshot semantics).  Returns (D, lines, dup) or None when the
+        checkpoints do not match the current graph/reads."""
+        from ..asm import lines as alines
+        from ..asm.supergraph import SuperGraph
+        from ..core.ragged import Ragged
+
+        z = np.load(ck)
+        dz = np.load(dck)
+        ev = z["epaths_values"]
+        if len(dz["dlen"]) != rs.n_reads or (
+            ev.size and int(ev.max()) >= bg.n_edges
+        ):
+            return None  # different reads or graph: recompute
+        from_v = z["from_v"]
+        to_v = z["to_v"]
+        nv = int(max(from_v.max(), to_v.max())) + 1 if len(from_v) else 0
+        D = SuperGraph(
+            epaths=Ragged(ev, z["epaths_offsets"]),
+            dinv=z["dinv"],
+            from_v=from_v,
+            to_v=to_v,
+            n_vertices=nv,
+            bg=bg,
+        )
+        lines = alines.find_lines(D)
+        dpaths, dlen = dz["dpaths"], dz["dlen"]
+        self._dpaths, self._dlen = dpaths, dlen
+        if rs.barcoded:
+            from ..asm import misassembly as amis
+            from ..asm import molecules as amol
+            from ..asm import supergraph as asg
+
+            edges, plen, _off = self._base_paths
+            ebcx = pindex.edge_barcodes(edges, plen, rs.bc, bg.n_edges)
+            sup_bcs = asg.super_edge_barcodes(D, ebcx)
+            pos0 = amol.read_line_positions(
+                D, lines, dpaths, dlen, rs.bc, base_paths=self._base_paths
+            )
+            lines = amis.break_lines(lines, D, sup_bcs, line_positions=pos0)
+            positions = amol.read_line_positions(
+                D, lines, dpaths, dlen, rs.bc, base_paths=self._base_paths
+            )
+            self._molecules = amol.infer_molecules(positions)
+            lp: dict = {}
+            for (b, li), ps in positions.items():
+                lp.setdefault(li, {})[b] = ps
+            self._line_positions = lp
+        log.info("supergraph: resumed from checkpoints")
+        return D, lines, z["dup"]
+
     def stage_supergraph(self, bg, rp, rs):
         """TR/MC analogue: dup marking, weak-edge trimming, D build, lines."""
         from ..asm import dups as adups
@@ -506,6 +559,13 @@ class Pipeline:
         plen = np.asarray(rp.path_len)[: rs.n_reads]
         offset = np.asarray(rp.offset)[: rs.n_reads]
         self._base_paths = (edges, plen, offset)  # for lbpx-resolution positions
+
+        ck = self.outdir / "supergraph.npz"
+        dck = self.outdir / "dpaths.npz"
+        if self.resume and ck.exists() and dck.exists():
+            got = self._resume_supergraph(bg, rs, ck, dck)
+            if got is not None:
+                return got
         dup = adups.mark_dups(edges, plen, offset, rs.bc)
         self.stats.log(
             "dup_frac", adups.dup_fraction(dup), "duplicate pair fraction",

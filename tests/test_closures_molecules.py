@@ -76,10 +76,14 @@ def test_pipeline_resume(tmp_path, rng):
     p1 = Pipeline(tmp_path / "a")
     out1 = p1.run_full(rs, flavors=("pseudohap",))
     # resume from checkpoints: must produce identical assembly stats
+    sck = (tmp_path / "a" / "supergraph.npz")
+    mtime = sck.stat().st_mtime
     p2 = Pipeline(tmp_path / "a", resume=True)
     out2 = p2.run_full(rs, flavors=("pseudohap",))
     assert p1.stats.get("contig_N50") == p2.stats.get("contig_N50")
     assert p1.stats.get("assembly_size") == p2.stats.get("assembly_size")
+    # START=supergraph semantics: the checkpoint was re-entered, not rebuilt
+    assert sck.stat().st_mtime == mtime
 
 
 def test_pipeline_resume_skips_patch_recompute(tmp_path, rng):
