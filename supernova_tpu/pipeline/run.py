@@ -877,6 +877,67 @@ class Pipeline:
             total += n
         return D, lines, total
 
+    def _refresh_line_state(self, D, rs, edges, plen):
+        """Recompute lines, placements, molecules and line positions after a
+        supergraph edit (the repeated CP re-placement pattern)."""
+        from ..asm import lines as alines
+        from ..asm import molecules as amol
+        from ..asm import place as aplace
+
+        lines = alines.find_lines(D)
+        self._dpaths, self._dlen = aplace.place_reads(
+            D, edges, plen, read_bc=rs.bc if rs.barcoded else None,
+            lines=lines,
+        )
+        if rs.barcoded:
+            self._refresh_positions(D, lines, rs)
+        return lines
+
+    def _refresh_positions(self, D, lines, rs):
+        from ..asm import molecules as amol
+
+        positions = amol.read_line_positions(
+            D, lines, self._dpaths, self._dlen, rs.bc,
+            base_paths=self._base_paths,
+        )
+        self._molecules = amol.infer_molecules(positions)
+        lp: dict = {}
+        for (b, li), ps in positions.items():
+            lp.setdefault(li, {})[b] = ps
+        self._line_positions = lp
+
+    def _save_sup_snapshot(self, name: str, D) -> None:
+        """CP-phase supergraph snapshot ({star,patch,fase}/a.sup.npz — the
+        reference's per-stage a.sup BasicWrite family, CP.cc:365-471)."""
+        d = self.outdir / name
+        d.mkdir(exist_ok=True)
+        np.savez_compressed(
+            d / "a.sup.npz",
+            epaths_values=D.epaths.values,
+            epaths_offsets=D.epaths.offsets,
+            dinv=D.dinv,
+            from_v=D.from_v,
+            to_v=D.to_v,
+        )
+
+    def _load_sup_snapshot(self, bg, path):
+        """Load a phase snapshot if it matches the current base graph."""
+        if not path.exists():
+            return None
+        from ..asm.supergraph import SuperGraph
+        from ..core.ragged import Ragged
+
+        z = np.load(path)
+        ev = z["epaths_values"]
+        if ev.size and int(ev.max()) >= bg.n_edges:
+            return None
+        from_v, to_v = z["from_v"], z["to_v"]
+        nv = int(max(from_v.max(), to_v.max())) + 1 if len(from_v) else 0
+        return SuperGraph(
+            epaths=Ragged(ev, z["epaths_offsets"]),
+            dinv=z["dinv"], from_v=from_v, to_v=to_v, n_vertices=nv, bg=bg,
+        )
+
     def stage_scaffold_phase(self, D, lines, rp, rs):
         """CP analogue: barcode links -> scaffolds; Flipper -> phasing.
         Barcoded mode runs the reference construction: Star joins insert
@@ -893,11 +954,29 @@ class Pipeline:
         ebcx = pindex.edge_barcodes(edges, plen, rs.bc, D.bg.n_edges)
         lp = getattr(self, "_line_positions", None)
         scaffolds = None
-        if rs.barcoded and lp:
+        if self.resume and rs.barcoded and lp:
+            # CP START=fase re-entry: skip the gap-editing phases when the
+            # pre-phasing supergraph snapshot matches this graph
+            Dr = self._load_sup_snapshot(
+                D.bg, self.outdir / "fase" / "a.sup.npz"
+            )
+            if Dr is not None:
+                D = Dr
+                lines = self._refresh_line_state(D, rs, edges, plen)
+                from ..asm.lines import canonical_lines
+                from ..asm.scaffold import Scaffold
+
+                scaffolds = [
+                    Scaffold([int(li)], []) for li in canonical_lines(lines)
+                ]
+                log.info("scaffold: resumed from the fase snapshot")
+        if rs.barcoded and lp and scaffolds is None:
             from ..asm import molecules as amol
 
             D, lines, n_joins = self._star_multipass(D, lines, rs, ebcx)
+            self._save_sup_snapshot("star", D)
             D, lines, n_bj = self._barcode_join_passes(D, lines, rs, ebcx)
+            self._save_sup_snapshot("starstar", D)
             if n_bj:
                 self.stats.log(
                     "barcode_joins", n_bj,
@@ -999,16 +1078,9 @@ class Pipeline:
                             "pair gaps replaced by closure sequence",
                             stage="scaffold",
                         )
+                self._save_sup_snapshot("patch", D)
                 # line-keyed state moves to the merged lines
-                positions = amol.read_line_positions(
-                    D, lines, self._dpaths, self._dlen, rs.bc,
-                    base_paths=self._base_paths,
-                )
-                self._molecules = amol.infer_molecules(positions)
-                lp2: dict = {}
-                for (b, li), ps in positions.items():
-                    lp2.setdefault(li, {})[b] = ps
-                self._line_positions = lp2
+                self._refresh_positions(D, lines, rs)
 
                 # KillMisassembledCells escalation over the joined lines
                 # (CP.cc:942-1106: base tier x2 behavior folded into one
@@ -1034,21 +1106,7 @@ class Pipeline:
                     n_killed += len(dels)
                     D = del_edges(D, dels)
                     D.validate()
-                    lines = alines3.find_lines(D)
-                    self._dpaths, self._dlen = aplace2.place_reads(
-                        D, edges, plen,
-                        read_bc=rs.bc if rs.barcoded else None,
-                        lines=lines,
-                    )
-                    positions = amol.read_line_positions(
-                        D, lines, self._dpaths, self._dlen, rs.bc,
-                        base_paths=self._base_paths,
-                    )
-                    self._molecules = amol.infer_molecules(positions)
-                    lp3: dict = {}
-                    for (b, li), ps in positions.items():
-                        lp3.setdefault(li, {})[b] = ps
-                    self._line_positions = lp3
+                    lines = self._refresh_line_state(D, rs, edges, plen)
                 # position-free variant: flank-edge barcode-set sharing
                 # (KillMisassembledCellsAlt, Super.cc:802)
                 dels_alt = amis2.kill_misassembled_cells_alt(D, lines, ebcx)
@@ -1056,21 +1114,7 @@ class Pipeline:
                     n_killed += len(dels_alt)
                     D = del_edges(D, dels_alt)
                     D.validate()
-                    lines = alines3.find_lines(D)
-                    self._dpaths, self._dlen = aplace2.place_reads(
-                        D, edges, plen,
-                        read_bc=rs.bc if rs.barcoded else None,
-                        lines=lines,
-                    )
-                    positions = amol.read_line_positions(
-                        D, lines, self._dpaths, self._dlen, rs.bc,
-                        base_paths=self._base_paths,
-                    )
-                    self._molecules = amol.infer_molecules(positions)
-                    lp4: dict = {}
-                    for (b, li), ps in positions.items():
-                        lp4.setdefault(li, {})[b] = ps
-                    self._line_positions = lp4
+                    lines = self._refresh_line_state(D, rs, edges, plen)
                 if n_killed:
                     self.stats.log(
                         "misassembled_cells_killed", n_killed,
@@ -1085,24 +1129,11 @@ class Pipeline:
                 if n_canon:
                     D = D2c2
                     D.validate()
-                    lines = alines3.find_lines(D)
-                    self._dpaths, self._dlen = aplace2.place_reads(
-                        D, edges, plen,
-                        read_bc=rs.bc if rs.barcoded else None,
-                        lines=lines,
-                    )
-                    positions = amol.read_line_positions(
-                        D, lines, self._dpaths, self._dlen, rs.bc,
-                        base_paths=self._base_paths,
-                    )
-                    self._molecules = amol.infer_molecules(positions)
-                    lp5: dict = {}
-                    for (b, li), ps in positions.items():
-                        lp5.setdefault(li, {})[b] = ps
-                    self._line_positions = lp5
+                    lines = self._refresh_line_state(D, rs, edges, plen)
                     self.stats.log(
                         "cells_canonicalized", n_canon, stage="scaffold"
                     )
+                self._save_sup_snapshot("fase", D)
                 from ..asm.lines import canonical_lines
                 from ..asm.scaffold import Scaffold
 
