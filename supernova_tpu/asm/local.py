@@ -142,15 +142,45 @@ def local_unipath_edges(seqs, k: int = K, min_count: int = 2):
     the {-3} sequence-gap splice convention (GapAwareWalker)."""
     from ..core import dna
 
-    counts: Dict[str, int] = {}
+    # vectorized counting: pack each k-window into TWO uint64 halves
+    # (2 bits/base; k <= 64) and count sorted runs — replaces per-character
+    # Python dict counting; only the KEPT kmers (few) are decoded back to
+    # strings for the unitig walk below
+    assert k <= 64
+    k1 = k // 2
+    k2 = k - k1
+    pow1 = np.uint64(4) ** np.arange(k1 - 1, -1, -1, dtype=np.uint64)
+    pow2 = np.uint64(4) ** np.arange(k2 - 1, -1, -1, dtype=np.uint64)
+    his, los = [], []
     for s in seqs:
+        s = np.asarray(s, np.uint8)
         if len(s) < k:
             continue
-        for strand in (dna.codes_to_seq(s), dna.codes_to_seq(dna.revcomp(s))):
-            for i in range(len(strand) - k + 1):
-                km = strand[i : i + k]
-                counts[km] = counts.get(km, 0) + 1
-    kept = [km for km, c in counts.items() if c >= min_count]
+        for c in (s, dna.revcomp(s).astype(np.uint8)):
+            w = np.lib.stride_tricks.sliding_window_view(
+                c.astype(np.uint64), k
+            )
+            his.append((w[:, :k1] * pow1).sum(axis=1, dtype=np.uint64))
+            los.append((w[:, k1:] * pow2).sum(axis=1, dtype=np.uint64))
+    kept: List[str] = []
+    if his:
+        hi = np.concatenate(his)
+        lo = np.concatenate(los)
+        order = np.lexsort((lo, hi))
+        hi, lo = hi[order], lo[order]
+        starts = np.r_[True, (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+        sidx = np.flatnonzero(starts)
+        cnt = np.diff(np.r_[sidx, len(hi)])
+        sel = sidx[cnt >= min_count]
+
+        def _decode(v: int, kk: int) -> str:
+            return "".join(
+                "ACGT"[(int(v) >> (2 * j)) & 3] for j in range(kk - 1, -1, -1)
+            )
+
+        kept = [
+            _decode(int(hi[i]), k1) + _decode(int(lo[i]), k2) for i in sel
+        ]
     outs: Dict[str, List[str]] = {}
     ins: Dict[str, List[str]] = {}
     for km in kept:
