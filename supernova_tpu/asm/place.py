@@ -152,21 +152,33 @@ def barcode_territories(
     nd = D.n_edges
     cached = getattr(lines, "_territory_maps", None)
     if cached is not None and cached[0] == nd:
-        _, epos, eunit, unit_offs = cached
+        _, epos, eunit, unit_offs, el_csr = cached
     else:
         epos = np.full(nd, -1, np.int64)
         eunit = np.full(nd, -1, np.int64)
         unit_offs = {}
+        el_csr = {}  # line -> (element offsets into values, values+dinv)
         for li, ln in enumerate(lines.lines):
             offs = element_offsets(D, ln)
             unit_offs[li] = np.asarray(offs, np.int64)
+            vals = []
+            eoffs = [0]
             for j, el in enumerate(ln.elements):
-                for d in el.edge_ids():
+                ee = np.asarray(list(el.edge_ids()), np.int64)
+                for d in ee:
                     epos[int(d)] = offs[j]
                     eunit[int(d)] = j
+                both = np.concatenate([ee, D.dinv[ee]]) if len(ee) else ee
+                vals.append(both)
+                eoffs.append(eoffs[-1] + len(both))
+            el_csr[li] = (
+                np.asarray(eoffs, np.int64),
+                np.concatenate(vals) if vals else np.zeros(0, np.int64),
+            )
         try:  # memoize: Lines/D are immutable between placement passes
             object.__setattr__(
-                lines, "_territory_maps", (nd, epos, eunit, unit_offs)
+                lines, "_territory_maps",
+                (nd, epos, eunit, unit_offs, el_csr),
             )
         except Exception:
             pass
@@ -209,10 +221,8 @@ def barcode_territories(
             while stop < n_el - 1 and offs[stop + 1] - offs[int(un[j - 1])] < ext:
                 stop += 1
             t = territories.setdefault(int(b[i]), set())
-            for jj in range(start, stop + 1):
-                for d in lines.lines[line].elements[jj].edge_ids():
-                    t.add(int(d))
-                    t.add(int(D.dinv[int(d)]))
+            eoffs, evals = el_csr[line]
+            t.update(evals[eoffs[start] : eoffs[stop + 1]].tolist())
         i = j
     return territories
 
