@@ -184,6 +184,12 @@ def closure_spans_junctions(closures, D) -> int:
     return n
 
 
+def load_closures(path) -> List[Tuple[int, ...]]:
+    z = np.load(path)
+    v, o = z["values"], z["offsets"]
+    return [tuple(int(e) for e in v[o[i]: o[i + 1]]) for i in range(len(o) - 1)]
+
+
 def save_closures(path, closures: List[Tuple[int, ...]]):
     values = np.concatenate([np.asarray(c, np.int64) for c in closures]) if closures else np.zeros(0, np.int64)
     offsets = np.zeros(len(closures) + 1, np.int64)

@@ -165,9 +165,8 @@ def barcode_territories(
             eoffs = [0]
             for j, el in enumerate(ln.elements):
                 ee = np.asarray(list(el.edge_ids()), np.int64)
-                for d in ee:
-                    epos[int(d)] = offs[j]
-                    eunit[int(d)] = j
+                epos[ee] = offs[j]
+                eunit[ee] = j
                 both = np.concatenate([ee, D.dinv[ee]]) if len(ee) else ee
                 vals.append(both)
                 eoffs.append(eoffs[-1] + len(both))

@@ -523,16 +523,32 @@ class Pipeline:
             n_vertices=nv,
             bg=bg,
         )
-        lines = alines.find_lines(D)
         dpaths, dlen = dz["dpaths"], dz["dlen"]
+        if dpaths.size and int(dpaths.max()) >= D.n_edges:
+            return None  # dpaths.npz belongs to a different D: recompute
+        lines = alines.find_lines(D)
         self._dpaths, self._dlen = dpaths, dlen
+        cpk = self.outdir / "cpaths.npz"
+        if cpk.exists():
+            from ..asm.closures import load_closures
+
+            self._closures = load_closures(cpk)  # Splat input (a.cpaths)
         if rs.barcoded:
             from ..asm import misassembly as amis
             from ..asm import molecules as amol
             from ..asm import supergraph as asg
 
             edges, plen, _off = self._base_paths
-            ebcx = pindex.edge_barcodes(edges, plen, rs.bc, bg.n_edges)
+            ek = self.outdir / "ebcx.npz"
+            ebcx = None
+            if ek.exists():
+                from ..core.ragged import Ragged as _R
+
+                ze = np.load(ek)
+                if len(ze["offsets"]) == bg.n_edges + 1:
+                    ebcx = _R(ze["values"], ze["offsets"])
+            if ebcx is None:
+                ebcx = pindex.edge_barcodes(edges, plen, rs.bc, bg.n_edges)
             sup_bcs = asg.super_edge_barcodes(D, ebcx)
             pos0 = amol.read_line_positions(
                 D, lines, dpaths, dlen, rs.bc, base_paths=self._base_paths
@@ -881,7 +897,6 @@ class Pipeline:
         """Recompute lines, placements, molecules and line positions after a
         supergraph edit (the repeated CP re-placement pattern)."""
         from ..asm import lines as alines
-        from ..asm import molecules as amol
         from ..asm import place as aplace
 
         lines = alines.find_lines(D)
@@ -906,7 +921,8 @@ class Pipeline:
             lp.setdefault(li, {})[b] = ps
         self._line_positions = lp
 
-    def _save_sup_snapshot(self, name: str, D) -> None:
+    def _save_sup_snapshot(self, name: str, D, extra: dict | None = None
+                           ) -> None:
         """CP-phase supergraph snapshot ({star,patch,fase}/a.sup.npz — the
         reference's per-stage a.sup BasicWrite family, CP.cc:365-471)."""
         d = self.outdir / name
@@ -918,10 +934,14 @@ class Pipeline:
             dinv=D.dinv,
             from_v=D.from_v,
             to_v=D.to_v,
+            **(extra or {}),
         )
 
-    def _load_sup_snapshot(self, bg, path):
-        """Load a phase snapshot if it matches the current base graph."""
+    def _load_sup_snapshot(self, bg, path, want_reads: int | None = None,
+                           want_paths: bool = False):
+        """Load a phase snapshot when it matches the current base graph
+        (and, when recorded, the read count).  want_paths=True additionally
+        returns the snapshot's placements -> (D, dpaths, dlen)."""
         if not path.exists():
             return None
         from ..asm.supergraph import SuperGraph
@@ -931,12 +951,23 @@ class Pipeline:
         ev = z["epaths_values"]
         if ev.size and int(ev.max()) >= bg.n_edges:
             return None
+        if "n_base_edges" in z and int(z["n_base_edges"]) != bg.n_edges:
+            return None
+        if want_reads is not None and (
+            "n_reads" not in z or int(z["n_reads"]) != want_reads
+        ):
+            return None
         from_v, to_v = z["from_v"], z["to_v"]
         nv = int(max(from_v.max(), to_v.max())) + 1 if len(from_v) else 0
-        return SuperGraph(
+        D = SuperGraph(
             epaths=Ragged(ev, z["epaths_offsets"]),
             dinv=z["dinv"], from_v=from_v, to_v=to_v, n_vertices=nv, bg=bg,
         )
+        if want_paths:
+            if "dpaths" not in z:
+                return None
+            return D, z["dpaths"], z["dlen"]
+        return D
 
     def stage_scaffold_phase(self, D, lines, rp, rs):
         """CP analogue: barcode links -> scaffolds; Flipper -> phasing.
@@ -957,15 +988,18 @@ class Pipeline:
         if self.resume and rs.barcoded and lp:
             # CP START=fase re-entry: skip the gap-editing phases when the
             # pre-phasing supergraph snapshot matches this graph
-            Dr = self._load_sup_snapshot(
-                D.bg, self.outdir / "fase" / "a.sup.npz"
+            got = self._load_sup_snapshot(
+                D.bg, self.outdir / "fase" / "a.sup.npz",
+                want_reads=rs.n_reads, want_paths=True,
             )
-            if Dr is not None:
-                D = Dr
-                lines = self._refresh_line_state(D, rs, edges, plen)
+            if got is not None:
+                from ..asm import lines as alines_r
                 from ..asm.lines import canonical_lines
                 from ..asm.scaffold import Scaffold
 
+                D, self._dpaths, self._dlen = got
+                lines = alines_r.find_lines(D)
+                self._refresh_positions(D, lines, rs)
                 scaffolds = [
                     Scaffold([int(li)], []) for li in canonical_lines(lines)
                 ]
@@ -1002,18 +1036,11 @@ class Pipeline:
                 # Unvoid: barcode-restricted local assembly over the {-2}
                 # gaps Stackaroo left open (BuildLocal.cc:1055, CP.cc:790;
                 # barcode membership reaches reads that never placed)
-                from ..asm import lines as alines2
                 from ..asm import local as alocal
-                from ..asm import place as aplace2
 
-                def _refresh(D):
-                    ln = alines2.find_lines(D)
-                    self._dpaths, self._dlen = aplace2.place_reads(
-                        D, edges, plen,
-                        read_bc=rs.bc if rs.barcoded else None,
-                        lines=ln,
-                    )
-                    return ln
+                _refresh = lambda D: self._refresh_line_state(
+                    D, rs, edges, plen
+                )
 
                 D2u, n_unvoid = alocal.unvoid(D, rs, ebcx)
                 if n_unvoid:
@@ -1067,12 +1094,7 @@ class Pipeline:
                     if n_sp:
                         D = D3
                         D.validate()
-                        lines = alines2.find_lines(D)
-                        self._dpaths, self._dlen = aplace2.place_reads(
-                            D, edges, plen,
-                            read_bc=rs.bc if rs.barcoded else None,
-                            lines=lines,
-                        )
+                        lines = self._refresh_line_state(D, rs, edges, plen)
                         self.stats.log(
                             "gaps_splatted", n_sp,
                             "pair gaps replaced by closure sequence",
@@ -1085,7 +1107,6 @@ class Pipeline:
                 # KillMisassembledCells escalation over the joined lines
                 # (CP.cc:942-1106: base tier x2 behavior folded into one
                 # pass here, then the wider-dead-zone and long-range tiers)
-                from ..asm import lines as alines3
                 from ..asm import misassembly as amis2
                 from ..asm.inversion import delete_edges as del_edges
 
@@ -1133,7 +1154,15 @@ class Pipeline:
                     self.stats.log(
                         "cells_canonicalized", n_canon, stage="scaffold"
                     )
-                self._save_sup_snapshot("fase", D)
+                self._save_sup_snapshot(
+                    "fase", D,
+                    extra={
+                        "n_reads": np.int64(rs.n_reads),
+                        "n_base_edges": np.int64(D.bg.n_edges),
+                        "dpaths": self._dpaths,
+                        "dlen": self._dlen,
+                    },
+                )
                 from ..asm.lines import canonical_lines
                 from ..asm.scaffold import Scaffold
 

@@ -109,3 +109,31 @@ def test_pipeline_resume_skips_patch_recompute(tmp_path, rng):
     p2.run_full(rs, flavors=("raw",))
     assert patched.stat().st_mtime == mtime, "patch stage recomputed"
     assert p2.stats.get("assembly_checksum") == p1.stats.get("assembly_checksum")
+
+
+def test_resume_mid_scaffold_restores_closures(tmp_path, rng):
+    """Crash-between-supergraph-and-fase scenario: resume must restore the
+    saved closures (Splat input) and reproduce the fresh run's stats."""
+    import shutil
+
+    from supernova_tpu.pipeline.run import Pipeline
+
+    g = sim.random_genome(rng, 6000, n_repeat_chunks=1, repeat_len=150)
+    _, hb = sim.diploidize(rng, g, 0.001)
+    wl = sim.make_whitelist(rng, 64)
+    reads = sim.simulate_linked_reads(
+        rng, (g, hb), wl, n_barcodes=30, molecules_per_barcode=2,
+        molecule_len=3000, coverage_per_molecule=2.0,
+    )
+    rs = ingest_sim(reads, wl)
+    p1 = Pipeline(tmp_path / "a")
+    p1.run_full(rs, flavors=("raw",))
+    # simulate a crash after the supergraph stage: drop every scaffold-phase
+    # artifact but keep supergraph.npz/dpaths.npz/cpaths.npz
+    for name in ("star", "starstar", "patch", "fase"):
+        shutil.rmtree(tmp_path / "a" / name, ignore_errors=True)
+    p2 = Pipeline(tmp_path / "a", resume=True)
+    p2.run_full(rs, flavors=("raw",))
+    assert getattr(p2, "_closures", None) is not None
+    for k in ("assembly_checksum", "contig_N50", "assembly_size"):
+        assert p1.stats.get(k) == p2.stats.get(k), k
