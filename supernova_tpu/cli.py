@@ -514,6 +514,11 @@ def main(argv=None) -> int:
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
     ap = argparse.ArgumentParser(prog="supernova_tpu")
+    ap.add_argument(
+        "--platform", default=None,
+        help="force the JAX backend (e.g. cpu, tpu); also via "
+             "SUPERNOVA_TPU_PLATFORM env",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("run", help="assemble 10x linked-read FASTQs")
@@ -638,6 +643,9 @@ def main(argv=None) -> int:
     b.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    from supernova_tpu.core import jaxconfig
+
+    jaxconfig.ensure_platform(args.platform)  # no-op unless flag/env set
     if getattr(args, "localcores", None):
         # host-thread cap (the reference's --localcores).  Must be set
         # BEFORE jax/XLA load (they are imported lazily inside the

@@ -10,6 +10,24 @@ from __future__ import annotations
 import os
 
 _DONE = False
+_PLATFORM_DONE = False
+
+
+def ensure_platform(platform: str | None = None):
+    """Force the JAX backend (e.g. "cpu") before any computation runs.
+
+    Setting the JAX_PLATFORMS env var is not always enough on hosts where a
+    site plugin registers an experimental platform; `jax.config.update`
+    wins.  No-op when neither `platform` nor SUPERNOVA_TPU_PLATFORM is set.
+    """
+    global _PLATFORM_DONE
+    plat = platform or os.environ.get("SUPERNOVA_TPU_PLATFORM")
+    if not plat or _PLATFORM_DONE:
+        return
+    _PLATFORM_DONE = True
+    import jax
+
+    jax.config.update("jax_platforms", plat)
 
 
 def ensure_cache(path: str | None = None):

@@ -418,12 +418,15 @@ class Pipeline:
         # ExtendPathsNew: extend through unambiguous walks (Extend.cc:15)
         from ..asm import bads as abads
 
-        edges, plen, n_ext = abads.extend_paths(bg, rs, edges, plen, offset)
+        edges, plen, offset, n_ext = abads.extend_paths(
+            bg, rs, edges, plen, offset
+        )
         if n_ext:
             import jax.numpy as jnp
 
             rp = rp._replace(
-                edges=jnp.asarray(edges), path_len=jnp.asarray(plen)
+                edges=jnp.asarray(edges), path_len=jnp.asarray(plen),
+                offset=jnp.asarray(offset),
             )
             self.stats.log("paths_extended", n_ext, stage="paths")
         # zipped (ReadPathVecX-style) path checkpoint: first edge + branch
