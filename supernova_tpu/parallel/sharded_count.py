@@ -210,6 +210,198 @@ def sharded_count(
     )(codes_ext, pos_read, glen_pos, bc_pos)
 
 
+# ------------------------------------------- 2-D ("host","chip") mesh path
+
+def _axis_exchange(cols, fills, key, n_groups, capacity, axis, use_ragged):
+    """Regroup rows by `key` and all-to-all them over ONE mesh axis.
+
+    `key` in [0, n_groups) routes a row to that index along `axis`; any
+    key >= n_groups marks an invalid row (dropped).  Returns (cols,
+    n_dropped) where cols are the exchanged flat columns of length
+    `capacity` (fill rows carry `fills`).  The building block of the
+    hierarchical (DCN-aware) shuffle below; same contract as the flat
+    exchange in _sharded_count_local.
+    """
+    n = cols[0].shape[0]
+    cap_per = capacity // n_groups
+    ks, *scols = jax.lax.sort(
+        (key.astype(U32),) + tuple(cols), num_keys=1, is_stable=True
+    )
+    counts = jax.ops.segment_sum(
+        jnp.ones((n,), I32), ks.astype(I32), num_segments=n_groups + 1,
+        indices_are_sorted=True,
+    )[:n_groups]
+    input_offsets = jnp.cumsum(counts) - counts
+
+    if use_ragged:
+        S = jax.lax.all_gather(counts, axis)  # (n_groups, n_groups)
+        me = jax.lax.axis_index(axis)
+        recv_sizes = S[:, me]
+        col_excl = jnp.cumsum(S, axis=0) - S
+        output_offsets = col_excl[me, :]
+        out = tuple(
+            jax.lax.ragged_all_to_all(
+                col,
+                jnp.full((capacity,), fill, U32),
+                input_offsets.astype(I32),
+                counts.astype(I32),
+                output_offsets.astype(I32),
+                recv_sizes.astype(I32),
+                axis_name=axis,
+            )
+            for col, fill in zip(scols, fills)
+        )
+        n_recv = jnp.sum(recv_sizes)
+        row_ok = jnp.arange(capacity) < n_recv
+        out = tuple(
+            jnp.where(row_ok, col, fill) for col, fill in zip(out, fills)
+        )
+        dropped = jnp.maximum(n_recv - capacity, 0)
+        return out, dropped
+
+    rank = jnp.arange(n, dtype=I32) - input_offsets[
+        jnp.minimum(ks, n_groups - 1).astype(I32)
+    ]
+    ok = (ks < n_groups) & (rank < cap_per)
+    idx = jnp.where(
+        ok, jnp.minimum(ks, n_groups - 1).astype(I32) * cap_per + rank,
+        n_groups * cap_per,
+    )
+
+    def exchange(col, fill):
+        buf = jnp.full((n_groups * cap_per,), fill, U32)
+        buf = buf.at[idx].set(col, mode="drop")
+        return jax.lax.all_to_all(
+            buf.reshape(n_groups, cap_per), axis, 0, 0, tiled=False
+        ).reshape(n_groups * cap_per)
+
+    out = tuple(exchange(col, fill) for col, fill in zip(scols, fills))
+    dropped = jnp.sum(jnp.maximum(counts - cap_per, 0))
+    return out, dropped
+
+
+def _sharded_count_local_hier(
+    codes_ext,
+    pos_read,
+    glen_pos,
+    bc_pos,
+    n_hosts: int,
+    chips_per_host: int,
+    capacity: int,
+    min_freq: int,
+    min_bc: int,
+    use_ragged: bool,
+    uniform_rl: int | None = None,
+):
+    """Per-device body on the ("host","chip") mesh: hierarchical shuffle.
+
+    A flat all-to-all over H*C devices sends (H-1)*C small messages per
+    device over DCN.  The hierarchical form sends each row over DCN exactly
+    once, in C-times-larger per-host messages:
+      phase 1 (ICI): regroup locally so chip j holds rows whose destination
+        HOST h* satisfies h* % C == j;
+      phase 2 (DCN): one all-to-all over the host axis delivers rows to
+        their destination host (landing on chip j);
+      phase 3 (ICI): local all-to-all delivers rows to their destination
+        chip.
+    Identical final shard contents to the flat exchange (the shard key is
+    the same hash % (H*C)).
+    """
+    from .mesh import CHIP_AXIS, HOST_AXIS
+
+    H, C = n_hosts, chips_per_host
+    n_shards = H * C
+    canon, bc, lm, rm, valid = extract_occurrences(
+        codes_ext, pos_read, glen_pos, bc_pos
+    )
+    packed = pack_occurrence_attrs(bc, lm, rm, valid)
+    if uniform_rl is not None:
+        from ..kmer.count import uniform_tail_cut
+
+        a_, b_, c_, packed = uniform_tail_cut(
+            uniform_rl, canon.a, canon.b, canon.c, packed
+        )
+        valid = ((packed >> np.uint32(1)) & np.uint32(1)) == 1
+        canon = W3(a_, b_, c_).where(valid, kc.SENTINEL)
+
+    shard = kmer_shard_hash(canon) % np.uint32(n_shards)
+    cols = (canon.a, canon.b, canon.c, packed, shard)
+    fills = (kc.SENTINEL, kc.SENTINEL, kc.SENTINEL, np.uint32(0), np.uint32(0))
+
+    def valid_of(pk):
+        return ((pk >> np.uint32(1)) & np.uint32(1)) == 1
+
+    # phase 1 (ICI): destination host, spread across local chips
+    key = jnp.where(valid, (cols[4] // C) % C, U32(C))
+    cols, d1 = _axis_exchange(cols, fills, key, C, capacity, CHIP_AXIS, use_ragged)
+    # phase 2 (DCN): to the destination host
+    v = valid_of(cols[3])
+    key = jnp.where(v, cols[4] // C, U32(H))
+    cols, d2 = _axis_exchange(cols, fills, key, H, capacity, HOST_AXIS, use_ragged)
+    # phase 3 (ICI): to the destination chip
+    v = valid_of(cols[3])
+    key = jnp.where(v, cols[4] % C, U32(C))
+    cols, d3 = _axis_exchange(cols, fills, key, C, capacity, CHIP_AXIS, use_ragged)
+
+    words = W3(cols[0], cols[1], cols[2])
+    rbc, rlm, rrm, rvalid = unpack_occurrence_attrs(cols[3])
+    table = reduce_occurrences(words, rbc, rlm, rrm, rvalid, min_freq, min_bc)
+    table = table._replace(n_valid=table.n_valid.reshape(1))
+    overflow = jax.lax.psum(d1 + d2 + d3, (HOST_AXIS, CHIP_AXIS))
+    return table, overflow.reshape(1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "n_hosts", "chips_per_host", "capacity", "min_freq",
+        "min_bc", "use_ragged", "uniform_rl",
+    ),
+)
+def sharded_count_hier(
+    mesh,
+    codes_ext,
+    pos_read,
+    glen_pos,
+    bc_pos,
+    n_hosts: int,
+    chips_per_host: int,
+    capacity: int,
+    min_freq: int = MIN_FREQ,
+    min_bc: int = MIN_BC,
+    use_ragged: bool | None = None,
+    uniform_rl: int | None = None,
+):
+    """Multi-host counting over a make_mesh2 ("host","chip") mesh with the
+    DCN-aware hierarchical shuffle.  Same outputs as sharded_count with
+    n_dev = n_hosts * chips_per_host (shard tables stack host-major)."""
+    from .mesh import CHIP_AXIS, HOST_AXIS
+
+    if use_ragged is None:
+        use_ragged = jax.default_backend() == "tpu"
+    lcm = n_hosts * chips_per_host
+    capacity = -(-capacity // lcm) * lcm
+    fn = partial(
+        _sharded_count_local_hier,
+        n_hosts=n_hosts,
+        chips_per_host=chips_per_host,
+        capacity=capacity,
+        min_freq=min_freq,
+        min_bc=min_bc,
+        use_ragged=use_ragged,
+        uniform_rl=uniform_rl,
+    )
+    spec = P((HOST_AXIS, CHIP_AXIS))
+    table_spec = KmerTable(W3(spec, spec, spec), spec, spec, spec, spec, spec)
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(table_spec, spec),
+    )(codes_ext, pos_read, glen_pos, bc_pos)
+
+
 # ------------------------------------------------------------------- host
 
 def split_readset(rs, n_dev: int, base_bucket: int = 16384, read_bucket: int = 1024):
