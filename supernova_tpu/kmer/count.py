@@ -204,7 +204,7 @@ def reduce_occurrences(
             ws.a, ws.b, ws.c, pk, min_freq, min_bc
         )
         keep = keep_u == 1
-        n_valid, (wa, wb, wc, c2, st2) = seg.stable_compact(
+        n_valid, (wa, wb, wc, c2, st2) = seg.compact_sorted_words(
             keep, ws.a, ws.b, ws.c, count, stats
         )
         m = jnp.arange(nb) < n_valid
@@ -261,7 +261,7 @@ def reduce_occurrences(
     keep = (
         ends & real & (count >= min_freq) & (has_ign | (nbc >= min_bc))
     )
-    n_valid, (wa, wb, wc, c2, b2, l2, r2) = seg.stable_compact(
+    n_valid, (wa, wb, wc, c2, b2, l2, r2) = seg.compact_sorted_words(
         keep, ws.a, ws.b, ws.c, count, nbc, lmask_u, rmask_u
     )
     m = jnp.arange(nb) < n_valid
@@ -390,7 +390,7 @@ def _reduce_occurrences_raw(canon: W3, bc, lm, rm, valid) -> RawBlockTable:
         )
         keep = ends & ~kc.is_sentinel(ws) & (count >= 1)
 
-    n_valid, (wa, wb, wc, c2, st2) = seg.stable_compact(
+    n_valid, (wa, wb, wc, c2, st2) = seg.compact_sorted_words(
         keep, ws.a, ws.b, ws.c, count, stats
     )
     m = jnp.arange(nb) < n_valid
@@ -463,7 +463,7 @@ def merge_raw_blocks(wa, wb, wc, count, stats, min_freq: int, min_bc: int
         ends & ~kc.is_sentinel(ws) & (total >= min_freq)
         & (ign | (nbc >= min_bc))
     )
-    n_valid, (a2, b2, c2, t2, n2, l2, r2) = seg.stable_compact(
+    n_valid, (a2, b2, c2, t2, n2, l2, r2) = seg.compact_sorted_words(
         keep, ws.a, ws.b, ws.c, total, nbc, lm, rm
     )
     m = jnp.arange(n) < n_valid

@@ -110,3 +110,31 @@ def stable_compact(valid, *arrays):
     return n_valid, tuple(res)
 
 
+def compact_sorted_words(valid, wa, wb, wc, *payloads):
+    """stable_compact specialized for rows ALREADY sorted by (wa, wb, wc).
+
+    Uses an unstable 4-key sort keyed on (~valid, wa, wb, wc): kept rows
+    land in front ordered by their words — identical to the stable result —
+    while the payload column count drops from 3+P to P (20-25% less sort
+    traffic; see the TPU primitive-cost notes in ARCHITECTURE.md).  Rows
+    beyond n_valid are zeroed (words get the caller's fill via .where).
+    Only correct when kept rows have DISTINCT (wa, wb, wc) — true for
+    run-end rows of a kmer-sorted occurrence array.
+    """
+    valid = jnp.asarray(valid)
+    n = valid.shape[0]
+    key = (~valid).astype(jnp.uint32)
+    out = jax.lax.sort(
+        (key, jnp.asarray(wa), jnp.asarray(wb), jnp.asarray(wc))
+        + tuple(jnp.asarray(p) for p in payloads),
+        num_keys=4,
+        is_stable=False,
+    )
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    live = jnp.arange(n) < n_valid
+    res = tuple(
+        jnp.where(live, c, jnp.zeros((), c.dtype)) for c in out[1:]
+    )
+    return n_valid, res
+
+

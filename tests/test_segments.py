@@ -34,3 +34,36 @@ def test_stable_compact():
     assert int(n) == 3
     assert np.asarray(a2)[:3].tolist() == [11, 13, 14]
     assert np.asarray(w2)[:3].tolist() == [[2, 3], [6, 7], [8, 9]]
+
+
+def test_compact_sorted_words_matches_stable():
+    """Unstable 4-key compaction == stable compaction when rows are sorted
+    by words and kept rows have distinct words (run-end rows)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from supernova_tpu.ops import segments as seg
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    # sorted-by-words rows with duplicates (runs)
+    wa = np.sort(rng.integers(0, 50, n).astype(np.uint32))
+    wb = np.zeros(n, np.uint32)
+    wc = np.arange(n, dtype=np.uint32) // 7  # runs share wc too
+    order = np.lexsort((wc, wb, wa))
+    wa, wc = wa[order], wc[order]
+    # keep = last row of each (wa, wb, wc) run -> distinct kept words
+    last = np.concatenate(
+        [(wa[1:] != wa[:-1]) | (wc[1:] != wc[:-1]), [True]]
+    )
+    pay1 = rng.integers(0, 1000, n).astype(np.uint32)
+    pay2 = rng.integers(0, 1000, n).astype(np.uint32)
+    nv1, r1 = seg.stable_compact(
+        jnp.asarray(last), wa, wb, wc, pay1, pay2
+    )
+    nv2, r2 = seg.compact_sorted_words(
+        jnp.asarray(last), wa, wb, wc, pay1, pay2
+    )
+    k = int(nv1)
+    assert k == int(nv2)
+    for a, b in zip(r1, r2):
+        assert np.array_equal(np.asarray(a)[:k], np.asarray(b)[:k])
