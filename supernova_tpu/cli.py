@@ -34,6 +34,13 @@ def cmd_run(args) -> int:
             print(f"addin: {k} = {v} (was {applied[k]})", file=sys.stderr)
 
     interleaved = False
+    if getattr(args, "reads", None):
+        # pre-ingested ReadSet (reads.npz — e.g. from import-ref): skip
+        # FASTQ discovery/preflight/ingest entirely
+        from .ingest.reads import ReadSet
+
+        rs = ReadSet.load(args.reads)
+        return _run_pipeline(args, rs)
     if getattr(args, "fastqs", None):
         # directory discovery (tenkit find_input_fastqs; ingest/discovery.py)
         from .ingest.discovery import discover_input_fastqs
@@ -53,7 +60,12 @@ def cmd_run(args) -> int:
             file=sys.stderr,
         )
     elif not (args.r1 and args.r2):
-        print("ERROR: pass --r1/--r2 or --fastqs DIR", file=sys.stderr)
+        print("ERROR: pass --r1/--r2, --fastqs DIR, or --reads NPZ",
+              file=sys.stderr)
+        return 1
+    if not args.whitelist:
+        print("ERROR: --whitelist is required for FASTQ ingest",
+              file=sys.stderr)
         return 1
 
     wl = load_whitelist(args.whitelist)
@@ -69,6 +81,12 @@ def cmd_run(args) -> int:
         args.r1, args.r2, wl, max_pairs=args.max_pairs,
         interleaved=interleaved,
     )
+    return _run_pipeline(args, rs)
+
+
+def _run_pipeline(args, rs) -> int:
+    from .pipeline.run import Pipeline
+
     ds = None
     if getattr(args, "downsample_reads", None):
         ds = {"target_reads": args.downsample_reads}
@@ -420,6 +438,82 @@ def cmd_mkfastq(args) -> int:
     return 1
 
 
+def cmd_import_ref(args) -> int:
+    """Reference intermediates -> reads.npz: read the feudal fastb/qualp +
+    BINWRITE bci triple the reference's ParseBarcodedFastqs emits
+    (10X/ParseBarcodedFastqs.cc:174-234; ingest/feudal.py has the formats).
+    The result runs directly: `run --reads OUT/reads.npz`."""
+    from pathlib import Path
+
+    from .ingest import feudal
+    from .ingest.reads import ReadSet
+
+    bases = feudal.read_fastb(args.fastb)
+    n = bases.n_rows
+    if args.qualp:
+        q = feudal.read_qualp(args.qualp)
+        if q.n_rows != n or not np.array_equal(q.offsets, bases.offsets):
+            print("ERROR: qualp disagrees with fastb lengths", file=sys.stderr)
+            return 1
+        quals = q.values
+    else:
+        quals = np.full(len(bases.values), 37, np.uint8)
+    if args.bci:
+        bci = feudal.read_bci(args.bci).astype(np.int64)
+        if bci[0] != 0 or bci[-1] != n or (np.diff(bci) < 0).any():
+            print("ERROR: bad bci (not a CSR over the reads)", file=sys.stderr)
+            return 1
+        bc = np.repeat(
+            np.arange(len(bci) - 1, dtype=np.int32), np.diff(bci)
+        )
+        barcoded = len(bci) > 2
+    else:
+        bci = np.array([0, n], np.int64)
+        bc = np.zeros(n, np.int32)
+        barcoded = False
+    rs = ReadSet(
+        codes=bases.values, offsets=bases.offsets, quals=quals, bc=bc,
+        bci=bci, barcoded=barcoded,
+    )
+    rs.validate()
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    rs.save(out / "reads.npz")
+    print(json.dumps({
+        "n_reads": rs.n_reads, "n_bases": int(rs.offsets[-1]),
+        "n_barcodes": rs.n_barcodes, "out": str(out / "reads.npz"),
+    }))
+    return 0
+
+
+def cmd_export_ref(args) -> int:
+    """reads.npz -> reference-format fastb/qualp/bci (and, with --graph,
+    the unipath edges as a BINWRITE vec<basevector> like tada's asm_graph,
+    debruijn.rs:885-930)."""
+    from pathlib import Path
+
+    from .core.ragged import Ragged
+    from .ingest import feudal
+    from .ingest.reads import ReadSet
+
+    d = Path(args.dir)
+    head = Path(args.out_head)
+    head.parent.mkdir(parents=True, exist_ok=True)
+    rs = ReadSet.load(d / "reads.npz")
+    feudal.write_fastb(str(head) + ".fastb", Ragged(rs.codes, rs.offsets))
+    feudal.write_qualp(str(head) + ".qualp", Ragged(rs.quals, rs.offsets))
+    feudal.write_bci(str(head) + ".bci", rs.bci.astype(np.int64))
+    written = [str(head) + s for s in (".fastb", ".qualp", ".bci")]
+    if args.graph and (d / "graph.npz").exists():
+        from .dbg.graph import BaseGraph
+
+        bg = BaseGraph.load(d / "graph.npz")
+        feudal.write_bvecs(str(head) + ".asm_graph.bv", bg.edges)
+        written.append(str(head) + ".asm_graph.bv")
+    print(json.dumps({"written": written}))
+    return 0
+
+
 def cmd_readcount(args) -> int:
     """Print the read count of a reads.npz checkpoint — the reference's
     FastFastbCount utility (10X/FastFastbCount.cc, used by the DF stage's
@@ -537,7 +631,11 @@ def main(argv=None) -> int:
                         "blocked count already bounds device memory)")
     r.add_argument("--description", default=None,
                    help="free-text run description (recorded in stats)")
-    r.add_argument("--whitelist", required=True)
+    r.add_argument("--whitelist", default=None,
+                   help="barcode whitelist (required unless --reads)")
+    r.add_argument("--reads", default=None,
+                   help="pre-ingested reads.npz (e.g. from import-ref); "
+                        "skips FASTQ ingest")
     r.add_argument("--out", required=True)
     r.add_argument("--flavors", default="raw,megabubbles,pseudohap,pseudohap2")
     r.add_argument("--max-pairs", type=int, default=None)
@@ -606,6 +704,27 @@ def main(argv=None) -> int:
     mf = sub.add_parser("mkfastq", help="BCL run folder -> FASTQs (gated)")
     mf.add_argument("--run", required=True)
     mf.set_defaults(fn=cmd_mkfastq)
+
+    ir = sub.add_parser(
+        "import-ref",
+        help="reference fastb/qualp/bci intermediates -> reads.npz",
+    )
+    ir.add_argument("--fastb", required=True)
+    ir.add_argument("--qualp", default=None)
+    ir.add_argument("--bci", default=None)
+    ir.add_argument("--out", required=True, help="output directory")
+    ir.set_defaults(fn=cmd_import_ref)
+
+    er = sub.add_parser(
+        "export-ref",
+        help="reads.npz (+ graph) -> reference fastb/qualp/bci formats",
+    )
+    er.add_argument("--dir", required=True, help="run directory")
+    er.add_argument("--out-head", required=True,
+                    help="output path head (e.g. out/frag_reads_orig)")
+    er.add_argument("--graph", action="store_true",
+                    help="also write the unipath graph as BINWRITE bv")
+    er.set_defaults(fn=cmd_export_ref)
 
     rc = sub.add_parser("readcount", help="read count of a reads.npz (FastFastbCount)")
     rc.add_argument("--reads", required=True)

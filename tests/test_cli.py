@@ -211,3 +211,53 @@ def test_tarmri_and_readcount(tmp_path):
     assert "summary.json" in names and "_sitecheck" in names
     assert "big.npz" not in names and "reads.npz" not in names
     assert cli.main(["readcount", "--reads", str(d / "reads.npz")]) == 0
+
+
+def test_cli_export_import_ref_roundtrip(tmp_path):
+    """export-ref writes reference-format fastb/qualp/bci; import-ref reads
+    them back into a bit-identical ReadSet, runnable via run --reads."""
+    simdir = tmp_path / "sim"
+    assert cli.main([
+        "simulate", "--out", str(simdir), "--genome-size", "6000",
+        "--barcodes", "30", "--whitelist-size", "128", "--repeats", "1",
+    ]) == 0
+    out1 = tmp_path / "asm1"
+    assert cli.main([
+        "run", "--r1", str(simdir / "sample_R1.fastq.gz"),
+        "--r2", str(simdir / "sample_R2.fastq.gz"),
+        "--whitelist", str(simdir / "whitelist.txt"),
+        "--out", str(out1), "--flavors", "raw",
+    ]) == 0
+    head = tmp_path / "ref" / "frag_reads_orig"
+    assert cli.main([
+        "export-ref", "--dir", str(out1), "--out-head", str(head), "--graph",
+    ]) == 0
+    for suf in (".fastb", ".qualp", ".bci", ".asm_graph.bv"):
+        assert Path(str(head) + suf).exists()
+
+    imp = tmp_path / "imp"
+    assert cli.main([
+        "import-ref", "--fastb", str(head) + ".fastb",
+        "--qualp", str(head) + ".qualp", "--bci", str(head) + ".bci",
+        "--out", str(imp),
+    ]) == 0
+    from supernova_tpu.ingest.reads import ReadSet
+
+    a = ReadSet.load(out1 / "reads.npz")
+    b = ReadSet.load(imp / "reads.npz")
+    assert np.array_equal(a.codes, b.codes)
+    assert np.array_equal(a.offsets, b.offsets)
+    assert np.array_equal(a.quals, b.quals)
+    assert np.array_equal(a.bc, b.bc)
+    assert np.array_equal(a.bci, b.bci)
+    assert a.barcoded == b.barcoded
+
+    # the imported reads assemble to the same graph checksum
+    out2 = tmp_path / "asm2"
+    assert cli.main([
+        "run", "--reads", str(imp / "reads.npz"),
+        "--out", str(out2), "--flavors", "raw",
+    ]) == 0
+    s1 = json.loads((out1 / "summary.json").read_text())
+    s2 = json.loads((out2 / "summary.json").read_text())
+    assert s1["assembly_checksum"] == s2["assembly_checksum"]
