@@ -263,7 +263,12 @@ def trim_table(table: KmerTable, pad_multiple: int = 1024) -> KmerTable:
     m = max(pad_multiple, -(-n // pad_multiple) * pad_multiple)
     words = np.full((m, 3), kc.SENTINEL, dtype=np.uint32)
     words[:n] = kc.soa_to_np(table.words)[:n]
-    sl = lambda a: jnp.asarray(np.asarray(a)[:m])
+
+    def sl(a):
+        a = np.asarray(a)[:m]
+        if len(a) < m:  # incoming table may be padded coarser OR finer
+            a = np.concatenate([a, np.zeros(m - len(a), a.dtype)])
+        return jnp.asarray(a)
     return KmerTable(
         kc.np_to_soa(words),
         sl(table.count),

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import time
 from pathlib import Path
 
@@ -58,7 +59,15 @@ class Pipeline:
         self.auto_downsample = auto_downsample
         # multi_device: None = auto (shard count+build over all local chips
         # on TPU backends); True forces the mesh path (tests use the
-        # 8-virtual-device CPU mesh); False forces single-device
+        # 8-virtual-device CPU mesh); False forces single-device; a
+        # (hosts, chips_per_host) tuple selects the 2-D mesh with the
+        # DCN-aware hierarchical count exchange.  Also settable via
+        # SUPERNOVA_TPU_TOPOLOGY=HxC in the environment.
+        if multi_device is None:
+            topo = os.environ.get("SUPERNOVA_TPU_TOPOLOGY")
+            if topo:
+                h, c = topo.lower().split("x")
+                multi_device = (int(h), int(c))
         self.multi_device = multi_device
         self._shard_tables = None  # per-shard tables for the sharded build
         self._t_start = time.time()
@@ -236,6 +245,9 @@ class Pipeline:
         import jax
 
         n = len(jax.devices())
+        if isinstance(self.multi_device, tuple):
+            h, c = self.multi_device
+            return h * c if (h * c > 1 and n >= h * c) else 0
         if self.multi_device is None:
             return n if (n > 1 and jax.default_backend() == "tpu") else 0
         return n if (self.multi_device and n > 1) else 0
@@ -254,10 +266,24 @@ class Pipeline:
 
         codes, pr, glp, bcp, nbl, _rl, url = split_readset(rs, ndev)
         mesh = make_mesh(ndev)
-        tables, ovf = sharded_count(
-            mesh, *map(np.asarray, (codes, pr, glp, bcp)),
-            n_dev=ndev, capacity=4 * nbl, uniform_rl=url,
-        )
+        if isinstance(self.multi_device, tuple):
+            # 2-D (host, chip) topology: hierarchical DCN-aware exchange;
+            # shard tables land on the same devices host-major, so the
+            # flat mesh keeps working for the distributed build
+            from ..parallel.mesh import make_mesh2
+            from ..parallel.sharded_count import sharded_count_hier
+
+            h, c = self.multi_device
+            tables, ovf = sharded_count_hier(
+                make_mesh2(h, c), *map(np.asarray, (codes, pr, glp, bcp)),
+                n_hosts=h, chips_per_host=c, capacity=4 * nbl,
+                uniform_rl=url,
+            )
+        else:
+            tables, ovf = sharded_count(
+                mesh, *map(np.asarray, (codes, pr, glp, bcp)),
+                n_dev=ndev, capacity=4 * nbl, uniform_rl=url,
+            )
         if int(np.asarray(ovf).sum()) > 0:
             log.warning("sharded count overflow; single-device fallback")
             self._shard_tables = None

@@ -106,3 +106,33 @@ def test_e2e_multi_device_matches_single(tmp_path, rng):
     r2 = sorted(seq for _, seq in fout.read_fasta(
         tmp_path / "multi" / "assembly.raw.fasta.gz"))
     assert r1 == r2
+
+
+def test_e2e_2d_topology_matches_single(tmp_path, rng):
+    """Pipeline(multi_device=(4,2)) — the 2-D host/chip topology with the
+    hierarchical count exchange — produces the identical assembly."""
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 virtual devices")
+    g = sim.random_genome(rng, 5000, n_repeat_chunks=1, repeat_len=120)
+    _, hb = sim.diploidize(rng, g, het_rate=0.001)
+    wl = sim.make_whitelist(rng, 128)
+    reads = sim.simulate_linked_reads(
+        rng, (g, hb), wl, n_barcodes=40, molecules_per_barcode=2,
+        molecule_len=2500, coverage_per_molecule=2.0, error_rate=0.001,
+    )
+    rs = ingest_sim(reads, wl)
+    p1 = Pipeline(tmp_path / "single", multi_device=False)
+    p1.run_full(rs, flavors=("raw",))
+    p2 = Pipeline(tmp_path / "topo", multi_device=(4, 2))
+    p2.run_full(rs, flavors=("raw",))
+    import json
+
+    s1 = json.load(open(tmp_path / "single" / "all_stats.json"))
+    s2 = json.load(open(tmp_path / "topo" / "all_stats.json"))
+    get = lambda s, k: (s[k] if isinstance(s, dict) else
+                        {r["name"]: r["value"] for r in s}[k])
+    for k in ("assembly_checksum", "n_edges", "contig_N50", "assembly_size"):
+        assert get(s1, k) == get(s2, k), k
