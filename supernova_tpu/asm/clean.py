@@ -23,6 +23,61 @@ from ..core.kmer_codec import K
 MAX_KILL = 350  # CP.cc:838
 MIN_RATIO = 25.0  # CP.cc:839
 STRONG = 3  # the 3:0 bubble rule
+MIN_SPLAY1 = 3500  # CP.cc:83 (build-phase splay)
+MIN_SPLAY2 = 5000  # CP.cc:902 (star/fix-phase splay)
+
+
+def splay_line_ends(D, lines, llens: np.ndarray, min_splay: int | None = None) -> int:
+    """Splay the vertices at the ends of long lines (Splay,
+    10X/Super.cc:904-936; called with MIN_SPLAY1=3500 at CP.cc:620 and
+    MIN_SPLAY2=5000 at CP.cc:908,1305).
+
+    For every line of length >= min_splay, if the vertex at either end has
+    total degree > 1, every incident edge gets its own fresh vertex
+    (digraphE::SplayVertex, graph/DigraphTemplate.h:2500-2509).  This
+    severs adjacency-only connections at long-line boundaries so that only
+    barcode evidence (Star / barcode joins) can reconnect them.
+    Involution symmetry comes from processing both a line and its rc
+    (the reference's two-pass loop over i and linv[i]).
+
+    Mutates D.from_v / D.to_v / D.n_vertices in place; returns the number
+    of vertices splayed.  Line structures remain edge-valid but vertex
+    connectivity changed — callers should re-run find_lines when > 0."""
+    if min_splay is None:
+        min_splay = MIN_SPLAY1
+    indeg = np.bincount(D.to_v, minlength=D.n_vertices)
+    outdeg = np.bincount(D.from_v, minlength=D.n_vertices)
+    deg = indeg + outdeg
+    splays = set()
+    for i, ln in enumerate(lines.lines):
+        if llens[i] < min_splay:
+            continue
+        ip = int(lines.linv[i])
+        if ip < i:
+            continue
+        for li in {i, ip}:
+            L = lines.lines[li]
+            if not L.elements:
+                continue
+            p0 = L.elements[0].paths
+            p1 = L.elements[-1].paths
+            if not p0 or not len(p0[0]) or not p1 or not len(p1[0]):
+                continue
+            v = int(D.from_v[int(p0[0][0])])
+            w = int(D.to_v[int(p1[0][0])])
+            for x in (v, w):
+                if deg[x] > 1:
+                    splays.add(x)
+    nv = D.n_vertices
+    for v in sorted(splays):
+        for e in np.nonzero(D.to_v == v)[0]:
+            D.to_v[e] = nv
+            nv += 1
+        for e in np.nonzero(D.from_v == v)[0]:
+            D.from_v[e] = nv
+            nv += 1
+    D.n_vertices = nv
+    return len(splays)
 
 
 def superedge_kmers(D) -> np.ndarray:

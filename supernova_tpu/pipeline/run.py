@@ -1034,8 +1034,21 @@ class Pipeline:
                 ]
                 log.info("scaffold: resumed from the fase snapshot")
         if rs.barcoded and lp and scaffolds is None:
+            from ..asm import clean as aclean
+            from ..asm import lines as alines_s
             from ..asm import molecules as amol
 
+            # Splay vertices at long-line ends before the barcode-evidence
+            # joins (Splay, CP.cc:620): graph adjacency alone must not hold
+            # long lines together across their end vertices
+            n_sp = aclean.splay_line_ends(D, lines, lines.lengths(D))
+            if n_sp:
+                lines = alines_s.find_lines(D)
+                self._refresh_positions(D, lines, rs)
+                self.stats.log(
+                    "splayed_vertices", n_sp,
+                    "long-line end vertices splayed", stage="scaffold",
+                )
             D, lines, n_joins = self._star_multipass(D, lines, rs, ebcx)
             self._save_sup_snapshot("star", D)
             D, lines, n_bj = self._barcode_join_passes(D, lines, rs, ebcx)

@@ -88,3 +88,57 @@ def test_snip_flip_squares():
     dpaths2 = np.asarray([[0, 1, -1]] * 6 + [[0, 2, -1]] * 6, np.int64)
     dlen2 = np.full(12, 2, np.int64)
     assert aclean.snip_flip_squares(D, lines, dpaths2, dlen2) == []
+
+
+def test_splay_line_ends():
+    """A long line whose end vertex also anchors a side edge gets its end
+    vertex splayed: every incident edge ends at its own fresh vertex."""
+    # line edge e0 (long), rc twin e1; side edge e2 (short) + rc e3 share
+    # e0's right vertex (1); topology: e0: 0->1, e2: 1->2, rc mirror:
+    # e1: 3->4, e3: 5->3
+    bg = _BG([6000, 6000, 100, 100])
+    D = _D(
+        [[0], [1], [2], [3]],
+        [0, 3, 1, 5],
+        [1, 4, 2, 3],
+        6,
+        bg=bg,
+        dinv=[1, 0, 3, 2],
+    )
+    lines = Lines(
+        [Line([Cell([np.array([0])])]), Line([Cell([np.array([1])])]),
+         Line([Cell([np.array([2])])]), Line([Cell([np.array([3])])])],
+        np.array([0, 1, 2, 3]),
+        np.array([1, 0, 3, 2]),
+    )
+    llens = lines.lengths(D)
+    assert llens[0] >= 5000
+    n = aclean.splay_line_ends(D, lines, llens, 5000)
+    assert n >= 2  # vertex 1 (e0 end + e2 start) and its mirror vertex 3
+    # all four edges now meet no other edge at a shared vertex
+    heads = np.concatenate([D.from_v, D.to_v])
+    vals, counts = np.unique(heads, return_counts=True)
+    assert counts.max() == 1
+    # splay only MOVES endpoints; edge set and involution unchanged
+    assert D.n_edges == 4
+    assert np.array_equal(D.dinv, [1, 0, 3, 2])
+
+
+def test_splay_skips_short_lines():
+    bg = _BG([100, 100, 100, 100])
+    D = _D(
+        [[0], [1], [2], [3]],
+        [0, 3, 1, 5],
+        [1, 4, 2, 3],
+        6,
+        bg=bg,
+        dinv=[1, 0, 3, 2],
+    )
+    lines = Lines(
+        [Line([Cell([np.array([0])])]), Line([Cell([np.array([1])])]),
+         Line([Cell([np.array([2])])]), Line([Cell([np.array([3])])])],
+        np.array([0, 1, 2, 3]),
+        np.array([1, 0, 3, 2]),
+    )
+    n = aclean.splay_line_ends(D, lines, lines.lengths(D), 5000)
+    assert n == 0
