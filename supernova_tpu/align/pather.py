@@ -288,10 +288,15 @@ def _path_readset_blocked(bg, rs, max_path: int,
     pad_pos = max(int(b.offsets[-1]) for b in blocks)
     pad_rd = max(b.n_reads for b in blocks)
     parts = []
-    for blk in blocks:
-        inp = prepare_reads(blk, pad_to_positions=pad_pos, pad_to_reads=pad_rd)
-        rp = _path_prepared(bg, inp, max_path)
-        n = blk.n_reads
+    inp = prepare_reads(blocks[0], pad_to_positions=pad_pos, pad_to_reads=pad_rd)
+    for i in range(len(blocks)):
+        rp = _path_prepared(bg, inp, max_path)  # async dispatch
+        if i + 1 < len(blocks):
+            # overlap the next block's host prep with this device program
+            inp = prepare_reads(
+                blocks[i + 1], pad_to_positions=pad_pos, pad_to_reads=pad_rd
+            )
+        n = blocks[i].n_reads
         parts.append(
             tuple(np.asarray(x)[:n] for x in rp)
         )

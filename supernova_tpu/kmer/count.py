@@ -549,16 +549,19 @@ def count_readset_blocked(
     pad_pos = max(int(b.offsets[-1]) for b in blocks)
     pad_rd = max(b.n_reads for b in blocks)
     was, wbs, wcs, cnts, sts = [], [], [], [], []
-    for blk in blocks:
-        inp = prepare_reads(
-            blk, pad_to_positions=pad_pos, pad_to_reads=pad_rd
-        )
-        raw = count_block_raw(
+    inp = prepare_reads(blocks[0], pad_to_positions=pad_pos, pad_to_reads=pad_rd)
+    for i in range(len(blocks)):
+        raw = count_block_raw(  # async dispatch
             inp["codes_ext"], inp["pos_read"], inp["glen_pos"],
             inp["bc_pos"], min_read_len=min_read_len,
             uniform_rl=inp["uniform_rl"],
         )
-        nv = int(raw.n_valid)
+        if i + 1 < len(blocks):
+            # overlap the next block's host prep with this device program
+            inp = prepare_reads(
+                blocks[i + 1], pad_to_positions=pad_pos, pad_to_reads=pad_rd
+            )
+        nv = int(raw.n_valid)  # sync point
         was.append(np.asarray(raw.words.a)[:nv])
         wbs.append(np.asarray(raw.words.b)[:nv])
         wcs.append(np.asarray(raw.words.c)[:nv])
