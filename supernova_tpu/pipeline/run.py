@@ -441,13 +441,26 @@ class Pipeline:
         edges = np.asarray(rp.edges)[: rs.n_reads]
         plen = np.asarray(rp.path_len)[: rs.n_reads]
         offset = np.asarray(rp.offset)[: rs.n_reads]
+        # qual-tolerant seed rescue for zero-hit reads (algorithmTwo's
+        # qual-aware seeding; align/rescue.py)
+        from ..align import rescue as arescue
+
+        edges, plen, offset, n_resc = arescue.rescue_unplaced(
+            bg, rs, edges, plen, offset
+        )
+        if n_resc:
+            self.stats.log(
+                "paths_rescued", n_resc,
+                "zero-hit reads placed by low-qual substitution seeds",
+                stage="paths",
+            )
         # ExtendPathsNew: extend through unambiguous walks (Extend.cc:15)
         from ..asm import bads as abads
 
         edges, plen, offset, n_ext = abads.extend_paths(
             bg, rs, edges, plen, offset
         )
-        if n_ext:
+        if n_ext or n_resc:
             import jax.numpy as jnp
 
             rp = rp._replace(
