@@ -110,6 +110,12 @@ def stable_compact(valid, *arrays):
     return n_valid, tuple(res)
 
 
+# Streaming Pallas compactor instead of the 4-key compaction sort
+# (ops/pallas/compact.py).  Off until chip-validated; flip via
+# --addin ops.segments.PALLAS_COMPACT=1.
+PALLAS_COMPACT = False
+
+
 def compact_sorted_words(valid, wa, wb, wc, *payloads):
     """stable_compact specialized for rows ALREADY sorted by (wa, wb, wc).
 
@@ -120,9 +126,23 @@ def compact_sorted_words(valid, wa, wb, wc, *payloads):
     beyond n_valid are zeroed (words get the caller's fill via .where).
     Only correct when kept rows have DISTINCT (wa, wb, wc) — true for
     run-end rows of a kmer-sorted occurrence array.
+
+    With PALLAS_COMPACT on (TPU), a single-pass streaming kernel replaces
+    the sort: in-VMEM log-shift compaction per block + dynamic-offset DMA
+    append (ops/pallas/compact.py) — bandwidth-bound, and stable without
+    the distinct-words requirement.
     """
     valid = jnp.asarray(valid)
     n = valid.shape[0]
+    if PALLAS_COMPACT and jax.default_backend() == "tpu":
+        from .pallas.compact import compact_stream_pallas
+
+        n_valid, res = compact_stream_pallas(valid, wa, wb, wc, *payloads)
+        live = jnp.arange(n) < n_valid
+        res = tuple(
+            jnp.where(live, c, jnp.zeros((), c.dtype)) for c in res
+        )
+        return n_valid, res
     key = (~valid).astype(jnp.uint32)
     out = jax.lax.sort(
         (key, jnp.asarray(wa), jnp.asarray(wb), jnp.asarray(wc))
