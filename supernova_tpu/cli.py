@@ -327,6 +327,26 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_diagnose(args) -> int:
+    """Attribute flagged misassemblies to their creating stage
+    (asm/diagnose.py)."""
+    from .asm.diagnose import diagnose_assembly, summarize
+
+    diags = diagnose_assembly(
+        args.fasta, args.truth, args.dir, min_len=args.min_len
+    )
+    for d in diags:
+        print(f"{d.name} len={d.length}")
+        for b in d.breaks:
+            print(
+                f"  break@{b.pos} {b.left} -> {b.right} "
+                f"sep={b.separation} provenance={b.provenance}"
+            )
+    print(json.dumps({"breaks": summarize(diags),
+                      "flagged_contigs": len(diags)}))
+    return 0
+
+
 def cmd_mkoutput(args) -> int:
     """Re-emit FASTA flavors from a finished run (the reference's standalone
     `supernova mkoutput` / MakeFasta binary, 10X/tools/MakeFasta.cc)."""
@@ -667,6 +687,18 @@ def main(argv=None) -> int:
     e.add_argument("--truth", nargs="+", required=True, help=".npy code arrays")
     e.add_argument("--min-len", type=int, default=300)
     e.set_defaults(fn=cmd_evaluate)
+
+    dg = sub.add_parser(
+        "diagnose",
+        help="attribute flagged misassemblies to the pipeline decision "
+             "that created them (breakpoints + checkpoint provenance)",
+    )
+    dg.add_argument("--fasta", required=True)
+    dg.add_argument("--truth", nargs="+", required=True)
+    dg.add_argument("--dir", default=None,
+                    help="pipeline outdir for provenance classification")
+    dg.add_argument("--min-len", type=int, default=400)
+    dg.set_defaults(fn=cmd_diagnose)
 
     mo = sub.add_parser("mkoutput", help="re-emit FASTA flavors from a finished run")
     mo.add_argument("--dir", required=True, help="pipeline output directory")
