@@ -76,8 +76,24 @@ def _window_diagonals(cb: np.ndarray, idx, k: int = ANCHOR_K):
     return out
 
 
-def find_breakpoints(cb: np.ndarray, idx) -> List[Breakpoint]:
-    """Persistent dominant-diagonal changes along the contig."""
+def _diag_matches(cb, refs, ri, diag, p, k=ANCHOR_K) -> bool:
+    """Direct comparison: does the contig window at p match ref ri on
+    diagonal `diag`?  (Stride-independent — the anchor index samples only
+    every 7th ref position, so absence from the index proves nothing.)"""
+    ref = refs[ri]
+    q = p + diag
+    if q < 0 or q + k > len(ref):
+        return False
+    return bool(np.array_equal(cb[p : p + k], ref[q : q + k]))
+
+
+def find_breakpoints(cb: np.ndarray, idx, refs=None) -> List[Breakpoint]:
+    """Persistent dominant-diagonal changes along the contig.
+
+    When `refs` is given, a candidate break is kept only if the OLD
+    diagonal genuinely stops matching there (direct comparison) — a
+    diagonal "change" where the old one still matches is just the strided
+    index surfacing a different copy of a repeat."""
     wins = [(p, d) for p, d in _window_diagonals(cb, idx) if d is not None]
     if len(wins) < 2:
         return []
@@ -90,15 +106,26 @@ def find_breakpoints(cb: np.ndarray, idx) -> List[Breakpoint]:
             # persistent? the next few windows must stay off d0
             ahead = [d for _, d in wins[i + 1 : i + 6]]
             if all(a != d0 for a in ahead):
-                sep = abs(d1[1] - d0[1]) if d1[0] == d0[0] else -1
-                breaks.append(
-                    Breakpoint(
-                        pos=p1,
-                        left=(d0[0], p1 + d0[1]),
-                        right=(d1[0], p1 + d1[1]),
-                        separation=sep,
+                real = True
+                if refs is not None:
+                    # a real break means NEITHER diagonal explains both
+                    # sides: the old one must fail at/after the break AND
+                    # the new one must fail before it (otherwise one locus
+                    # covers the whole neighborhood — the "change" is just
+                    # a repeat copy surfacing in the strided index)
+                    real = not _diag_matches(
+                        cb, refs, d0[0], d0[1], p1
+                    ) and not _diag_matches(cb, refs, d1[0], d1[1], p0)
+                if real:
+                    sep = abs(d1[1] - d0[1]) if d1[0] == d0[0] else -1
+                    breaks.append(
+                        Breakpoint(
+                            pos=p1,
+                            left=(d0[0], p1 + d0[1]),
+                            right=(d1[0], p1 + d1[1]),
+                            separation=sep,
+                        )
                     )
-                )
         i += 1
     return breaks
 
@@ -153,7 +180,7 @@ def diagnose_assembly(
             if len(part) < min_len:
                 continue
             cb = dna.seq_to_codes(part)
-            breaks = find_breakpoints(cb, idx)
+            breaks = find_breakpoints(cb, idx, refs)
             if not breaks:
                 continue
             diag = ContigDiagnosis(f"{name}/part{pi}", len(cb))

@@ -73,14 +73,39 @@ def evaluate_contig(contig: np.ndarray, refs, idx, k: int = ANCHOR_K) -> ContigE
         ev.stretches.append(run)
     # misassembly: a second strong diagonal on the SAME reference strand
     # (a diploid contig legitimately anchors to both haplotypes, so votes
-    # for other refs don't count against it)
+    # for other refs don't count against it).  The second diagonal must be
+    # VERIFIED by direct comparison: the strided reference index samples
+    # only every 7th ref position, so a contig lying entirely inside a
+    # two-copy repeat sees copy 1 at some windows and copy 2 at others —
+    # two "diagonals" with the primary matching perfectly throughout.  A
+    # real misassembly requires the primary diagonal to STOP matching
+    # where the second one wins.
     same_ref = [
         (d, c) for (r2, d), c in votes.items() if r2 == ri and d != diag
     ]
     if same_ref:
-        second = max(c for _, c in same_ref)
-        if second >= max(3, 0.5 * nvotes):
-            ev.misassembled = True
+        # >=3 sampled windows on the second diagonal suffice: the direct
+        # verification below carries the precision (repeat copies pass it),
+        # and a 0.5*nvotes gate would miss short chimeric segments on long
+        # contigs (e.g. a 14kb wrong arm on a 57kb contig)
+        d2, second = max(same_ref, key=lambda t: (t[1], -abs(t[0] - diag)))
+        if second >= 3:
+            primary_fails = False
+            for p in range(0, len(cb) - k + 1, 13):
+                if (ri, d2) not in [
+                    (r3, rp - p) for r3, rp in idx.get(cbb[p : p + k], ())
+                ]:
+                    continue
+                q = p + diag
+                if (
+                    q < 0
+                    or q + k > len(ref)
+                    or not np.array_equal(cb[p : p + k], ref[q : q + k])
+                ):
+                    primary_fails = True
+                    break
+            if primary_fails:
+                ev.misassembled = True
     if ev.identity < 0.8:
         ev.misassembled = True
     return ev

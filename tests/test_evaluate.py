@@ -41,3 +41,20 @@ def test_unanchored(rng):
     alien = rng.integers(0, 4, 1500).astype(np.uint8)
     res = evaluate_assembly([alien], [g])
     assert res["anchored_frac"] < 0.1
+
+
+def test_repeat_copy_contig_not_flagged(rng):
+    """A contig lying inside a two-copy repeat anchors at both copies
+    through the strided reference index; with the primary diagonal
+    matching end-to-end it must NOT be flagged (it is correct sequence).
+    Regression: this false-positive inflated misassembly counts 22 -> 0
+    on the 1Mb validation."""
+    g = sim.random_genome(rng, 20_000)
+    g[12_000:12_400] = g[3_000:3_400]  # exact 400bp repeat pair
+    contig = g[3_000:3_400].copy()
+    res = evaluate_assembly([contig], [g])
+    assert res["misassemblies"] == 0
+    # flank-spanning chimera across the two copies IS still flagged
+    chimera = np.concatenate([g[2_500:3_200], g[12_200:12_900]])
+    res2 = evaluate_assembly([chimera], [g])
+    assert res2["misassemblies"] == 1
