@@ -2,20 +2,25 @@
 
 Replaces the keep-compaction sort in kmer.count.reduce_occurrences (an
 unstable 4-key sort over ALL occurrence rows, ~45% of the count program
-after the tail cut) with one bandwidth-bound pass:
+after the tail cut) with one bandwidth-bound pass plus a cheap stitch:
 
-  per grid block (sequential on TPU):
-    1. in-VMEM stable compaction of the block's kept rows via a log-shift
-       network: displacement d[i] = i - rank[i] is non-decreasing with
-       0/1 steps, so moving every element down by d decomposed into powers
-       of two (select-from-above at each round) is exact — verified
-       exhaustively against np reference for all 2^16 masks at n=16;
-    2. append the block's kept prefix to the output at a running flat
-       offset carried in SMEM (dynamic-offset DMA from VMEM scratch to the
-       un-blocked HBM output).  Appends overlap the next block's garbage
-       tail, which the next (later, sequential) block overwrites; rows
-       beyond the final total are left unwritten and must be masked by the
-       caller (ops/segments.compact_sorted_words does).
+  phase 1 (Pallas, one grid step per 32k-row block):
+    in-VMEM stable compaction of the block's kept rows via a log-shift
+    network: displacement d[i] = i - rank[i] is non-decreasing with
+    0/1 steps, so moving every element down by d decomposed into powers
+    of two (select-from-above at each round) is exact — verified
+    exhaustively against np reference for all 2^16 masks at n=16.
+    Each block's compacted columns are written back at the block's own
+    (static) offset together with its kept count.
+
+  phase 2 (XLA): exclusive-scan the per-block counts and stitch the
+    kept prefixes to their running offsets with a fori_loop of
+    dynamic_update_slice (unaligned dynamic writes are fine in XLA;
+    a Mosaic DMA at a running offset is not — the destination tile
+    index must be provably divisible by the 1024-element tiling, which
+    an arbitrary append cursor never is).  Rows beyond the final total
+    are unspecified and must be masked by the caller
+    (ops/segments.compact_sorted_words does).
 
 The compaction is STABLE (kept rows keep their stream order), so unlike
 the 4-key-sort fallback it does not require kept rows to have distinct
@@ -78,16 +83,7 @@ def _compact_kernel(n_cols: int, args):
     keep_ref = args[0]
     col_refs = args[1 : 1 + n_cols]
     out_refs = args[1 + n_cols : 1 + 2 * n_cols]
-    nv_ref = args[1 + 2 * n_cols]
-    scratch = args[2 + 2 * n_cols : 2 + 3 * n_cols]
-    base_ref = args[2 + 3 * n_cols]
-    sems = args[3 + 3 * n_cols]
-
-    first = pl.program_id(0) == 0
-
-    @pl.when(first)
-    def _():
-        base_ref[0] = jnp.asarray(0, I32)
+    cnt_ref = args[1 + 2 * n_cols]
 
     keep = keep_ref[...].astype(I32)
     nblk = BLOCK_ROWS * LANES
@@ -110,21 +106,9 @@ def _compact_kernel(n_cols: int, args):
         d = jnp.where(sel, ds - s, d)
         s *= 2
 
-    base = base_ref[0]
-    dmas = []
     for k in range(n_cols):
-        scratch[k][...] = cols[k].reshape(nblk)
-        dma = pltpu.make_async_copy(
-            scratch[k],
-            out_refs[k].at[pl.ds(base, nblk)],
-            sems.at[k],
-        )
-        dma.start()
-        dmas.append(dma)
-    for dma in dmas:
-        dma.wait()
-    base_ref[0] = base + cnt
-    nv_ref[0] = base + cnt
+        out_refs[k][...] = cols[k]
+    cnt_ref[pl.program_id(0)] = cnt
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -137,6 +121,7 @@ def compact_stream_pallas(valid, *cols, interpret: bool = False):
     n = valid.shape[0]
     nblk = BLOCK_ROWS * LANES
     n_pad = -(-n // nblk) * nblk
+    nblocks = n_pad // nblk
     dtypes = [c.dtype for c in cols]
 
     def prep(x, fill):
@@ -151,28 +136,53 @@ def compact_stream_pallas(valid, *cols, interpret: bool = False):
     cols2 = [prep(c, 0) for c in cols]
     nc = len(cols)
 
-    grid = (n_pad // nblk,)
+    grid = (nblocks,)
     bspec = pl.BlockSpec(
         (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    out_shape = [jax.ShapeDtypeStruct((n_pad,), U32) for _ in range(nc)]
-    out_shape.append(jax.ShapeDtypeStruct((1,), I32))  # n_valid
+    out_shape = [
+        jax.ShapeDtypeStruct((n_pad // LANES, LANES), U32) for _ in range(nc)
+    ]
+    out_shape.append(jax.ShapeDtypeStruct((nblocks,), I32))
 
     outs = pl.pallas_call(
         lambda *args: _compact_kernel(nc, args),
         grid=grid,
         in_specs=[bspec] * (1 + nc),
-        out_specs=tuple([any_spec] * nc + [
-            pl.BlockSpec(memory_space=pltpu.SMEM)
-        ]),
+        out_specs=tuple(
+            [bspec] * nc
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        ),
         out_shape=tuple(out_shape),
-        scratch_shapes=[pltpu.VMEM((nblk,), U32) for _ in range(nc)]
-        + [pltpu.SMEM((1,), I32), pltpu.SemaphoreType.DMA((nc,))],
         interpret=interpret,
     )(keep2, *cols2)
-    n_valid = outs[-1][0]
+
+    counts = outs[-1]
+    blocked = [o.reshape(n_pad) for o in outs[:nc]]
+    n_valid = jnp.sum(counts)
+    if nblocks == 1:
+        res = tuple(
+            o[:n].astype(dt) for o, dt in zip(blocked, dtypes)
+        )
+        return n_valid, res
+
+    # phase 2: stitch block prefixes to their running offsets.  Block 0 is
+    # already in place; later blocks move down by (i*nblk - offset[i]).
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), I32), jnp.cumsum(counts)[:-1]]
+    )
+
+    def body(i, outs):
+        start = offsets[i]
+        return tuple(
+            jax.lax.dynamic_update_slice(
+                o, jax.lax.dynamic_slice(d, (i * nblk,), (nblk,)), (start,)
+            )
+            for o, d in zip(outs, blocked)
+        )
+
+    stitched = jax.lax.fori_loop(1, nblocks, body, tuple(blocked))
     res = tuple(
-        o[:n].astype(dt) for o, dt in zip(outs[:nc], dtypes)
+        o[:n].astype(dt) for o, dt in zip(stitched, dtypes)
     )
     return n_valid, res
