@@ -152,15 +152,24 @@ def barcode_territories(
     nd = D.n_edges
     cached = getattr(lines, "_territory_maps", None)
     if cached is not None and cached[0] == nd:
-        _, epos, eunit, unit_offs, el_csr = cached
+        (_, epos, eunit, off_flat, off_line, line_base, n_el_arr,
+         eoffs_abs, el_base, evals_g) = cached
     else:
         epos = np.full(nd, -1, np.int64)
         eunit = np.full(nd, -1, np.int64)
-        unit_offs = {}
-        el_csr = {}  # line -> (element offsets into values, values+dinv)
+        L = len(lines.lines)
+        # global per-element start offsets (off_flat, keyed by off_line for
+        # composite-key searchsorted), per-line bases, and a global element
+        # CSR (eoffs_abs -> evals_g) holding each element's edges + dinv
+        off_chunks, offline_chunks = [], []
+        eoffs_chunks, evals_chunks = [], []
+        line_base = np.zeros(L + 1, np.int64)
+        el_base = np.zeros(L + 1, np.int64)
+        n_el_arr = np.zeros(L, np.int64)
+        vbase = 0
         for li, ln in enumerate(lines.lines):
             offs = element_offsets(D, ln)
-            unit_offs[li] = np.asarray(offs, np.int64)
+            n_el = len(ln.elements)
             vals = []
             eoffs = [0]
             for j, el in enumerate(ln.elements):
@@ -170,14 +179,25 @@ def barcode_territories(
                 both = np.concatenate([ee, D.dinv[ee]]) if len(ee) else ee
                 vals.append(both)
                 eoffs.append(eoffs[-1] + len(both))
-            el_csr[li] = (
-                np.asarray(eoffs, np.int64),
-                np.concatenate(vals) if vals else np.zeros(0, np.int64),
-            )
+            off_chunks.append(np.asarray(offs[:n_el], np.int64))
+            offline_chunks.append(np.full(n_el, li, np.int64))
+            line_base[li + 1] = line_base[li] + n_el
+            n_el_arr[li] = n_el
+            eoffs_chunks.append(np.asarray(eoffs, np.int64) + vbase)
+            el_base[li + 1] = el_base[li] + n_el + 1
+            v = np.concatenate(vals) if vals else np.zeros(0, np.int64)
+            evals_chunks.append(v)
+            vbase += len(v)
+        z = np.zeros(0, np.int64)
+        off_flat = np.concatenate(off_chunks) if off_chunks else z
+        off_line = np.concatenate(offline_chunks) if offline_chunks else z
+        eoffs_abs = np.concatenate(eoffs_chunks) if eoffs_chunks else z
+        evals_g = np.concatenate(evals_chunks) if evals_chunks else z
         try:  # memoize: Lines/D are immutable between placement passes
             object.__setattr__(
                 lines, "_territory_maps",
-                (nd, epos, eunit, unit_offs, el_csr),
+                (nd, epos, eunit, off_flat, off_line, line_base, n_el_arr,
+                 eoffs_abs, el_base, evals_g),
             )
         except Exception:
             pass
@@ -197,32 +217,57 @@ def barcode_territories(
     order = np.lexsort((po, li, b))
     b, li, po, un = b[order], li[order], po[order], un[order]
 
-    territories: Dict[int, set] = {}
     n = len(b)
-    i = 0
-    while i < n:
-        j = i + 1
-        while (
-            j < n
-            and b[j] == b[i]
-            and li[j] == li[i]
-            and po[j] - po[j - 1] <= max_bc_gap
-        ):
-            j += 1
-        if j - i >= min_group:
-            line = int(li[i])
-            offs = unit_offs[line]
-            start, stop = int(un[i:j].min()), int(un[i:j].max())
-            # extend the element window by ~ext bases both ways
-            while start > 0 and offs[int(un[i])] - offs[start - 1] < ext:
-                start -= 1
-            n_el = len(lines.lines[line].elements)
-            while stop < n_el - 1 and offs[stop + 1] - offs[int(un[j - 1])] < ext:
-                stop += 1
-            t = territories.setdefault(int(b[i]), set())
-            eoffs, evals = el_csr[line]
-            t.update(evals[eoffs[start] : eoffs[stop + 1]].tolist())
-        i = j
+    if n == 0:
+        return {}
+    # group breaks: new (barcode, line) or a position gap > max_bc_gap
+    brk = np.ones(n, bool)
+    brk[1:] = (
+        (b[1:] != b[:-1]) | (li[1:] != li[:-1])
+        | ((po[1:] - po[:-1]) > max_bc_gap)
+    )
+    gstart = np.nonzero(brk)[0]
+    gcnt = np.diff(np.append(gstart, n))
+    keep = gcnt >= min_group
+    if not keep.any():
+        return {}
+    gs, gc = gstart[keep], gcnt[keep]
+    bg = b[gs]
+    lg = li[gs]
+    un_min = np.minimum.reduceat(un, gstart)[keep]
+    un_max = np.maximum.reduceat(un, gstart)[keep]
+    un_first = un[gs]  # unit of the group's smallest position
+    un_last = un[gs + gc - 1]
+    # element-window extension by ~ext bases, via composite-key searchsorted
+    # over the global (line, offset) array (offsets are sorted per line)
+    m = np.int64(int(off_flat.max(initial=0)) + ext + 2)
+    key = off_line * m + off_flat
+    base_g = line_base[lg]
+    off_first = off_flat[base_g + un_first]
+    off_last = off_flat[base_g + un_last]
+    lo = np.searchsorted(key, lg * m + (off_first - ext), side="right") - base_g
+    start = np.maximum(np.minimum(un_min, lo), 0)
+    hi = np.searchsorted(key, lg * m + (off_last + ext), side="left") - 1 - base_g
+    stop = np.minimum(np.maximum(un_max, hi), n_el_arr[lg] - 1)
+    # gather each group's element-window edges from the global CSR
+    a0 = eoffs_abs[el_base[lg] + start]
+    a1 = eoffs_abs[el_base[lg] + stop + 1]
+    lens = a1 - a0
+    tot = int(lens.sum())
+    if tot == 0:
+        return {}
+    first = np.repeat(np.cumsum(lens) - lens, lens)
+    gidx = np.repeat(a0, lens) + (np.arange(tot, dtype=np.int64) - first)
+    pair = np.repeat(bg, lens) * np.int64(nd) + evals_g[gidx]
+    uk = np.unique(pair)
+    ub = uk // nd
+    uv = uk % nd
+    cut = np.nonzero(np.diff(ub))[0] + 1
+    heads = np.concatenate([[0], cut])
+    territories: Dict[int, set] = {
+        int(ub[h]): set(block.tolist())
+        for h, block in zip(heads, np.split(uv, cut))
+    }
     return territories
 
 

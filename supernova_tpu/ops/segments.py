@@ -111,9 +111,10 @@ def stable_compact(valid, *arrays):
 
 
 # Streaming Pallas compactor instead of the 4-key compaction sort
-# (ops/pallas/compact.py).  Off until chip-validated; flip via
-# --addin ops.segments.PALLAS_COMPACT=1.
-PALLAS_COMPACT = False
+# (ops/pallas/compact.py).  Chip-validated 2026-08-18: bit-correct and
+# 2.26x the sort path at 48M rows x (3 words + 2 payloads)
+# (298 ms vs 673 ms on v5e).  Disable via --addin ops.segments.PALLAS_COMPACT=0.
+PALLAS_COMPACT = True
 
 
 def compact_sorted_words(valid, wa, wb, wc, *payloads):
