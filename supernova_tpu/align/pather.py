@@ -251,10 +251,31 @@ def path_readset(bg, rs, max_path: int = MAX_PATH) -> ReadPaths:
     Readsets whose flat positions exceed the HBM budget are pathed in
     pair-aligned blocks sharing one program shape (reads are independent,
     results concatenate; same dispatch rule as the blocked count)."""
-    from ..kmer.count import BLOCK_POSITIONS, prepare_reads
+    from ..kmer.count import (
+        BLOCK_POSITIONS,
+        MIN_BLOCK_POSITIONS,
+        _is_oom,
+        prepare_reads,
+    )
 
     if int(rs.offsets[-1]) > BLOCK_POSITIONS:
-        return _path_readset_blocked(bg, rs, max_path)
+        # self-healing block size on device OOM (same rule as count_readset)
+        max_pos = BLOCK_POSITIONS
+        while True:
+            try:
+                return _path_readset_blocked(
+                    bg, rs, max_path, max_positions=max_pos
+                )
+            except Exception as e:  # noqa: BLE001 — OOM-retry boundary
+                if not _is_oom(e) or max_pos // 2 < MIN_BLOCK_POSITIONS:
+                    raise
+                max_pos //= 2
+                import logging
+
+                logging.getLogger("supernova_tpu").warning(
+                    "paths: device OOM at block=%d positions; retrying "
+                    "with block=%d", max_pos * 2, max_pos,
+                )
     inp = prepare_reads(rs)
     return _path_prepared(bg, inp, max_path)
 

@@ -151,21 +151,23 @@ def local_unipath_edges(seqs, k: int = K, min_count: int = 2):
     k2 = k - k1
     pow1 = np.uint64(4) ** np.arange(k1 - 1, -1, -1, dtype=np.uint64)
     pow2 = np.uint64(4) ** np.arange(k2 - 1, -1, -1, dtype=np.uint64)
-    his, los = [], []
-    for s in seqs:
-        s = np.asarray(s, np.uint8)
-        if len(s) < k:
-            continue
-        for c in (s, dna.revcomp(s).astype(np.uint8)):
-            w = np.lib.stride_tricks.sliding_window_view(
-                c.astype(np.uint64), k
-            )
-            his.append((w[:, :k1] * pow1).sum(axis=1, dtype=np.uint64))
-            los.append((w[:, k1:] * pow2).sum(axis=1, dtype=np.uint64))
+    # ONE concatenated array (fwd + rc strands), windows crossing a read
+    # boundary masked out — replaces the per-read Python loop, which
+    # dominated Unvoid host time at the multi-Mb scale
+    arrs = [np.asarray(s, np.uint8) for s in seqs if len(s) >= k]
     kept: List[str] = []
-    if his:
-        hi = np.concatenate(his)
-        lo = np.concatenate(los)
+    if arrs:
+        both = arrs + [dna.revcomp(s).astype(np.uint8) for s in arrs]
+        cat = np.concatenate(both).astype(np.uint64)
+        lens = np.array([len(s) for s in both], np.int64)
+        ends = np.cumsum(lens)
+        w = np.lib.stride_tricks.sliding_window_view(cat, k)
+        hi = (w[:, :k1] * pow1).sum(axis=1, dtype=np.uint64)
+        lo = (w[:, k1:] * pow2).sum(axis=1, dtype=np.uint64)
+        # window at flat position p is in-read iff p + k <= end of p's read
+        owner_end = ends[np.searchsorted(ends, np.arange(len(hi)), side="right")]
+        ok = np.arange(len(hi)) + k <= owner_end
+        hi, lo = hi[ok], lo[ok]
         order = np.lexsort((lo, hi))
         hi, lo = hi[order], lo[order]
         starts = np.r_[True, (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]

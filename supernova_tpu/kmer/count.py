@@ -474,8 +474,17 @@ def merge_raw_blocks(wa, wb, wc, count, stats, min_freq: int, min_bc: int
 
 
 # positions per device block for the blocked count: each block's post-cut
-# sort must fit HBM alongside its buffers (~4 ops x rows x 4 B x ~2)
-BLOCK_POSITIONS = 160_000_000
+# sort must fit HBM alongside its buffers (~4 ops x rows x 4 B x ~2) AND the
+# next block's staged inputs (host-prep/device-compute overlap).  160M
+# blocks exhausted the 16 GB v5e at the 10 Mb / 480M-base scale; 96M holds.
+# count_readset additionally halves the block size and retries on a device
+# ResourceExhausted, so this is a starting point, not a hard ceiling.
+BLOCK_POSITIONS = 96_000_000
+MIN_BLOCK_POSITIONS = 24_000_000
+
+
+def _is_oom(e: Exception) -> bool:
+    return "RESOURCE_EXHAUSTED" in str(e) or "ResourceExhausted" in str(e)
 
 
 def split_readset_blocks(rs, max_positions: int):
@@ -745,9 +754,25 @@ def count_readset(
     if min_bc is None:
         min_bc = MIN_BC
     if int(rs.offsets[-1]) > BLOCK_POSITIONS:
-        return count_readset_blocked(
-            rs, min_freq=min_freq, min_bc=min_bc, min_read_len=min_read_len
-        )
+        # self-healing block size: halve and retry on device OOM (axon
+        # surfaces it as ValueError RESOURCE_EXHAUSTED on the next fetch)
+        max_pos = BLOCK_POSITIONS
+        while True:
+            try:
+                return count_readset_blocked(
+                    rs, min_freq=min_freq, min_bc=min_bc,
+                    min_read_len=min_read_len, max_positions=max_pos,
+                )
+            except Exception as e:  # noqa: BLE001 — OOM-retry boundary
+                if not _is_oom(e) or max_pos // 2 < MIN_BLOCK_POSITIONS:
+                    raise
+                max_pos //= 2
+                import logging
+
+                logging.getLogger("supernova_tpu").warning(
+                    "count: device OOM at block=%d positions; retrying "
+                    "with block=%d", max_pos * 2, max_pos,
+                )
     inp = prepare_reads(rs)
     table = count_kmers(
         inp["codes_ext"],

@@ -324,6 +324,14 @@ class Pipeline:
                 )
                 rs = subsample_pairs(rs, frac)
                 (self.outdir / "kmers.npz").unlink(missing_ok=True)
+                # free the full-coverage table (and any shard tables) BEFORE
+                # the recount — holding them across a second blocked count
+                # contributed to HBM exhaustion at the 10 Mb scale
+                table = None
+                self._shard_tables = None
+                import gc
+
+                gc.collect()
                 table = self.stage_count(rs)
         return table, rs
 
