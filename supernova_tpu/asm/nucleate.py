@@ -163,6 +163,10 @@ def _extend(x1, x2, j1: int, j2: int) -> Tuple[int, int, int]:
 
 
 MIN_OVER_FLOOR_BASES = 100  # adaptive gate lower bound
+# pod-scale memory honesty: range-shard the flat closure values across the
+# mesh (extension reads become distributed gathers) instead of replicating
+# them per device.  Addin: asm.nucleate.VALUE_SHARD=1.
+VALUE_SHARD = False
 
 
 def nucleate_graph(
@@ -249,7 +253,8 @@ def nucleate_graph(
         from ..parallel.sharded_nucleate import glue_closures_sharded
 
         par, ovf = glue_closures_sharded(
-            mesh, bg, cls, int(min_over_bases), adaptive
+            mesh, bg, cls, int(min_over_bases), adaptive,
+            value_shard=VALUE_SHARD,
         )
         if ovf == 0:
             return _quotient(

@@ -33,6 +33,16 @@ def cmd_run(args) -> int:
         for k, v in parse_addin_args(args.addin).items():
             print(f"addin: {k} = {v} (was {applied[k]})", file=sys.stderr)
 
+    if getattr(args, "resume", False):
+        # resume: the ingest checkpoint supersedes FASTQ re-ingest (the
+        # reads stages' chunk outputs in the reference pipestance)
+        ck = Path(args.out) / "reads.npz"
+        if ck.exists():
+            from .ingest.reads import ReadSet
+
+            print(f"resume: loading ingest checkpoint {ck}", file=sys.stderr)
+            rs = ReadSet.load(ck)
+            return _run_pipeline(args, rs)
     interleaved = False
     if getattr(args, "reads", None):
         # pre-ingested ReadSet (reads.npz — e.g. from import-ref): skip
