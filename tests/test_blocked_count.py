@@ -73,3 +73,40 @@ def test_blocked_pathing_equals_single(rng):
         a = np.asarray(single[f])[:n]
         b = np.asarray(blocked[f])[:n]
         assert np.array_equal(a, b), f
+
+
+def test_oom_halving_retry(rng, monkeypatch):
+    """count_readset halves the block size and retries when the blocked
+    count raises a device ResourceExhausted (the 10 Mb v5e OOM path)."""
+    rs = _readset(rng)
+    want = kcount.count_readset(rs)
+
+    sizes = []
+    real_blocked = kcount.count_readset_blocked
+
+    def fake_blocked(rs_, max_positions=kcount.BLOCK_POSITIONS, **kw):
+        sizes.append(max_positions)
+        if len(sizes) < 3:  # first two attempts "OOM"
+            raise ValueError("RESOURCE_EXHAUSTED: TPU backend error")
+        return real_blocked(rs_, max_positions=max_positions, **kw)
+
+    monkeypatch.setattr(kcount, "count_readset_blocked", fake_blocked)
+    monkeypatch.setattr(kcount, "BLOCK_POSITIONS", 200_000)
+    monkeypatch.setattr(kcount, "MIN_BLOCK_POSITIONS", 25_000)
+    got = kcount.count_readset(rs)
+    assert sizes == [200_000, 100_000, 50_000]
+    _tables_equal(want, got)
+
+
+def test_oom_retry_reraises_non_oom(rng, monkeypatch):
+    rs = _readset(rng)
+
+    def fake_blocked(rs_, **kw):
+        raise ValueError("some other failure")
+
+    monkeypatch.setattr(kcount, "count_readset_blocked", fake_blocked)
+    monkeypatch.setattr(kcount, "BLOCK_POSITIONS", 200_000)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="some other"):
+        kcount.count_readset(rs)
