@@ -3,11 +3,18 @@ molecules.
 
 Analogue of Flipper (10X/Flipper.cc:3-29): per line, find bubbles, infer
 barcode molecules, local search maximizing the phasing score
-score(x) = sum over molecules |#agree - #disagree|, moves = flip bubble;
-ambiguous bubbles are dropped and phase blocks break where no molecule
-bridges adjacent bubbles.  The bubble x molecule support matrix is the
-BandedMatrix analogue (Flipper.cc:36-75) — dense matrix ops, TPU-friendly
-at scale; numpy here at current line sizes.
+score(x) = sum over molecules |#agree - #disagree| (== goods - bads in the
+reference's Max/Min formulation, since goods + bads is the constant number
+of nonzero matrix entries).  The full reference move sequence is
+implemented (Flipper.cc:389-556): (1) rectify each molecule (flip its
+minority columns), (2) pivot at each point (flip the whole prefix),
+(3) fix individual columns, (4) reverse-rectify ("yikes" move,
+Flipper.cc:500), (5) fix columns again; then ambiguous ("ugly") bubbles
+with good/bad ratio < 4 are dropped (Flipper.cc:562), columns fixed once
+more, and phase blocks are bounded at weak pivots where the pivot
+advantage exceeds MAX_PIVOT_OK = -20 (Flipper.cc:612-652).  The bubble x
+molecule support matrix is the BandedMatrix analogue (Flipper.cc:36-75) —
+dense vectorized ops, TPU-friendly at scale; numpy here at line sizes.
 """
 from __future__ import annotations
 
@@ -64,6 +71,107 @@ def _score(x: np.ndarray, sgn: np.ndarray) -> float:
     return float(np.abs((x[:, None] * sgn).sum(axis=0)).sum())
 
 
+# Flipper.cc:616 — pivot uncertainty threshold: break the phasing wherever
+# flipping the whole prefix would cost fewer than 20 units of score.
+MAX_PIVOT_OK = -20
+# Flipper.cc:562 — a bubble whose supporting molecules disagree with their
+# own majority more than 1:4 is "ugly" and dropped from the phasing.
+MIN_GOOD_BAD_RATIO = 4.0
+
+
+def _rectify(A: np.ndarray, x: np.ndarray, c: np.ndarray, reverse: bool) -> None:
+    """Molecule rectification (Flipper.cc:389-443; reverse variant :500-550).
+
+    For each molecule m, flip every bubble where it shows its minority sign
+    (reverse=True: majority sign), accepting when the global score improves.
+    A is the oriented B x M support matrix (mutated in place along with x, c).
+    """
+    nb, nm = A.shape
+    for m in range(nm):
+        cm = c[m]
+        # tie-handling mirrors the reference: forward takes plus >= minus
+        # (Flipper.cc:395), reverse takes plus <= minus (Flipper.cc:504)
+        if reverse:
+            want = -1 if cm <= 0 else 1
+        else:
+            want = -1 if cm >= 0 else 1
+        mask = A[:, m] == want
+        if not mask.any():
+            continue
+        # flipping rows `mask` changes every molecule's column sum by
+        # -2 * (sum of its entries on those rows)
+        delta = A[mask].sum(axis=0)
+        c_new = c - 2 * delta
+        if np.abs(c_new).sum() > np.abs(c).sum():
+            A[mask] *= -1
+            x[mask] *= -1
+            c[:] = c_new
+
+
+def _pivot_pass(A: np.ndarray, x: np.ndarray, c: np.ndarray) -> None:
+    """Prefix pivots (Flipper.cc:447-491): for each boundary i ascending,
+    flip bubbles 0..i if that improves the score.  Incremental: `left[m]`
+    tracks the prefix column sums."""
+    nb = A.shape[0]
+    left = np.zeros_like(c)
+    base = np.abs(c).sum()
+    for i in range(nb - 1):
+        left = left + A[i]
+        cand = np.abs(c - 2 * left).sum()
+        if cand > base:
+            A[: i + 1] *= -1
+            x[: i + 1] *= -1
+            c[:] = c - 2 * left
+            left = -left
+            base = cand
+
+
+def _fix_columns(A: np.ndarray, x: np.ndarray, c: np.ndarray,
+                 max_iters: int = 50) -> None:
+    """FixColumns (Flipper.cc:123-161): flip individual bubbles while any
+    single flip improves the score (delta_bad == -delta_good here, so the
+    reference's two-part acceptance reduces to score improvement)."""
+    nb = A.shape[0]
+    for _ in range(max_iters):
+        improved = False
+        for b in range(nb):
+            c_new = c - 2 * A[b]
+            if np.abs(c_new).sum() > np.abs(c).sum():
+                A[b] *= -1
+                x[b] = -x[b]
+                c[:] = c_new
+                improved = True
+        if not improved:
+            break
+
+
+def _drop_ugly(A: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Ugly-bubble removal (Flipper.cc:560-586): per bubble, count molecules
+    agreeing/disagreeing with their own majority; drop (zero the row) when
+    good/max(1,bad) < MIN_GOOD_BAD_RATIO.  Returns the ugly mask."""
+    maj = np.where(c >= 0, 1, -1).astype(A.dtype)
+    agree = A * maj[None, :]
+    good = (agree > 0).sum(axis=1)
+    bad = (agree < 0).sum(axis=1)
+    ugly = good / np.maximum(1, bad) < MIN_GOOD_BAD_RATIO
+    if ugly.any():
+        A[ugly] = 0
+        c[:] = A.sum(axis=0)
+    return ugly
+
+
+def _weak_pivots(A: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Weak pivot points (Flipper.cc:612-652): boundary i is uncertain when
+    the advantage of pivoting there exceeds MAX_PIVOT_OK; the phasing breaks
+    after bubble i.  Vectorized over all boundaries via a prefix cumsum."""
+    nb = A.shape[0]
+    if nb < 2:
+        return np.zeros(0, dtype=bool)
+    cum = np.cumsum(A, axis=0)[:-1]  # (nb-1, M) prefix sums through row i
+    adv = np.abs(c[None, :] - 2 * cum).sum(axis=1) - np.abs(c).sum()
+    return adv > MAX_PIVOT_OK
+
+
 def phase_line(
     line, edge_bc_counts: Dict[int, Dict[int, int]], max_iters: int = 20, dinv=None
 ) -> LinePhasing:
@@ -86,42 +194,50 @@ def phase_line(
 
     s, bcs = _support_matrix(bubbles, edge_bc_counts)
     sgn = np.sign(s).astype(np.int8)
-    # molecules informative on >= 2 bubbles drive phasing
+    # molecules informative on >= 2 bubbles drive phasing (Flipper.cc:310)
     informative = (sgn != 0).sum(axis=0) >= 2
     sgn_i = sgn[:, informative]
 
     nb = len(bubbles)
     x = np.ones(nb, dtype=np.int8)
-    if sgn_i.shape[1]:
-        for _ in range(max_iters):
-            improved = False
-            col = (x[:, None] * sgn_i).sum(axis=0)  # per-molecule agreement
-            for b in range(nb):
-                # effect of flipping bubble b
-                new_col = col - 2 * x[b] * sgn_i[b]
-                if np.abs(new_col).sum() > np.abs(col).sum():
-                    x[b] = -x[b]
-                    col = new_col
-                    improved = True
-            if not improved:
-                break
+    # oriented support matrix; mutated in place by the moves (the reference
+    # flips Q entries as it flips bubbles, Flipper.cc:442,486,549)
+    A = sgn_i.astype(np.int32).copy()
+    c = A.sum(axis=0)
+    if A.shape[1]:
+        # Flipper.cc move sequence: rectify -> pivot -> fix columns (alpha)
+        # -> reverse rectify -> fix columns (beta)
+        _rectify(A, x, c, reverse=False)
+        _pivot_pass(A, x, c)
+        _fix_columns(A, x, c, max_iters=max_iters)
+        _rectify(A, x, c, reverse=True)
+        _fix_columns(A, x, c, max_iters=max_iters)
 
-    # drop ambiguous bubbles: no informative molecule touches them
-    touched = (sgn_i != 0).any(axis=1) if sgn_i.shape[1] else np.zeros(nb, bool)
-    x_out = np.where(touched, x, 0).astype(np.int8)
+    # drop ugly (ambiguous) bubbles, then fix columns once more (gamma)
+    ugly = _drop_ugly(A, c) if A.shape[1] else np.ones(nb, bool)
+    if A.shape[1]:
+        _fix_columns(A, x, c, max_iters=max_iters)
+    x_out = np.where(ugly, 0, x).astype(np.int8)
 
-    # phase blocks: break where no molecule covers both bubble b and b+1
+    # phase blocks bounded by weak (uncertain) pivots (Flipper.cc:612-652);
+    # a boundary no molecule bridges has pivot advantage 0 > MAX_PIVOT_OK,
+    # so the old no-bridge rule is subsumed.
     blocks: List[Tuple[int, int]] = []
     if nb:
+        weak = (
+            _weak_pivots(A, c)
+            if A.shape[1]
+            else np.ones(max(nb - 1, 0), bool)
+        )
         start = 0
         for b in range(nb - 1):
-            bridged = bool(((sgn_i[b] != 0) & (sgn_i[b + 1] != 0)).any()) if sgn_i.shape[1] else False
-            if not bridged:
+            if weak[b]:
                 blocks.append((start, b + 1))
                 start = b + 1
         blocks.append((start, nb))
 
-    return LinePhasing(bubbles, x_out, blocks, _score(x, sgn) if nb else 0.0)
+    score = float(np.abs(c).sum()) if A.shape[1] else 0.0
+    return LinePhasing(bubbles, x_out, blocks, score)
 
 
 def build_edge_bc_counts(D, dpaths, dlen, read_bc) -> Dict[int, Dict[int, int]]:
