@@ -276,6 +276,9 @@ def path_readset(bg, rs, max_path: int = MAX_PATH) -> ReadPaths:
                     "paths: device OOM at block=%d positions; retrying "
                     "with block=%d", max_pos * 2, max_pos,
                 )
+                from ..kmer.count import _free_failed_attempt
+
+                _free_failed_attempt(e)
     inp = prepare_reads(rs)
     return _path_prepared(bg, inp, max_path)
 

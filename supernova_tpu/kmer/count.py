@@ -21,6 +21,7 @@ never (N,3), to avoid TPU minor-dim tile padding.
 """
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import NamedTuple
 
@@ -487,6 +488,46 @@ def _is_oom(e: Exception) -> bool:
     return "RESOURCE_EXHAUSTED" in str(e) or "ResourceExhausted" in str(e)
 
 
+def _free_failed_attempt(e: Exception) -> None:
+    """Release the failed attempt's device buffers before retrying.
+
+    The exception's traceback pins the raising frames (traceback <-> frame
+    reference cycles), and those frames hold the attempt's device arrays —
+    without clearing + a gc pass, a halved retry allocates ON TOP of the
+    dead attempt's HBM and OOMs instantly (observed in the 10 Mb run:
+    96M -> 48M -> 24M all failing within seconds)."""
+    import gc
+
+    # clear the WHOLE exception chain — __context__/__cause__ carry their
+    # own tracebacks whose frames also pin device arrays
+    seen = set()
+    x: BaseException | None = e
+    while x is not None and id(x) not in seen:
+        seen.add(id(x))
+        x.__traceback__ = None
+        nxt = x.__cause__ or x.__context__
+        x = nxt
+    gc.collect()
+
+
+def _hbm_in_use() -> str:
+    """Device memory stats one-liner for OOM forensics ('' if unavailable)."""
+    try:
+        import jax
+
+        st = jax.local_devices()[0].memory_stats()
+        if not st:
+            return ""
+        gib = 1 << 30
+        return (
+            f"HBM {st.get('bytes_in_use', 0) / gib:.2f} GiB in use / "
+            f"{st.get('bytes_limit', 0) / gib:.2f} limit, "
+            f"peak {st.get('peak_bytes_in_use', 0) / gib:.2f}"
+        )
+    except Exception:
+        return ""
+
+
 def split_readset_blocks(rs, max_positions: int):
     """Split a barcode-sorted ReadSet into blocks at barcode boundaries
     (and pair boundaries for the unbarcoded prefix), each <= max_positions
@@ -557,6 +598,11 @@ def count_readset_blocked(
     # all blocks share one compiled shape (pad to the largest block)
     pad_pos = max(int(b.offsets[-1]) for b in blocks)
     pad_rd = max(b.n_reads for b in blocks)
+    log = logging.getLogger("supernova_tpu")
+    log.info(
+        "blocked count: %d blocks at <=%d positions (pad %d) — %s",
+        len(blocks), max_positions, pad_pos, _hbm_in_use(),
+    )
     was, wbs, wcs, cnts, sts = [], [], [], [], []
     inp = prepare_reads(blocks[0], pad_to_positions=pad_pos, pad_to_reads=pad_rd)
     for i in range(len(blocks)):
@@ -576,24 +622,153 @@ def count_readset_blocked(
         wcs.append(np.asarray(raw.words.c)[:nv])
         cnts.append(np.asarray(raw.count)[:nv])
         sts.append(np.asarray(raw.stats)[:nv])
+        log.info("blocked count: block %d/%d -> %d rows", i + 1, len(blocks), nv)
+    del raw, inp  # drop the last block's device buffers before the merge
     tot = sum(len(x) for x in was)
-    m = _round_up(tot, 8192)
-
-    def cat(parts, fill, dt):
-        out = np.full(m, fill, dt)
-        out[:tot] = np.concatenate(parts)
-        return jnp.asarray(out)
-
-    table = merge_raw_blocks(
-        cat(was, kc.SENTINEL, np.uint32),
-        cat(wbs, kc.SENTINEL, np.uint32),
-        cat(wcs, kc.SENTINEL, np.uint32),
-        cat(cnts, 0, np.int32),
-        cat(sts, 0, np.uint32),
-        min_freq=min_freq,
-        min_bc=min_bc,
+    log.info(
+        "blocked count: merging %d raw rows (%s) — %s",
+        tot, "one-shot" if tot <= MERGE_ROWS else "partitioned", _hbm_in_use(),
     )
+    if tot <= MERGE_ROWS:
+        m = _round_up(tot, 8192)
+
+        def cat(parts, fill, dt):
+            out = np.full(m, fill, dt)
+            out[:tot] = np.concatenate(parts)
+            return jnp.asarray(out)
+
+        table = merge_raw_blocks(
+            cat(was, kc.SENTINEL, np.uint32),
+            cat(wbs, kc.SENTINEL, np.uint32),
+            cat(wcs, kc.SENTINEL, np.uint32),
+            cat(cnts, 0, np.int32),
+            cat(sts, 0, np.uint32),
+            min_freq=min_freq,
+            min_bc=min_bc,
+        )
+    else:
+        table = _merge_blocks_partitioned(
+            was, wbs, wcs, cnts, sts, min_freq, min_bc
+        )
     return recompute_adjacencies(trim_table(table))
+
+
+# Rows per device merge partition: the merge sorts 5 arrays of this many
+# rows (~20 B/row in+out plus sort workspace), so bounding partitions at 48M
+# rows caps the merge at the same scale as the bench's 48M-row count sort
+# (chip-proven on a 16 GB v5e) regardless of how many raw rows the blocks
+# produced — the 10 Mb full-coverage run produced hundreds of M raw rows and
+# OOM'd the one-shot merge.
+MERGE_ROWS = 48_000_000
+
+
+def _merge_blocks_partitioned(
+    was, wbs, wcs, cnts, sts, min_freq: int, min_bc: int
+) -> KmerTable:
+    """Bounded-memory merge of per-block raw tables.
+
+    Each block's rows are already sorted by (a, b, c), so the kmer space is
+    range-partitioned on the leading word `a`: splitters are data quantiles
+    sampled from the blocks, every block contributes its [lo, hi) slice per
+    partition (searchsorted on its sorted `a` column), and each partition
+    runs the one compiled `merge_raw_blocks` shape.  Rows of one kmer share
+    `a`, so partitions are kmer-disjoint and the global (min_freq, min_bc)
+    filter applied per partition is exact; partitions are ascending ranges,
+    so concatenating their outputs keeps the table sorted."""
+    tot = sum(len(x) for x in was)
+    n_parts = max(2, -(-tot // int(MERGE_ROWS * 0.75)))
+    # splitters: quantiles of a global sample of the leading words
+    sample = np.concatenate([a[:: max(1, len(a) // 65536)] for a in was])
+    sample.sort()
+    qs = sample[
+        (np.arange(1, n_parts) * (len(sample) / n_parts)).astype(np.int64)
+    ]
+    qs = np.unique(qs)  # degenerate quantiles merge partitions
+    # final bound must exceed every uint32 word (a real kmer's leading word
+    # may be 0xFFFFFFFF), so bounds are uint64
+    bounds = np.concatenate([qs.astype(np.uint64), [np.uint64(2**32)]])
+
+    out_parts = None
+    lo = [0] * len(was)
+    shape_rows = _round_up(min(tot, MERGE_ROWS), 8192)
+    for hi_word in bounds:
+        hi = [
+            int(np.searchsorted(a, hi_word, side="left")) for a in was
+        ]
+        n = sum(h - l for h, l in zip(hi, lo))
+        if n == 0:
+            lo = hi
+            continue
+        if n > shape_rows:
+            # skew overflow (one `a` value dominating): widen this one
+            # partition; the recompile is rare and correctness holds
+            rows = _round_up(n, 8192)
+        else:
+            rows = shape_rows
+
+        def cat(parts, fill, dt):
+            buf = np.full(rows, fill, dt)
+            k = 0
+            for p, l, h in zip(parts, lo, hi):
+                buf[k : k + h - l] = p[l:h]
+                k += h - l
+            return jnp.asarray(buf)
+
+        t = merge_raw_blocks(
+            cat(was, kc.SENTINEL, np.uint32),
+            cat(wbs, kc.SENTINEL, np.uint32),
+            cat(wcs, kc.SENTINEL, np.uint32),
+            cat(cnts, 0, np.int32),
+            cat(sts, 0, np.uint32),
+            min_freq=min_freq,
+            min_bc=min_bc,
+        )
+        nv = int(t.n_valid)  # sync; then fetch the filtered partition
+        cols = (
+            np.asarray(t.words.a)[:nv], np.asarray(t.words.b)[:nv],
+            np.asarray(t.words.c)[:nv], np.asarray(t.count)[:nv],
+            np.asarray(t.nbc)[:nv], np.asarray(t.left_mask)[:nv],
+            np.asarray(t.right_mask)[:nv],
+        )
+        del t  # free this partition's device table before the next alloc
+        logging.getLogger("supernova_tpu").info(
+            "blocked count: merge partition <%d: %d rows -> %d kept",
+            int(hi_word), n, nv,
+        )
+        out_parts = (
+            [[c] for c in cols]
+            if out_parts is None
+            else [acc + [c] for acc, c in zip(out_parts, cols)]
+        )
+        lo = hi
+
+    if out_parts is None:
+        return KmerTable(
+            W3(*(jnp.full(8192, kc.SENTINEL, jnp.uint32) for _ in range(3))),
+            jnp.zeros(8192, jnp.int32), jnp.zeros(8192, jnp.int32),
+            jnp.zeros(8192, U32), jnp.zeros(8192, U32), jnp.int32(0),
+        )
+    merged = [np.concatenate(p) for p in out_parts]
+    nv = len(merged[0])
+    m = _round_up(nv, 8192)
+
+    def pad(x, fill, dt):
+        buf = np.full(m, fill, dt)
+        buf[:nv] = x
+        return jnp.asarray(buf)
+
+    return KmerTable(
+        W3(
+            pad(merged[0], kc.SENTINEL, np.uint32),
+            pad(merged[1], kc.SENTINEL, np.uint32),
+            pad(merged[2], kc.SENTINEL, np.uint32),
+        ),
+        pad(merged[3], 0, np.int32),
+        pad(merged[4], 0, np.int32),
+        pad(merged[5], 0, np.uint32),
+        pad(merged[6], 0, np.uint32),
+        jnp.asarray(nv, jnp.int32),
+    )
 
 
 # ----------------------------------------------------------------- host prep
@@ -769,10 +944,21 @@ def count_readset(
                 max_pos //= 2
                 import logging
 
-                logging.getLogger("supernova_tpu").warning(
-                    "count: device OOM at block=%d positions; retrying "
-                    "with block=%d", max_pos * 2, max_pos,
+                import traceback as _tb
+
+                frames = _tb.extract_tb(e.__traceback__)
+                site = (
+                    f"{frames[-1].filename.rsplit('/', 1)[-1]}:"
+                    f"{frames[-1].lineno} in {frames[-1].name}"
+                    if frames
+                    else "?"
                 )
+                logging.getLogger("supernova_tpu").warning(
+                    "count: device OOM at block=%d positions (at %s; %s; "
+                    "%.120s); retrying with block=%d",
+                    max_pos * 2, site, _hbm_in_use(), str(e), max_pos,
+                )
+                _free_failed_attempt(e)
     inp = prepare_reads(rs)
     table = count_kmers(
         inp["codes_ext"],

@@ -157,6 +157,18 @@ class Orchestrator:
                 st.error = last_err
                 st.status = "failed"
                 self._dump()
+                # full traceback to a per-stage file (the StageError message
+                # keeps only the one-liner; OOM forensics need the frames)
+                try:
+                    tb_path = self.outdir / f"_stage_{name}_traceback.txt"
+                    with open(tb_path, "a") as f:
+                        f.write(
+                            f"--- attempt {attempt + 1} "
+                            f"{time.strftime('%Y-%m-%d %H:%M:%S')} ---\n"
+                        )
+                        f.write(traceback.format_exc())
+                except OSError:
+                    pass
                 if attempt >= max_retries or isinstance(e, KeyboardInterrupt):
                     break
         raise StageError(name, last_err)

@@ -75,6 +75,27 @@ def test_blocked_pathing_equals_single(rng):
         assert np.array_equal(a, b), f
 
 
+def test_partitioned_merge_equals_single(rng, monkeypatch):
+    """When the concatenated per-block raw rows exceed MERGE_ROWS, the merge
+    runs in kmer-range partitions — bit-identical to the one-shot merge
+    (the 10 Mb full-coverage merge OOM'd a 16 GB v5e; this is the fix)."""
+    rs = _readset(rng)
+    single = kcount.count_readset(rs)
+    monkeypatch.setattr(kcount, "MERGE_ROWS", 20_000)  # force many partitions
+    blocked = kcount.count_readset_blocked(rs, max_positions=150_000)
+    _tables_equal(single, blocked)
+
+
+def test_partitioned_merge_skew(rng, monkeypatch):
+    """A splitter landing inside one dominant leading word must not split a
+    kmer's rows across partitions (partitions cut on word boundaries)."""
+    rs = _readset(rng, size=4000)
+    single = kcount.count_readset(rs)
+    monkeypatch.setattr(kcount, "MERGE_ROWS", 4_000)
+    blocked = kcount.count_readset_blocked(rs, max_positions=60_000)
+    _tables_equal(single, blocked)
+
+
 def test_oom_halving_retry(rng, monkeypatch):
     """count_readset halves the block size and retries when the blocked
     count raises a device ResourceExhausted (the 10 Mb v5e OOM path)."""
