@@ -23,6 +23,12 @@ from ..core import dna
 from ..core.kmer_codec import K
 from ..core.ragged import Ragged
 
+# Deep validate() after every surgery (the reference's paranoid Validate
+# discipline).  Off in production (per-edge Python loops are a wall at
+# 1e6 edges); the test suite turns it on via conftest so invariant breaks
+# fail unit tests.  Overridable via --addin asm.supergraph.PARANOID=1.
+PARANOID = False
+
 
 @dataclass
 class SuperGraph:
@@ -88,11 +94,40 @@ class SuperGraph:
             return "N" * agap.gap_repr_len(path)
         return dna.codes_to_seq(self.edge_bases(d))
 
-    def validate(self):
+    def validate(self, deep: bool | None = None):
+        """Graph invariants (the reference's Validate(hb,inv,D,dinv), run
+        after every surgery — CP.cc:529,639,893,917,1038).
+
+        Light checks (always, vectorized numpy — safe to call after every
+        edit at any scale): involution, dinv length/gap symmetry, and the
+        K-1 base-edge adjacency inside every non-gap D-edge.  Deep checks
+        (per-edge Python loops: exact rc path mirror, per-vertex 47-mer
+        consistency) run when `deep` — default is the PARANOID module
+        constant, switched on by the test suite so any surgery that breaks
+        an invariant fails its unit test, not a 10 Mb run."""
+        if deep is None:
+            deep = PARANOID
         from . import gap as agap
 
         ed = self.n_edges
         assert np.array_equal(self.dinv[self.dinv], np.arange(ed))
+        lens = self.epaths.lengths()
+        assert np.array_equal(lens[self.dinv], lens), "dinv length mismatch"
+        gm = self.gap_mask()
+        assert np.array_equal(gm[self.dinv], gm), "dinv gap-type mismatch"
+        vals = self.epaths.values
+        if len(vals) and ed:
+            row_of = np.repeat(np.arange(ed), lens)
+            pair = (row_of[1:] == row_of[:-1]) & ~gm[row_of[:-1]]
+            a = vals[:-1][pair].astype(np.int64)
+            b = vals[1:][pair].astype(np.int64)
+            ok = self.bg.to_v[a] == self.bg.from_v[b]
+            assert ok.all(), (
+                f"K-1 adjacency broken at {int((~ok).sum())} junctions "
+                f"(first D-edge {int(row_of[:-1][pair][~ok][0])})"
+            )
+        if not deep:
+            return
         binv = self.bg.inv
         for d in range(ed):
             p = self.epaths.row(d)
@@ -103,13 +138,6 @@ class SuperGraph:
                 ), f"gap dinv mismatch at {d}"
                 continue
             assert np.array_equal(q, binv[p[::-1]]), f"dinv mismatch at {d}"
-        # constituent base edges must be graph-adjacent (K-1 overlap holds)
-        for d in range(ed):
-            p = self.epaths.row(d)
-            if len(p) and p[0] < 0:
-                continue
-            for a, b in zip(p, p[1:]):
-                assert self.bg.to_v[int(a)] == self.bg.from_v[int(b)], (d, a, b)
         # vertex consistency: edges leaving one vertex start with the same
         # 47-mer (inherited from the base graph); gap edges are exempt —
         # they join arbitrary vertices by construction (Gap.h note 1)

@@ -885,6 +885,7 @@ class Pipeline:
                 for L1, R, _ in joins
             }
             D = astar.insert_star_gaps(D, lines, joins, gap_sizes)
+            D.validate()
             lines = alines.find_lines(D)
             total += len(joins)
         return D, lines, total
@@ -939,9 +940,68 @@ class Pipeline:
             if not n:
                 break
             D = D2
+            D.validate()
             lines = alines.find_lines(D)
             total += n
         return D, lines, total
+
+    def _fix_misassemblies(self, D, lines, rs, edges, plen):
+        """FixMisassemblies (Super.cc:259-304) at its CP.cc:902-923 call
+        site between star and starstar: kill low-unique junk components,
+        re-place reads, zap inversion bubbles, then kill misassembled
+        cells at the base window tier.  Returns (D, lines).
+
+        The reference also resplays here (Splay @ MIN_SPLAY2, CP.cc:908)
+        because its next pass is Star, which reconnects with {-2} gap
+        edges; our starstar analogue is BarcodeJoin, whose
+        neighborhood-duplication splice turns freshly-severed line ends
+        into cloned (duplicated) sequence in the output — so the resplay
+        is intentionally omitted (measured: resplay+join inflated an 8 kb
+        sim's pseudohap to 13.8 kb; without it, 8.2 kb at equal
+        identity)."""
+        from ..asm import clean as aclean
+        from ..asm import misassembly as amis
+        from ..asm import molecules as amol
+        from ..asm.inversion import delete_edges as del_edges
+        from ..asm.inversion import zap_inversion_bubbles
+
+        n_sp = 0
+        n_kill = 0
+        # post-splay cleanup (CP.cc:910-916)
+        dels = aclean.kill_low_unique(D)
+        if dels:
+            D = del_edges(D, dels)
+            D.validate()
+            lines = self._refresh_line_state(D, rs, edges, plen)
+            n_kill += len(dels)
+        # ZapInversionBubbles (Super.cc:283-285)
+        zaps = zap_inversion_bubbles(D, lines)
+        if zaps:
+            D = del_edges(D, zaps)
+            D.validate()
+            lines = self._refresh_line_state(D, rs, edges, plen)
+            n_kill += len(zaps)
+        # fresh placements + positions, then the kill pass (Super.cc:295)
+        if getattr(self, "_line_positions", None) is None or n_kill or n_sp:
+            self._refresh_positions(D, lines, rs)
+        lwml = (
+            amol.lw_mean_length(self._molecules) if self._molecules else None
+        )
+        dels2 = amis.kill_misassembled_cells(
+            D, lines, self._line_positions, lw_mol_len=lwml
+        )
+        if dels2:
+            D = del_edges(D, dels2)
+            D.validate()
+            lines = self._refresh_line_state(D, rs, edges, plen)
+            n_kill += len(dels2)
+        if n_sp or n_kill:
+            self.stats.log(
+                "fix_misassemblies_edits", n_sp + n_kill,
+                "resplays + edges deleted by FixMisassemblies",
+                stage="scaffold",
+            )
+        return D, lines
 
     def _refresh_line_state(self, D, rs, edges, plen):
         """Recompute lines, placements, molecules and line positions after a
@@ -1072,6 +1132,9 @@ class Pipeline:
                 )
             D, lines, n_joins = self._star_multipass(D, lines, rs, ebcx)
             self._save_sup_snapshot("star", D)
+            # resplay + FixMisassemblies between star and starstar
+            # (CP.cc:902-923)
+            D, lines = self._fix_misassemblies(D, lines, rs, edges, plen)
             D, lines, n_bj = self._barcode_join_passes(D, lines, rs, ebcx)
             self._save_sup_snapshot("starstar", D)
             if n_bj:
@@ -1144,6 +1207,7 @@ class Pipeline:
                 )
                 if n_conv:
                     D = D2c
+                    D.validate()
                     self.stats.log(
                         "pair_gaps_converted", n_conv,
                         "{-2} gaps with read-pair links -> {-1}",

@@ -20,6 +20,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np
 import pytest
 
+# paranoid mode: every D.validate() in the pipeline runs the deep per-edge
+# invariant checks, so a surgery that breaks an invariant fails its test
+from supernova_tpu.asm import supergraph as _sg
+
+_sg.PARANOID = True
+
 
 @pytest.fixture
 def rng():
