@@ -28,6 +28,125 @@ def test_consensus_vote_rules():
     assert not ok3[0]
 
 
+def test_consensus_divergence_untrust():
+    """ReadStack.cc:422-427: a runner-up above MAX_QCOMP weight with >= 2
+    confident readers means real divergence -> column untrusted even when
+    the winner's margin clears MIN_WIN_Q."""
+    # 8 reads say 2, 4 reads say 1 (all q30): margin 120 >= 60 but the
+    # runner-up carries 120 > 100 with 4 confident readers
+    b = np.array([[2]] * 8 + [[1]] * 4, np.int8)
+    q = np.full((12, 1), 30, np.int16)
+    _, ok = astk.consensus(b, q)
+    assert not ok[0]
+    # same winner margin, runner-up weak (below MAX_QCOMP): trusted
+    b2 = np.array([[2]] * 8 + [[1]] * 2, np.int8)
+    q2 = np.full((10, 1), 30, np.int16)
+    _, ok2 = astk.consensus(b2, q2)
+    assert ok2[0]
+
+
+def test_founder_filter_drops_misplaced_reads():
+    """Rows with >= FOUNDER_MAX_DIFFS confident disagreements vs the flank
+    are misplaced repeat-copy reads (HighQualDiff, ReadStack.cc:489)."""
+    flank = "ACGTACGTACGTACGTACGT"
+    f = dna.seq_to_codes(flank)
+    good = np.full((1, 30), -1, np.int8)
+    good[0, : len(f)] = f
+    bad = good.copy()
+    bad[0, 3] = (f[3] + 1) % 4
+    bad[0, 11] = (f[11] + 1) % 4
+    b = np.concatenate([good, bad])
+    q = np.where(b >= 0, 30, 0).astype(np.int16)
+    keep = astk.filter_founder_diff(b, q, flank)
+    assert keep.tolist() == [True, False]
+
+
+def test_branching_closes_het_gap(rng):
+    """A gap whose interior carries a het SNP: half the covering molecules
+    say one base, half the other.  The single-consensus walk stalls at the
+    divergent column; the branch-aware extension must still close (either
+    arm is a correct fill for its haplotype)."""
+    g = sim.random_genome(rng, 2400)
+    hole_lo, hole_hi = 1100, 1180
+    snp_pos = 1140
+    read_len = 150
+    g2 = g.copy()
+    g2[snp_pos] = (g[snp_pos] + 2) % 4
+
+    reads, quals = [], []
+    q37 = lambda n=read_len: np.full(n, 37, np.uint8)
+    # flank-only coverage from both haplotypes
+    for s in range(0, len(g) - read_len, 23):
+        if s + read_len <= hole_lo or s >= hole_hi:
+            reads.append(g[s : s + read_len].copy())
+            quals.append(q37())
+    # 6 covering reads per haplotype, reaching ~40 bp into the right flank
+    # so both directions of the stack can anchor
+    for hap in (g, g2):
+        for i in range(6):
+            lo = hole_lo - 30 - i * 3
+            r = hap[lo : lo + read_len].copy()
+            reads.append(r)
+            quals.append(q37())
+    if len(reads) % 2:
+        reads.append(dna.revcomp(g[500:650]).copy())
+        quals.append(q37())
+    rs = build_readset(reads, quals, np.zeros(len(reads) // 2, np.int32),
+                       n_barcodes=0, barcoded=False)
+
+    left = dna.codes_to_seq(g[hole_lo - 200 : hole_lo])
+    right = dna.codes_to_seq(g[hole_hi : hole_hi + 200])
+
+    class FakeGP:
+        e1, e2 = 0, 1
+        read_ids = list(range(rs.n_reads))
+
+    class FakeBG:
+        def edge_seq(self, e):
+            return left if e == 0 else right
+
+    fill = astk.close_gap_stack(FakeBG(), rs, FakeGP())
+    assert fill is not None
+    want_a = dna.codes_to_seq(g[hole_lo:hole_hi])
+    want_b = dna.codes_to_seq(g2[hole_lo:hole_hi])
+    assert fill in (want_a, want_b)
+
+
+def test_closes_at_realistic_error_rate(rng):
+    """1.5% random base errors on every covering read (the reference's
+    real-data regime, vs the 0.2% sims round 1 validated at): the stack
+    vote must still recover the exact fill."""
+    g = sim.random_genome(rng, 2000)
+    hole_lo, hole_hi = 900, 1000
+    read_len = 170
+    reads, quals = [], []
+    q37 = lambda n: np.full(n, 37, np.uint8)
+    for i in range(14):  # covering reads spanning the hole + both flanks
+        lo = hole_lo - 45 - i * 2
+        r = g[lo : lo + read_len].copy()
+        errs = rng.random(read_len) < 0.015
+        r[errs] = (r[errs] + rng.integers(1, 4, int(errs.sum()))) % 4
+        reads.append(r)
+        quals.append(q37(read_len))
+    left = dna.codes_to_seq(g[hole_lo - 200 : hole_lo])
+    right = dna.codes_to_seq(g[hole_hi : hole_hi + 200])
+
+    class FakeGP:
+        e1, e2 = 0, 1
+        read_ids = list(range(len(reads) // 2 * 2))
+
+    class FakeBG:
+        def edge_seq(self, e):
+            return left if e == 0 else right
+
+    rs = build_readset(
+        reads[: len(reads) // 2 * 2], quals[: len(reads) // 2 * 2],
+        np.zeros(len(reads) // 2, np.int32), n_barcodes=0, barcoded=False,
+    )
+    fill = astk.close_gap_stack(FakeBG(), rs, FakeGP())
+    assert fill == dna.codes_to_seq(g[hole_lo:hole_hi])
+
+
 def test_stack_closes_gap_with_errorful_reads(rng):
     """Reads covering the hole each carry errors; the qual-weighted vote
     recovers the exact fill where an exact-kmer walk would fragment."""
