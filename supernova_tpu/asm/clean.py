@@ -45,6 +45,12 @@ def splay_line_ends(D, lines, llens: np.ndarray, min_splay: int | None = None) -
     connectivity changed — callers should re-run find_lines when > 0."""
     if min_splay is None:
         min_splay = MIN_SPLAY1
+    linv = np.asarray(lines.linv)
+    assert np.array_equal(linv[linv], np.arange(lines.n_lines)), (
+        "splay_line_ends needs rc-symmetric lines (linv not an involution) "
+        "— splaying from asymmetric lines permanently breaks the vertex "
+        "involution of D"
+    )
     indeg = np.bincount(D.to_v, minlength=D.n_vertices)
     outdeg = np.bincount(D.from_v, minlength=D.n_vertices)
     deg = indeg + outdeg

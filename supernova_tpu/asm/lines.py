@@ -381,6 +381,27 @@ def find_lines(D) -> Lines:
     return Lines(lines, line_of_edge, linv)
 
 
+def check_mirror(D, lines: Lines) -> None:
+    """Assert the line decomposition is rc-symmetric: linv is an involution
+    and line linv[i] is the element-reversed dinv image of line i.  Cheap at
+    host scale; pipeline edits that desymmetrize lines (e.g. a one-strand
+    break) poison splay/dedup/scaffolding, so tests call this after every
+    lines-producing step."""
+    n = lines.n_lines
+    linv = np.asarray(lines.linv)
+    assert np.array_equal(linv[linv], np.arange(n)), "linv not an involution"
+    for i in range(n):
+        j = int(linv[i])
+        A = lines.lines[i].elements
+        B = lines.lines[j].elements
+        assert len(A) == len(B), f"line {i} vs rc {j}: element count differs"
+        for k, el in enumerate(A):
+            mel = B[len(B) - 1 - k]
+            ps = sorted(D.dinv[p[::-1]].tolist() for p in el.paths)
+            qs = sorted(p.tolist() for p in mel.paths)
+            assert ps == qs, f"line {i} el {k} is not the mirror of rc {j}"
+
+
 def canonical_lines(lines: Lines) -> np.ndarray:
     """One representative per rc line pair (self-rc lines included)."""
     return np.nonzero(np.arange(lines.n_lines) <= lines.linv)[0]

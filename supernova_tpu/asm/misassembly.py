@@ -261,10 +261,21 @@ def break_lines(
 ):
     """Split lines at weak junctions (set-based rule + positional
     flank-window rule when barcode positions are supplied).  Returns a new
-    Lines object.  line_positions: {(barcode, line): [positions]}."""
+    Lines object.  line_positions: {(barcode, line): [positions]}.
+
+    Junction detection runs per line, but the SPLITS are symmetrized across
+    each rc line pair: a junction before element j of line i is the same
+    genomic position as the junction before element n-j of line linv[i], so
+    the union of both strands' detections is broken on both.  Without this,
+    a positional detection that fires on one strand only (read positions
+    are strand-assigned) splits one strand and not its rc — downstream,
+    splay_line_ends then splays one strand's vertices only, permanently
+    breaking the supergraph's vertex involution (observed: an 8 kb sim's D
+    lost rc symmetry and kill_low_unique's deletions stopped being
+    dinv-closed)."""
     from .lines import Line, Lines
 
-    new_lines: List[Line] = []
+    weak_sets: List[set] = []
     for li, ln in enumerate(lines.lines):
         weak = set(find_weak_junctions(D, ln, sup_bcs, min_span))
         if line_positions is not None:
@@ -275,6 +286,20 @@ def break_lines(
             }
             if lp:
                 weak |= set(find_weak_junctions_positional(D, ln, lp, min_span))
+        weak_sets.append(weak)
+    # symmetrize: mirror each line's junctions onto its rc line
+    linv0 = np.asarray(lines.linv)
+    sym = [set(w) for w in weak_sets]
+    for li, w in enumerate(weak_sets):
+        ip = int(linv0[li]) if li < len(linv0) else -1
+        if 0 <= ip < len(sym):
+            n_i = len(lines.lines[li].elements)
+            if len(lines.lines[ip].elements) == n_i:
+                sym[ip] |= {n_i - j for j in w}
+
+    new_lines: List[Line] = []
+    for li, ln in enumerate(lines.lines):
+        weak = sym[li]
         if not weak:
             new_lines.append(ln)
             continue

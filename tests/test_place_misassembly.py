@@ -74,6 +74,43 @@ def test_break_lines(rng):
     assert np.array_equal(new.linv[new.linv], np.arange(4))
 
 
+def test_break_lines_one_strand_detection_splits_both(rng):
+    """A positional detection that fires on ONE strand must split BOTH
+    strands at the mirrored junction (regression: one-strand splits fed
+    splay_line_ends, which then splayed one strand's vertices only and
+    permanently broke D's vertex involution)."""
+    from types import SimpleNamespace
+
+    from supernova_tpu.asm.lines import Cell, Line, Lines
+    from supernova_tpu.asm.misassembly import break_lines
+
+    lens = {0: 30_000, 1: 30_000, 2: 30_000, 3: 30_000}
+    D = SimpleNamespace(
+        dinv=np.array([2, 3, 0, 1]),
+        edge_len=lambda d: lens[d],
+        is_gap=lambda d: False,
+    )
+    fwd = Line([Cell([np.array([0], np.int64)]), Cell([np.array([1], np.int64)])])
+    rev = Line([Cell([np.array([3], np.int64)]), Cell([np.array([2], np.int64)])])
+    lines = Lines([fwd, rev], np.array([0, 1, 1, 0]), np.array([1, 0]))
+    # same barcodes on every edge so the set rule never fires
+    sup_bcs = [np.array([1, 2, 3])] * 4
+    # positional evidence ONLY for line 0: left/right windows disjoint
+    lp = {}
+    for bc in range(1, 6):
+        lp[(bc, 0)] = [30_000 - 10_000, 30_000 - 5_000]
+    for bc in range(6, 11):
+        lp[(bc, 0)] = [30_000 + 5_000, 30_000 + 10_000]
+    new = break_lines(lines, D, sup_bcs, min_span=2, line_positions=lp)
+    assert new.n_lines == 4, "both strands must split"
+    assert np.array_equal(new.linv[new.linv], np.arange(new.n_lines))
+    # each new line's rc image must be its exact mirror
+    for i in range(new.n_lines):
+        j = int(new.linv[i])
+        A, B = new.lines[i].elements, new.lines[j].elements
+        assert len(A) == len(B)
+
+
 def test_positional_weak_junction():
     """Flank-window rule: junction with no spanning barcodes flagged."""
     from types import SimpleNamespace
