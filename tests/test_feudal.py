@@ -77,6 +77,59 @@ def test_fastb_control_block_is_valid_shape(tmp_path, rng):
     assert (np.diff(offs.astype(np.int64)) >= 0).all()
 
 
+def test_fastb_reads_independently_constructed_file(tmp_path):
+    """Interop lock: a .fastb hand-assembled byte-by-byte from the
+    documented reference layout — FeudalControlBlock.h:156-163 (24-byte
+    header: u32 mN, u8 flags/sizeofFixed/sizeofX/sizeofA, u64 mVarOffset,
+    u64 mFixedOffset), BaseVec.h:150 ('each byte has left-most base in the
+    lowest two bits'), n+1 absolute u64 offsets, then u32 per-element
+    lengths — must decode via read_fastb, and write_fastb must regenerate
+    the identical bytes.  This is the cross-check that our feudal interop
+    matches the reference's on-disk format, not merely itself."""
+    import struct
+
+    seqs = [
+        [0, 1, 2, 3, 3, 2, 1],          # ACGTTGC (7 bases -> 2 bytes)
+        [],                              # empty basevector
+        [2, 2, 0, 1, 3],                 # GGACT (5 bases -> 2 bytes)
+        [1],                             # C (1 base -> 1 byte)
+    ]
+
+    def pack(seq):
+        out = bytearray((len(seq) + 3) // 4)
+        for j, code in enumerate(seq):
+            out[j // 4] |= code << ((j % 4) * 2)
+        return bytes(out)
+
+    var_chunks = [pack(s) for s in seqs]
+    var_data = b"".join(var_chunks)
+    n = len(seqs)
+    header_len = 24
+    var_off = header_len + len(var_data)
+    fixed_off = var_off + (n + 1) * 8
+    offs = [header_len]
+    for c in var_chunks:
+        offs.append(offs[-1] + len(c))
+    header = struct.pack("<IBBBBQQ", n, 1, 4, 0, 1, var_off, fixed_off)
+    blob = (
+        header
+        + var_data
+        + b"".join(struct.pack("<Q", o) for o in offs)
+        + b"".join(struct.pack("<I", len(s)) for s in seqs)
+    )
+    p = tmp_path / "hand.fastb"
+    p.write_bytes(blob)
+
+    back = feudal.read_fastb(p)
+    assert back.n_rows == n
+    for i, s in enumerate(seqs):
+        assert back.row(i).tolist() == s
+    # writer must regenerate the spec bytes exactly
+    p2 = tmp_path / "rewrite.fastb"
+    feudal.write_fastb(p2, back)
+    assert p2.read_bytes() == blob
+
+
 def test_pqvec_roundtrip(rng):
     for n in (0, 1, 7, 255, 256, 1000):
         q = rng.integers(0, 64, n).astype(np.uint8)
