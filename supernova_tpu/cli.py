@@ -637,6 +637,19 @@ def main(argv=None) -> int:
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
+    # multi-host fleet: join BEFORE first jax use when SUPERNOVA_* process
+    # env is set (the mrp/SGE cluster-mode analogue, _mrp:26 — one process
+    # per host, collectives over the ("host","chip") mesh)
+    from .parallel.dist import init_from_env
+
+    if init_from_env():
+        import jax
+
+        logging.getLogger("supernova_tpu").info(
+            "multi-host: process %d/%d, %d local + %d global devices",
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count(),
+        )
     ap = argparse.ArgumentParser(prog="supernova_tpu")
     ap.add_argument(
         "--platform", default=None,

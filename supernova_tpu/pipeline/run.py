@@ -68,6 +68,15 @@ class Pipeline:
             if topo:
                 h, c = topo.lower().split("x")
                 multi_device = (int(h), int(c))
+            else:
+                # joined fleet (cli init_from_env / pod auto-init): the 2-D
+                # mesh shape IS the fleet topology
+                import jax
+
+                if jax.process_count() > 1:
+                    multi_device = (
+                        jax.process_count(), jax.local_device_count()
+                    )
         self.multi_device = multi_device
         self._shard_tables = None  # per-shard tables for the sharded build
         self._t_start = time.time()
