@@ -87,12 +87,20 @@ def splay_line_ends(D, lines, llens: np.ndarray, min_splay: int | None = None) -
 
 
 def superedge_kmers(D) -> np.ndarray:
-    """Kmers per D-edge (sum of constituent base-edge kmers)."""
+    """Kmers per D-edge (sum of constituent base-edge kmers).  Vectorized
+    segment sum (the per-edge loop was a wall at 1e6 D-edges); gap edges
+    report 0 kmers (the old loop indexed base_k with the negative gap
+    codes, wrapping to arbitrary edges)."""
     base_k = (D.bg.edges.lengths() - (K - 1)).astype(np.int64)
-    out = np.zeros(D.n_edges, dtype=np.int64)
-    for d in range(D.n_edges):
-        out[d] = int(base_k[D.epaths.row(d)].sum())
-    return out
+    vals = np.asarray(D.epaths.values, np.int64)
+    lens = np.asarray(D.epaths.lengths(), np.int64)
+    if D.n_edges == 0 or len(vals) == 0:
+        return np.zeros(D.n_edges, dtype=np.int64)
+    row_of = np.repeat(np.arange(D.n_edges), lens)
+    ok = vals >= 0
+    return np.bincount(
+        row_of[ok], weights=base_k[vals[ok]], minlength=D.n_edges
+    ).astype(np.int64)
 
 
 def distances_to_end(D, lens: np.ndarray, cap: int) -> np.ndarray:
@@ -108,29 +116,44 @@ def distances_to_end(D, lens: np.ndarray, cap: int) -> np.ndarray:
     return dfw
 
 
+def _group_top2(keys: np.ndarray, scores: np.ndarray, n_groups: int):
+    """Per-group (max, second-max) of `scores` grouped by `keys`.
+    Groups with < 2 members report second = -inf-analogue (minimum int)."""
+    lo = np.iinfo(np.int64).min
+    gmax = np.full(n_groups, lo, np.int64)
+    np.maximum.at(gmax, keys, scores)
+    # second max: max over entries strictly below the group max, plus the
+    # duplicate-max case (two entries achieving gmax)
+    below = scores < gmax[keys]
+    gsec = np.full(n_groups, lo, np.int64)
+    np.maximum.at(gsec, keys[below], scores[below])
+    n_at_max = np.zeros(n_groups, np.int64)
+    np.add.at(n_at_max, keys[~below], 1)
+    dup = n_at_max >= 2
+    gsec[dup] = gmax[dup]
+    return gmax, gsec
+
+
 def simple_hangs(
     D, max_kill: int = MAX_KILL, min_ratio: float = MIN_RATIO
 ) -> List[int]:
-    """-> D-edge ids to delete (involution-symmetric)."""
+    """-> D-edge ids to delete (involution-symmetric).  Vectorized: the
+    best-sibling-excluding-self test is a per-from-vertex top-2."""
+    if D.n_edges == 0:
+        return []
     lens = superedge_kmers(D)
     dfw = distances_to_end(D, lens, int(max_kill * min_ratio))
     indeg = np.bincount(D.to_v, minlength=D.n_vertices)
     outdeg = np.bincount(D.from_v, minlength=D.n_vertices)
-    dels: List[int] = []
-    for e1 in range(D.n_edges):
-        w = int(D.to_v[e1])
-        if outdeg[w] != 0 or indeg[w] != 1:
-            continue  # not a hanging end
-        if lens[e1] > max_kill:
-            continue
-        v = int(D.from_v[e1])
-        sibs = np.nonzero(D.from_v == v)[0]
-        n2 = lens[sibs] + dfw[D.to_v[sibs]]
-        n2[sibs == e1] = 0
-        if (n2 >= min_ratio * max(int(lens[e1]), 1)).any():
-            dels.append(e1)
-            dels.append(int(D.dinv[e1]))
-    return sorted(set(dels))
+    fv = np.asarray(D.from_v, np.int64)
+    tv = np.asarray(D.to_v, np.int64)
+    score = lens + dfw[tv]
+    gmax, gsec = _group_top2(fv, score, D.n_vertices)
+    best_excl = np.where(score < gmax[fv], gmax[fv], gsec[fv])
+    hang = (outdeg[tv] == 0) & (indeg[tv] == 1) & (lens <= max_kill)
+    cond = hang & (best_excl >= min_ratio * np.maximum(lens, 1))
+    dels = np.nonzero(cond)[0]
+    return sorted(set(dels.tolist()) | set(np.asarray(D.dinv)[dels].tolist()))
 
 
 MAX_KILLX = 2500  # CleanThe.cc:2350
@@ -146,22 +169,24 @@ def compound_hangs(
     included via the capped distance-to-end) when a sibling continues
     >= min_ratio times farther; the orphaned subtree falls to the
     small-component pass.  -> D-edge ids (involution-symmetric)."""
+    if D.n_edges == 0:
+        return []
     lens = superedge_kmers(D)
     dfw = distances_to_end(D, lens, int(max_kill * min_ratio))
-    dels: List[int] = []
-    by_from: dict = {}
-    for e in range(D.n_edges):
-        by_from.setdefault(int(D.from_v[e]), []).append(e)
-    for v, outs in by_from.items():
-        if len(outs) < 2:
-            continue
-        n = [int(lens[e] + dfw[int(D.to_v[e])]) for e in outs]
-        best = max(n)
-        for e, ne in zip(outs, n):
-            if ne <= max_kill and best >= min_ratio * max(ne, 1) and ne < best:
-                dels.append(int(e))
-                dels.append(int(D.dinv[e]))
-    return sorted(set(dels))
+    fv = np.asarray(D.from_v, np.int64)
+    tv = np.asarray(D.to_v, np.int64)
+    score = lens + dfw[tv]
+    lo = np.iinfo(np.int64).min
+    gmax = np.full(D.n_vertices, lo, np.int64)
+    np.maximum.at(gmax, fv, score)
+    best = gmax[fv]
+    cond = (
+        (score <= max_kill)
+        & (best >= min_ratio * np.maximum(score, 1))
+        & (score < best)
+    )
+    dels = np.nonzero(cond)[0]
+    return sorted(set(dels.tolist()) | set(np.asarray(D.dinv)[dels].tolist()))
 
 
 def weak_cell_arms(D, lines, support: np.ndarray, strong: int = STRONG) -> List[int]:
@@ -197,35 +222,34 @@ MIN_COMP_SIZE = 300  # CleanThe.cc:2801
 
 
 def component_of_edges(D) -> np.ndarray:
-    """(ED,) weakly-connected component label per D-edge (union-find over
-    vertices; the ComponentsEFast analogue)."""
-    parent = np.arange(D.n_vertices, dtype=np.int64)
-
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for e in range(D.n_edges):
-        a, b = find(int(D.from_v[e])), find(int(D.to_v[e]))
-        if a != b:
-            parent[max(a, b)] = min(a, b)
-    return np.array([find(int(v)) for v in D.from_v], dtype=np.int64)
+    """(ED,) weakly-connected component label per D-edge (the
+    ComponentsEFast analogue).  Vectorized min-label propagation with
+    pointer doubling — O((E+V) log V) numpy passes instead of a per-edge
+    Python union-find."""
+    labels = np.arange(D.n_vertices, dtype=np.int64)
+    fv = np.asarray(D.from_v, np.int64)
+    tv = np.asarray(D.to_v, np.int64)
+    while True:
+        nxt = labels.copy()
+        np.minimum.at(nxt, fv, labels[tv])
+        np.minimum.at(nxt, tv, labels[fv])
+        nxt = nxt[nxt]  # pointer doubling
+        if np.array_equal(nxt, labels):
+            break
+        labels = nxt
+    return labels[fv]
 
 
 def remove_very_small_components(D, min_kmers: int = MIN_COMP_SIZE) -> List[int]:
     """RemoveVerySmallComponents (CleanThe.cc:791-817): delete every edge of
     weakly-connected components totalling < min_kmers kmers — the residue of
     short contained closures that never glued.  -> D-edge ids."""
+    if D.n_edges == 0:
+        return []
     lens = superedge_kmers(D)
     comp = component_of_edges(D)
-    comp_k: dict = {}
-    for e in range(D.n_edges):
-        comp_k[comp[e]] = comp_k.get(comp[e], 0) + int(lens[e])
-    return [e for e in range(D.n_edges) if comp_k[comp[e]] < min_kmers]
+    comp_k = np.bincount(comp, weights=lens, minlength=D.n_vertices)
+    return np.nonzero(comp_k[comp] < min_kmers)[0].tolist()
 
 
 def edge_multiplicity(D) -> np.ndarray:

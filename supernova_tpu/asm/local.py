@@ -38,15 +38,17 @@ MAX_LOCAL_WALK = 20_000  # walk budget in bases (multi-read-length gaps)
 
 
 def compute_mult(D) -> np.ndarray:
-    """Multiplicity of each base edge across D's epaths (ComputeMult)."""
+    """Multiplicity of each base edge across D's epaths (ComputeMult).
+    Vectorized: one bincount over all non-gap rows' path entries (the
+    per-edge Python loop was a wall at 1e6 D-edges)."""
     n_base = D.bg.n_edges
-    mult = np.zeros(n_base, np.int64)
     gm = D.gap_mask()
-    for d in range(D.n_edges):
-        if gm[d]:
-            continue
-        np.add.at(mult, np.asarray(D.epaths.row(d), np.int64), 1)
-    return mult
+    vals = np.asarray(D.epaths.values, np.int64)
+    lens = np.asarray(D.epaths.lengths(), np.int64)
+    if len(vals) == 0 or D.n_edges == 0:
+        return np.zeros(n_base, np.int64)
+    keep = np.repeat(~gm, lens)
+    return np.bincount(vals[keep], minlength=n_base).astype(np.int64)
 
 
 def get_barcodes(

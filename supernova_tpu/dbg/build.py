@@ -179,10 +179,20 @@ def materialize_edges(
     codes = jnp.zeros((flat_pad + 1,), I32)
     lb_pos = out_pos + (K - 1) * starts.astype(I32)
     codes = codes.at[jnp.where(in_edge, lb_pos, flat_pad)].set(last, mode="drop")
-    # head prefixes: bases 0..K-2 of the head oriented kmer, one scatter
-    bases48 = kc.unpack_bases(ow)
-    pj = out_pos[:, None] + jnp.arange(K - 1, dtype=I32)[None, :]
-    idxm = jnp.where((in_edge & starts)[:, None], pj, flat_pad)
+    # head prefixes: bases 0..K-2 of each CHAIN-START kmer.  Compact the
+    # start rows first and unpack only those: a dense (2m, 47) base matrix
+    # lane-pads 47 -> 128 on TPU and OOM'd the 10 Mb run at 9.9 GiB; the
+    # compacted (e_pad, 47) matrix is edge-scale, not occurrence-scale.
+    is_head = starts & in_edge
+    ck, us_c, pos_c = jax.lax.sort(
+        ((~is_head).astype(jnp.uint32), us, out_pos), num_keys=1,
+        is_stable=True,
+    )
+    us_h, pos_h = us_c[:e_pad], pos_c[:e_pad]
+    head_valid = jnp.arange(e_pad, dtype=I32) < n_edges
+    bases48 = kc.unpack_bases(oriented_words(table.words, us_h))
+    pj = pos_h[:, None] + jnp.arange(K - 1, dtype=I32)[None, :]
+    idxm = jnp.where(head_valid[:, None], pj, flat_pad)
     codes = codes.at[idxm.reshape(-1)].set(
         bases48[:, : K - 1].reshape(-1), mode="drop"
     )
