@@ -1068,8 +1068,18 @@ class Pipeline:
 
         z = np.load(path)
         ev = z["epaths_values"]
-        if ev.size and int(ev.max()) >= bg.n_edges:
-            return None
+        eo = z["epaths_offsets"]
+        if ev.size:
+            # sanity: base-edge ids in range — but only NON-gap rows: gap
+            # rows ([-2, gap_len, ...]) embed lengths that can exceed
+            # n_edges on small graphs
+            lens = np.diff(eo)
+            first = np.full(len(lens), -1, ev.dtype)
+            ne = lens > 0
+            first[ne] = ev[eo[:-1][ne]]
+            real = np.repeat(first >= 0, lens)
+            if real.any() and int(ev[real].max()) >= bg.n_edges:
+                return None
         if "n_base_edges" in z and int(z["n_base_edges"]) != bg.n_edges:
             return None
         if want_reads is not None and (
@@ -1088,6 +1098,246 @@ class Pipeline:
             return D, z["dpaths"], z["dlen"]
         return D
 
+    # Re-enterable phase sequence between pathing and phasing, snapshotted
+    # after every phase (the reference's 16 START= re-entry points,
+    # CP.cc:196-198, with a.sup writes at CP.cc:365-471).  --resume
+    # restores the NEWEST matching snapshot and re-runs only later phases.
+    SUP_PHASES = (
+        "splay", "star", "fix", "starstar", "stackaroo", "unvoid", "void",
+        "patch", "mis", "canon", "fase",
+    )
+
+    def _scaffold_star_phases(self, D, lines, rs, edges, plen, ebcx):
+        """Run the star-gap phase sequence with per-phase snapshots and
+        START=-style re-entry.  Returns (D, lines), or None when star and
+        barcode-join passes produced no joins (callers fall back to the
+        legacy mutual-best scaffolder)."""
+        from ..asm import capture as acap2
+        from ..asm import clean as aclean
+        from ..asm import lines as alines_s
+        from ..asm import local as alocal
+        from ..asm import misassembly as amis2
+        from ..asm import molecules as amol
+        from ..asm import scaffold as asc
+        from ..asm import splat as aspl
+        from ..asm import stackaroo as astk
+        from ..asm.inversion import delete_edges as del_edges
+
+        st = {"joins": 0}
+
+        def _refresh(D):
+            return self._refresh_line_state(D, rs, edges, plen)
+
+        def ph_splay(D, lines):
+            # Splay vertices at long-line ends before the barcode-evidence
+            # joins (Splay, CP.cc:620): graph adjacency alone must not hold
+            # long lines together across their end vertices
+            n_sp = aclean.splay_line_ends(D, lines, lines.lengths(D))
+            if n_sp:
+                lines = alines_s.find_lines(D)
+                self._refresh_positions(D, lines, rs)
+                self.stats.log(
+                    "splayed_vertices", n_sp,
+                    "long-line end vertices splayed", stage="scaffold",
+                )
+            return D, lines
+
+        def ph_star(D, lines):
+            D, lines, n_joins = self._star_multipass(D, lines, rs, ebcx)
+            st["joins"] += n_joins
+            if n_joins:
+                self.stats.log(
+                    "star_gap_joins", n_joins,
+                    "{-2} gap edges inserted by Star passes", stage="scaffold",
+                )
+            return D, lines
+
+        def ph_fix(D, lines):
+            # FixMisassemblies between star and starstar (CP.cc:902-923)
+            return self._fix_misassemblies(D, lines, rs, edges, plen)
+
+        def ph_starstar(D, lines):
+            D, lines, n_bj = self._barcode_join_passes(D, lines, rs, ebcx)
+            st["joins"] += n_bj
+            if n_bj:
+                self.stats.log(
+                    "barcode_joins", n_bj,
+                    "line joins made by BarcodeJoin passes", stage="scaffold",
+                )
+            return D, lines
+
+        def ph_stackaroo(D, lines):
+            # Stackaroo: upgrade bridgeable {-2} edges to {-3} sequence
+            D, n_filled = astk.stackaroo_gaps(D, rs, self._dpaths, self._dlen)
+            if n_filled:
+                D.validate()
+                self.stats.log(
+                    "gaps_filled_post", n_filled,
+                    "gap edges upgraded to sequence by read stacks",
+                    stage="scaffold",
+                )
+            return D, lines
+
+        def ph_unvoid(D, lines):
+            # Unvoid: barcode-restricted local assembly over the {-2} gaps
+            # Stackaroo left open (BuildLocal.cc:1055, CP.cc:790)
+            D2u, n_unvoid = alocal.unvoid(D, rs, ebcx)
+            if n_unvoid:
+                D = D2u
+                D.validate()
+                lines = _refresh(D)
+                self.stats.log(
+                    "gaps_unvoided", n_unvoid,
+                    "gaps closed by barcode-local assembly", stage="scaffold",
+                )
+            return D, lines
+
+        def ph_void(D, lines):
+            # Unvoid call site 1 (CP.cc:660-790): close voids at line
+            # dead-ends toward barcode-neighborhood lines
+            llens_u, _lbp_u, line_bcs_u, _pos_u = self._line_evidence(
+                D, lines, rs, ebcx, asc.good_barcodes(rs.bc)
+            )
+            D2v, n_voids = alocal.unvoid_voids(
+                D, rs, ebcx, lines, line_bcs_u, llens_u
+            )
+            if n_voids:
+                D = D2v
+                D.validate()
+                lines = _refresh(D)
+                self.stats.log(
+                    "voids_closed", n_voids,
+                    "line dead-ends joined by barcode-local assembly",
+                    stage="scaffold",
+                )
+            return D, lines
+
+        def ph_patch(D, lines):
+            # pair-linked {-2} gaps -> {-1}, then Splat the saved DF
+            # closures across them (CP.cc:1233-1257 + Splat.cc)
+            D2c, n_conv = aspl.convert_bc_gaps(D, self._dpaths, self._dlen)
+            if n_conv:
+                D = D2c
+                D.validate()
+                self.stats.log(
+                    "pair_gaps_converted", n_conv,
+                    "{-2} gaps with read-pair links -> {-1}",
+                    stage="scaffold",
+                )
+            cl2 = getattr(self, "_closures", None)
+            if cl2 and n_conv:
+                D3, n_sp = aspl.splat(
+                    D, [np.asarray(c, np.int64) for c in cl2]
+                )
+                if n_sp:
+                    D = D3
+                    D.validate()
+                    lines = _refresh(D)
+                    self.stats.log(
+                        "gaps_splatted", n_sp,
+                        "pair gaps replaced by closure sequence",
+                        stage="scaffold",
+                    )
+            # line-keyed state moves to the merged lines
+            self._refresh_positions(D, lines, rs)
+            return D, lines
+
+        def ph_mis(D, lines):
+            # KillMisassembledCells escalation over the joined lines
+            # (CP.cc:942-1106), then the position-free Alt variant
+            lwml = (
+                amol.lw_mean_length(self._molecules)
+                if self._molecules else None
+            )
+            n_killed = 0
+            for (req, flk, ign) in amis2.ESCALATION_TIERS:
+                dels = amis2.kill_misassembled_cells(
+                    D, lines, self._line_positions,
+                    bc_require=req, bc_flank=flk, bc_ignore=ign,
+                    lw_mol_len=lwml,
+                )
+                if not dels:
+                    continue
+                n_killed += len(dels)
+                D = del_edges(D, dels)
+                D.validate()
+                lines = _refresh(D)
+            dels_alt = amis2.kill_misassembled_cells_alt(D, lines, ebcx)
+            if dels_alt:
+                n_killed += len(dels_alt)
+                D = del_edges(D, dels_alt)
+                D.validate()
+                lines = _refresh(D)
+            if n_killed:
+                self.stats.log(
+                    "misassembled_cells_killed", n_killed,
+                    "D-edges deleted at unsupported junctions",
+                    stage="scaffold",
+                )
+            return D, lines
+
+        def ph_canon(D, lines):
+            # canon: flatten 3-4-path cells into parallel edges ahead of
+            # phasing/output (CP.cc:1819-1860)
+            D2c2, n_canon = acap2.canonicalize_cells(D, lines)
+            if n_canon:
+                D = D2c2
+                D.validate()
+                lines = _refresh(D)
+                self.stats.log(
+                    "cells_canonicalized", n_canon, stage="scaffold"
+                )
+            return D, lines
+
+        def ph_fase(D, lines):
+            return D, lines  # terminal marker: snapshot only
+
+        fns = {
+            "splay": ph_splay, "star": ph_star, "fix": ph_fix,
+            "starstar": ph_starstar, "stackaroo": ph_stackaroo,
+            "unvoid": ph_unvoid, "void": ph_void, "patch": ph_patch,
+            "mis": ph_mis, "canon": ph_canon, "fase": ph_fase,
+        }
+
+        start_idx = 0
+        if self.resume:
+            for i in range(len(self.SUP_PHASES) - 1, -1, -1):
+                name = self.SUP_PHASES[i]
+                path = self.outdir / name / "a.sup.npz"
+                got = self._load_sup_snapshot(
+                    D.bg, path, want_reads=rs.n_reads, want_paths=True
+                )
+                if got is None:
+                    continue
+                D, self._dpaths, self._dlen = got
+                from ..asm import lines as alines_r
+
+                lines = alines_r.find_lines(D)
+                self._refresh_positions(D, lines, rs)
+                zj = np.load(path)
+                st["joins"] = int(zj["joins"]) if "joins" in zj else 1
+                start_idx = i + 1
+                log.info("scaffold: resumed from the %s snapshot", name)
+                break
+
+        for name in self.SUP_PHASES[start_idx:]:
+            D, lines = fns[name](D, lines)
+            self._save_sup_snapshot(
+                name, D,
+                extra={
+                    "n_reads": np.int64(rs.n_reads),
+                    "n_base_edges": np.int64(D.bg.n_edges),
+                    "dpaths": self._dpaths,
+                    "dlen": self._dlen,
+                    "joins": np.int64(st["joins"]),
+                },
+            )
+            if name == "starstar":
+                if st["joins"] == 0:
+                    return None  # no star evidence: legacy scaffolder
+                self.stats.log("scaffold_mode", "star-gap", stage="scaffold")
+        return D, lines
+
     def stage_scaffold_phase(self, D, lines, rp, rs):
         """CP analogue: barcode links -> scaffolds; Flipper -> phasing.
         Barcoded mode runs the reference construction: Star joins insert
@@ -1104,207 +1354,15 @@ class Pipeline:
         ebcx = pindex.edge_barcodes(edges, plen, rs.bc, D.bg.n_edges)
         lp = getattr(self, "_line_positions", None)
         scaffolds = None
-        if self.resume and rs.barcoded and lp:
-            # CP START=fase re-entry: skip the gap-editing phases when the
-            # pre-phasing supergraph snapshot matches this graph
-            got = self._load_sup_snapshot(
-                D.bg, self.outdir / "fase" / "a.sup.npz",
-                want_reads=rs.n_reads, want_paths=True,
-            )
+        if rs.barcoded and lp:
+            got = self._scaffold_star_phases(D, lines, rs, edges, plen, ebcx)
             if got is not None:
-                from ..asm import lines as alines_r
                 from ..asm.lines import canonical_lines
                 from ..asm.scaffold import Scaffold
 
-                D, self._dpaths, self._dlen = got
-                lines = alines_r.find_lines(D)
-                self._refresh_positions(D, lines, rs)
+                D, lines = got
                 scaffolds = [
                     Scaffold([int(li)], []) for li in canonical_lines(lines)
-                ]
-                log.info("scaffold: resumed from the fase snapshot")
-        if rs.barcoded and lp and scaffolds is None:
-            from ..asm import clean as aclean
-            from ..asm import lines as alines_s
-            from ..asm import molecules as amol
-
-            # Splay vertices at long-line ends before the barcode-evidence
-            # joins (Splay, CP.cc:620): graph adjacency alone must not hold
-            # long lines together across their end vertices
-            n_sp = aclean.splay_line_ends(D, lines, lines.lengths(D))
-            if n_sp:
-                lines = alines_s.find_lines(D)
-                self._refresh_positions(D, lines, rs)
-                self.stats.log(
-                    "splayed_vertices", n_sp,
-                    "long-line end vertices splayed", stage="scaffold",
-                )
-            D, lines, n_joins = self._star_multipass(D, lines, rs, ebcx)
-            self._save_sup_snapshot("star", D)
-            # resplay + FixMisassemblies between star and starstar
-            # (CP.cc:902-923)
-            D, lines = self._fix_misassemblies(D, lines, rs, edges, plen)
-            D, lines, n_bj = self._barcode_join_passes(D, lines, rs, ebcx)
-            self._save_sup_snapshot("starstar", D)
-            if n_bj:
-                self.stats.log(
-                    "barcode_joins", n_bj,
-                    "line joins made by BarcodeJoin passes", stage="scaffold",
-                )
-            if n_joins or n_bj:
-                self.stats.log("scaffold_mode", "star-gap", stage="scaffold")
-                self.stats.log(
-                    "star_gap_joins", n_joins,
-                    "{-2} gap edges inserted by Star passes", stage="scaffold",
-                )
-                # Stackaroo: upgrade bridgeable {-2} edges to {-3} sequence
-                D, n_filled = astk.stackaroo_gaps(
-                    D, rs, self._dpaths, self._dlen
-                )
-                if n_filled:
-                    D.validate()
-                    self.stats.log(
-                        "gaps_filled_post", n_filled,
-                        "gap edges upgraded to sequence by read stacks",
-                        stage="scaffold",
-                    )
-                # Unvoid: barcode-restricted local assembly over the {-2}
-                # gaps Stackaroo left open (BuildLocal.cc:1055, CP.cc:790;
-                # barcode membership reaches reads that never placed)
-                from ..asm import local as alocal
-
-                _refresh = lambda D: self._refresh_line_state(
-                    D, rs, edges, plen
-                )
-
-                D2u, n_unvoid = alocal.unvoid(D, rs, ebcx)
-                if n_unvoid:
-                    D = D2u
-                    D.validate()
-                    # grafted sub-DAG closures renumber edges: refresh
-                    # lines and placements before downstream stages
-                    lines = _refresh(D)
-                    self.stats.log(
-                        "gaps_unvoided", n_unvoid,
-                        "gaps closed by barcode-local assembly",
-                        stage="scaffold",
-                    )
-                # Unvoid call site 1 (CP.cc:660-790): close voids at line
-                # dead-ends toward barcode-neighborhood lines, competing
-                # closures arbitrated by ChooseClosure
-                llens_u, _lbp_u, line_bcs_u, _pos_u = self._line_evidence(
-                    D, lines, rs, ebcx, asc.good_barcodes(rs.bc)
-                )
-                D2v, n_voids = alocal.unvoid_voids(
-                    D, rs, ebcx, lines, line_bcs_u, llens_u
-                )
-                if n_voids:
-                    D = D2v
-                    D.validate()
-                    lines = _refresh(D)
-                    self.stats.log(
-                        "voids_closed", n_voids,
-                        "line dead-ends joined by barcode-local assembly",
-                        stage="scaffold",
-                    )
-                # pair-linked {-2} gaps -> {-1}, then Splat the saved DF
-                # closures across them (CP.cc:1233-1257 + Splat.cc)
-                from ..asm import splat as aspl
-
-                D2c, n_conv = aspl.convert_bc_gaps(
-                    D, self._dpaths, self._dlen
-                )
-                if n_conv:
-                    D = D2c
-                    D.validate()
-                    self.stats.log(
-                        "pair_gaps_converted", n_conv,
-                        "{-2} gaps with read-pair links -> {-1}",
-                        stage="scaffold",
-                    )
-                cl2 = getattr(self, "_closures", None)
-                if cl2 and n_conv:
-                    D3, n_sp = aspl.splat(
-                        D, [np.asarray(c, np.int64) for c in cl2]
-                    )
-                    if n_sp:
-                        D = D3
-                        D.validate()
-                        lines = self._refresh_line_state(D, rs, edges, plen)
-                        self.stats.log(
-                            "gaps_splatted", n_sp,
-                            "pair gaps replaced by closure sequence",
-                            stage="scaffold",
-                        )
-                self._save_sup_snapshot("patch", D)
-                # line-keyed state moves to the merged lines
-                self._refresh_positions(D, lines, rs)
-
-                # KillMisassembledCells escalation over the joined lines
-                # (CP.cc:942-1106: base tier x2 behavior folded into one
-                # pass here, then the wider-dead-zone and long-range tiers)
-                from ..asm import misassembly as amis2
-                from ..asm.inversion import delete_edges as del_edges
-
-                lwml = (
-                    amol.lw_mean_length(self._molecules)
-                    if self._molecules
-                    else None
-                )
-                n_killed = 0
-                for (req, flk, ign) in amis2.ESCALATION_TIERS:
-                    dels = amis2.kill_misassembled_cells(
-                        D, lines, self._line_positions,
-                        bc_require=req, bc_flank=flk, bc_ignore=ign,
-                        lw_mol_len=lwml,
-                    )
-                    if not dels:
-                        continue
-                    n_killed += len(dels)
-                    D = del_edges(D, dels)
-                    D.validate()
-                    lines = self._refresh_line_state(D, rs, edges, plen)
-                # position-free variant: flank-edge barcode-set sharing
-                # (KillMisassembledCellsAlt, Super.cc:802)
-                dels_alt = amis2.kill_misassembled_cells_alt(D, lines, ebcx)
-                if dels_alt:
-                    n_killed += len(dels_alt)
-                    D = del_edges(D, dels_alt)
-                    D.validate()
-                    lines = self._refresh_line_state(D, rs, edges, plen)
-                if n_killed:
-                    self.stats.log(
-                        "misassembled_cells_killed", n_killed,
-                        "D-edges deleted at unsupported junctions",
-                        stage="scaffold",
-                    )
-                # canon: flatten 3-4-path cells into parallel edges ahead
-                # of phasing/output (CP.cc:1819-1860)
-                from ..asm import capture as acap2
-
-                D2c2, n_canon = acap2.canonicalize_cells(D, lines)
-                if n_canon:
-                    D = D2c2
-                    D.validate()
-                    lines = self._refresh_line_state(D, rs, edges, plen)
-                    self.stats.log(
-                        "cells_canonicalized", n_canon, stage="scaffold"
-                    )
-                self._save_sup_snapshot(
-                    "fase", D,
-                    extra={
-                        "n_reads": np.int64(rs.n_reads),
-                        "n_base_edges": np.int64(D.bg.n_edges),
-                        "dpaths": self._dpaths,
-                        "dlen": self._dlen,
-                    },
-                )
-                from ..asm.lines import canonical_lines
-                from ..asm.scaffold import Scaffold
-
-                scaffolds = [
-                    Scaffold([int(li)], [])
-                    for li in canonical_lines(lines)
                 ]
         if scaffolds is None:
             # legacy path (unbarcoded or no star evidence): mutual-best

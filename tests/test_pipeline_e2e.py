@@ -108,6 +108,39 @@ def test_e2e_multi_device_matches_single(tmp_path, rng):
     assert r1 == r2
 
 
+def test_scaffold_phase_reentry(tmp_path, rng):
+    """--resume restores the newest scaffold-phase snapshot (the CP START=
+    re-entry breadth): after a full run, a resumed pipeline must restore
+    from the terminal 'fase' snapshot and re-run NO earlier star-gap
+    phases, producing the same scaffolds."""
+    from tests.test_star_gap_pipeline import _mask_window
+
+    # the star-gap fixture: short molecules on a long genome + a
+    # sequencing void only barcode evidence can bridge
+    g = sim.random_genome(rng, 30_000)
+    wl = sim.make_whitelist(rng, 256)
+    reads = sim.simulate_linked_reads(
+        rng, (g, g), wl, n_barcodes=80, molecules_per_barcode=2,
+        molecule_len=8_000, coverage_per_molecule=1.0, error_rate=0.0,
+    )
+    reads = _mask_window(reads, 14_500, 15_000)
+    rs = ingest_sim(reads, wl)
+    p1 = Pipeline(tmp_path / "asm", auto_downsample=False)
+    D1, lines1, scaffolds1, _, _ = p1.run_full(rs)
+    # every phase directory snapshotted
+    for name in Pipeline.SUP_PHASES:
+        assert (tmp_path / "asm" / name / "a.sup.npz").exists(), name
+
+    p2 = Pipeline(tmp_path / "asm", resume=True, auto_downsample=False)
+    # poison the early phases: resume-from-fase must not call them
+    p2._star_multipass = None
+    p2._barcode_join_passes = None
+    p2._fix_misassemblies = None
+    D2, lines2, scaffolds2, _, _ = p2.run_full(rs)
+    assert len(scaffolds2) == len(scaffolds1)
+    assert D2.n_edges == D1.n_edges
+
+
 def test_e2e_2d_topology_matches_single(tmp_path, rng):
     """Pipeline(multi_device=(4,2)) — the 2-D host/chip topology with the
     hierarchical count exchange — produces the identical assembly."""
