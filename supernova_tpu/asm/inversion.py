@@ -14,9 +14,11 @@ Reference analogues:
     chains through now-simple vertices are recompacted; delete_edges here
     does both in one pass, keeping the involution consistent.
 
-InvFix proper (10X/InvFix.cc) is reference-assisted (uses galigns); its
-molecule-position signal is covered by the orientation-aware scaffolder
-(asm/scaffold.orient_join).
+  * InvFix (10X/InvFix.cc:22-162): flip a line segment lying between two
+    barcode-only gaps when barcode positions say the interior is
+    inverted — `inv_fix` below.  (The galigns/RefAlign part of the
+    reference is diagnostic logging only; the fix itself is
+    barcode-driven.)
 
 Host-side by design: D is supergraph-scale (1e5-1e6 edges, SURVEY.md §7).
 """
@@ -70,6 +72,130 @@ def consecutive_pair_barcodes(
 ) -> PairBarcodes:
     """(d_a, d_b) consecutive-traversal support index (see PairBarcodes)."""
     return PairBarcodes(D, dpaths, dlen, read_bc)
+
+
+INVFIX_WINDOW = 10_000  # InvFix.cc:85
+
+
+def inv_fix(D, lines, line_positions: Dict, window: int = INVFIX_WINDOW) -> int:
+    """Flip line segments that seem inverted (InvFix, 10X/InvFix.cc:84-158).
+
+    For each line, between every adjacent pair of barcode-only {-2} gaps
+    at positions (start, stop): compare barcode sharing in windows around
+    the two gaps.  n1 = |left1 ∩ right1| + |left2 ∩ right2| supports the
+    current orientation; n2 = |left1 ∩ left2| + |right1 ∩ right2| supports
+    the interior being inverted (barcodes entering at `start` should exit
+    near `start`, but with an inverted interior they reappear at `stop`).
+    When n2 > n1, swap the interior with its rc by re-homing the four
+    flanking edges (GiveEdgeNewToVx/FromVx calls, InvFix.cc:131-136).
+
+    Mutates D.from_v/D.to_v in place; returns the number of segments
+    flipped.  Callers must re-run find_lines when > 0.  (Deviation from
+    the reference: position reflection after a flip uses start+stop-p;
+    InvFix.cc:146 writes stop-start-p, which de-calibrates pb against the
+    untouched line coordinates.)"""
+    from .gap import is_bc_gap
+    from .molecules import element_offsets
+
+    linv = np.asarray(lines.linv)
+    dinv = np.asarray(D.dinv)
+    # per-line sorted (pos, bc); accepts {line: {bc: [pos]}} (the
+    # pipeline's _line_positions) or flat {(bc, line): [pos]}
+    per_line: Dict[int, list] = {}
+    for key, val in line_positions.items():
+        if isinstance(key, tuple):
+            bc, lj = key
+            per_line.setdefault(int(lj), []).extend(
+                (int(p), int(bc)) for p in val
+            )
+        else:
+            for bc, ps in val.items():
+                per_line.setdefault(int(key), []).extend(
+                    (int(p), int(bc)) for p in ps
+                )
+
+    n_fixed = 0
+    for li, ln in enumerate(lines.lines):
+        if linv[li] <= li:
+            continue
+        # barcode-only gaps (solo single-edge cells) + line coordinates
+        offs = element_offsets(D, ln)
+        gpos: List[int] = []
+        gid: List[int] = []
+        for m, el in enumerate(ln.elements):
+            if len(el.paths) == 1 and len(el.paths[0]) == 1:
+                d = int(el.paths[0][0])
+                row = D.epaths.row(d)
+                if len(row) and is_bc_gap(row):
+                    gpos.append(int(offs[m]))
+                    gid.append(d)
+        if len(gpos) < 2:
+            continue
+        pb = sorted(per_line.get(li, []))
+        if not pb:
+            continue
+        pbp = np.array([p for p, _ in pb], np.int64)
+        pbb = np.array([b for _, b in pb], np.int64)
+
+        def score(j1: int, j2: int) -> int:
+            start, stop = gpos[j1], gpos[j2]
+            lo = int(np.searchsorted(pbp, start - window))
+            hi = int(np.searchsorted(pbp, stop + window, side="right"))
+            p = pbp[lo:hi]
+            b = pbb[lo:hi]
+            half = (stop - start) // 2
+            l1 = set(b[(p < start) & (p >= start - window)].tolist())
+            r1 = set(b[(p >= start) & (p < start + half)].tolist())
+            l2 = set(b[(p < stop) & (p >= stop - half)].tolist())
+            r2 = set(b[(p >= stop) & (p < stop + window)].tolist())
+            n1 = len(l1 & r1) + len(l2 & r2)
+            n2 = len(l1 & l2) + len(r1 & r2)
+            return n2 - n1
+
+        j1 = 0
+        while j1 < len(gpos) - 1:
+            j2 = j1 + 1
+            if score(j1, j2) <= 0:
+                j1 += 1
+                continue
+            d1, d2 = gid[j1], gid[j2]
+            rd1, rd2 = int(dinv[d1]), int(dinv[d2])
+            v1, w1 = int(D.from_v[d1]), int(D.to_v[d2])
+            ins = np.nonzero(D.to_v == v1)[0]
+            outs = np.nonzero(D.from_v == w1)[0]
+            if len(ins) != 1 or len(outs) != 1:  # InvFix.cc:128
+                j1 += 1
+                continue
+            v2, w2 = int(D.from_v[rd2]), int(D.to_v[rd1])
+            if v1 == v2 or w1 == w2:  # degenerate palindrome
+                j1 += 1
+                continue
+            f1, g1 = int(ins[0]), int(outs[0])
+            ins2 = np.nonzero(D.to_v == v2)[0]
+            outs2 = np.nonzero(D.from_v == w2)[0]
+            if len(ins2) != 1 or len(outs2) != 1:
+                j1 += 1
+                continue
+            f2, g2 = int(ins2[0]), int(outs2[0])
+            # swap the interior with its rc (InvFix.cc:131-136)
+            D.to_v[f1] = v2
+            D.to_v[f2] = v1
+            D.from_v[g1] = w2
+            D.from_v[g2] = w1
+            n_fixed += 1
+            # reflect barcode positions inside the flipped interior
+            start, stop = gpos[j1], gpos[j2]
+            lo = int(np.searchsorted(pbp, start))
+            hi = int(np.searchsorted(pbp, stop, side="right"))
+            pbp[lo:hi] = (start + stop) - pbp[lo:hi]
+            order = np.argsort(pbp[lo:hi], kind="stable")
+            pbp[lo:hi] = pbp[lo:hi][order]
+            pbb[lo:hi] = pbb[lo:hi][order]
+            # advance past gaps within `window` of the flipped segment
+            j1 = j2 + 1
+            while j1 < len(gpos) - 1 and gpos[j1] - gpos[j2] < window:
+                j1 += 1
+    return n_fixed
 
 
 def zap_inversion_bubbles(D, lines) -> List[int]:

@@ -1104,7 +1104,7 @@ class Pipeline:
     # restores the NEWEST matching snapshot and re-runs only later phases.
     SUP_PHASES = (
         "splay", "star", "fix", "starstar", "stackaroo", "unvoid", "void",
-        "patch", "mis", "canon", "fase",
+        "patch", "mis", "invfix", "canon", "fase",
     )
 
     def _scaffold_star_phases(self, D, lines, rs, edges, plen, ebcx):
@@ -1276,6 +1276,23 @@ class Pipeline:
                 )
             return D, lines
 
+        def ph_invfix(D, lines):
+            # InvFix (InvFix.cc, CP.cc:1403): flip interior segments
+            # between barcode-only gap pairs that barcode windows call
+            # inverted
+            from ..asm import inversion as ainv2
+
+            n_flips = ainv2.inv_fix(D, lines, self._line_positions or {})
+            if n_flips:
+                D.validate()
+                lines = _refresh(D)
+                self.stats.log(
+                    "inversions_fixed", n_flips,
+                    "line interiors flipped to their rc by InvFix",
+                    stage="scaffold",
+                )
+            return D, lines
+
         def ph_canon(D, lines):
             # canon: flatten 3-4-path cells into parallel edges ahead of
             # phasing/output (CP.cc:1819-1860)
@@ -1296,7 +1313,8 @@ class Pipeline:
             "splay": ph_splay, "star": ph_star, "fix": ph_fix,
             "starstar": ph_starstar, "stackaroo": ph_stackaroo,
             "unvoid": ph_unvoid, "void": ph_void, "patch": ph_patch,
-            "mis": ph_mis, "canon": ph_canon, "fase": ph_fase,
+            "mis": ph_mis, "invfix": ph_invfix, "canon": ph_canon,
+            "fase": ph_fase,
         }
 
         start_idx = 0

@@ -130,3 +130,96 @@ def test_delete_edges_recompacts(rng):
     D2 = ainv.delete_edges(D, [target])
     D2.validate()
     assert D2.n_edges <= D.n_edges - 2
+
+
+def test_inv_fix_flips_inverted_interior():
+    """InvFix (InvFix.cc:84-158): a segment between two {-2} gaps whose
+    barcode windows say 'inverted' gets swapped with its rc by re-homing
+    the four flanking edges."""
+    from types import SimpleNamespace
+
+    from supernova_tpu.asm.inversion import inv_fix
+    from supernova_tpu.asm.lines import Cell, Line, Lines
+    from supernova_tpu.core.ragged import Ragged
+
+    # fwd: 0 -A(0)-> 1 -g1(1)-> 2 -B(2)-> 3 -g2(3)-> 4 -C(4)-> 5
+    # rc : 6 -C'(5)-> 7 -g2'(6)-> 8 -B'(7)-> 9 -g1'(8)-> 10 -A'(9)-> 11
+    rows = [[0], [-2, 100], [1], [-2, 100], [2],
+            [3], [-2, 100], [4], [-2, 100], [5]]
+    values = np.concatenate([np.asarray(r, np.int64) for r in rows])
+    offsets = np.concatenate([[0], np.cumsum([len(r) for r in rows])])
+    lens = {0: 20_000, 1: 100, 2: 12_000, 3: 100, 4: 20_000,
+            5: 20_000, 6: 100, 7: 12_000, 8: 100, 9: 20_000}
+    D = SimpleNamespace(
+        epaths=Ragged(values, offsets),
+        from_v=np.array([0, 1, 2, 3, 4, 6, 7, 8, 9, 10], np.int64),
+        to_v=np.array([1, 2, 3, 4, 5, 7, 8, 9, 10, 11], np.int64),
+        dinv=np.array([9, 8, 7, 6, 5, 4, 3, 2, 1, 0], np.int64),
+        n_vertices=12,
+        edge_len=lambda d: lens[d],
+    )
+    mk = lambda es: Line([Cell([np.array([e], np.int64)]) for e in es])
+    lines = Lines(
+        [mk([0, 1, 2, 3, 4]), mk([5, 6, 7, 8, 9])],
+        np.array([0, 0, 0, 0, 0, 1, 1, 1, 1, 1], np.int64),
+        np.array([1, 0], np.int64),
+    )
+    from supernova_tpu.asm.molecules import element_offsets
+
+    offs = element_offsets(D, lines.lines[0])
+    start, stop = offs[1], offs[3]  # the two gap elements
+    lp = {}
+    # inverted signal: barcodes entering before gap1 reappear before gap2
+    for bc in range(1, 6):
+        lp[(bc, 0)] = [start - 5_000, stop - 3_000]
+    for bc in range(11, 16):
+        lp[(bc, 0)] = [start + 3_000, stop + 5_000]
+    n = inv_fix(D, lines, lp)
+    assert n == 1
+    # interior B swapped with its rc B': A now feeds the rc interior
+    assert D.to_v[0] == 7 and D.to_v[5] == 1
+    assert D.from_v[4] == 10 and D.from_v[9] == 4
+    # rewired graph is still involution-consistent vertex-wise
+    # (fwd chain: 0-A->7-g2'->8-B'->9-g1'->10-C->5)
+
+
+def test_inv_fix_leaves_straight_interior_alone():
+    from types import SimpleNamespace
+
+    from supernova_tpu.asm.inversion import inv_fix
+    from supernova_tpu.asm.lines import Cell, Line, Lines
+    from supernova_tpu.core.ragged import Ragged
+
+    rows = [[0], [-2, 100], [1], [-2, 100], [2],
+            [3], [-2, 100], [4], [-2, 100], [5]]
+    values = np.concatenate([np.asarray(r, np.int64) for r in rows])
+    offsets = np.concatenate([[0], np.cumsum([len(r) for r in rows])])
+    lens = {d: (100 if d in (1, 3, 6, 8) else 15_000) for d in range(10)}
+    D = SimpleNamespace(
+        epaths=Ragged(values, offsets),
+        from_v=np.array([0, 1, 2, 3, 4, 6, 7, 8, 9, 10], np.int64),
+        to_v=np.array([1, 2, 3, 4, 5, 7, 8, 9, 10, 11], np.int64),
+        dinv=np.array([9, 8, 7, 6, 5, 4, 3, 2, 1, 0], np.int64),
+        n_vertices=12,
+        edge_len=lambda d: lens[d],
+    )
+    mk = lambda es: Line([Cell([np.array([e], np.int64)]) for e in es])
+    lines = Lines(
+        [mk([0, 1, 2, 3, 4]), mk([5, 6, 7, 8, 9])],
+        np.array([0, 0, 0, 0, 0, 1, 1, 1, 1, 1], np.int64),
+        np.array([1, 0], np.int64),
+    )
+    from supernova_tpu.asm.molecules import element_offsets
+
+    offs = element_offsets(D, lines.lines[0])
+    start, stop = offs[1], offs[3]
+    lp = {}
+    # straight signal: barcodes span each gap locally (left1 meets right1)
+    for bc in range(1, 6):
+        lp[(bc, 0)] = [start - 5_000, start + 3_000]
+    for bc in range(11, 16):
+        lp[(bc, 0)] = [stop - 3_000, stop + 5_000]
+    before = (D.to_v.copy(), D.from_v.copy())
+    assert inv_fix(D, lines, lp) == 0
+    assert np.array_equal(D.to_v, before[0])
+    assert np.array_equal(D.from_v, before[1])
