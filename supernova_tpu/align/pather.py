@@ -48,6 +48,18 @@ class ReadPaths(NamedTuple):
     overflow: jax.Array  # (R,) bool
 
 
+def _resolve_local(kmer_words, node_edge, node_pos, canon, flipped):
+    """Local dictionary resolve: sort-merge join against the full table.
+    -> (edge, epos, found) per query row.  The value-sharded resolve
+    (parallel/sharded_path._dist_resolve) is a drop-in replacement that
+    routes queries to hash-owner shards instead."""
+    row, found = kc.lookup_words_merge(kmer_words, canon)
+    node = 2 * row + flipped.astype(I32)
+    edge = jnp.where(found, node_edge[node], -1)
+    epos = jnp.where(found, node_pos[node], 0)
+    return edge, epos, found
+
+
 @partial(jax.jit, static_argnames=("max_path", "uniform_rl"))
 def path_reads(
     kmer_words: W3,  # sorted canonical table (sentinel-padded), SoA
@@ -60,6 +72,25 @@ def path_reads(
     read_offsets,  # (RP+1,) int32 (read-boundary lookups only; RP-scale)
     pos_read,  # (NB,) int32
     rlen_pos,  # (NB,) int32 read length of the row's read (host-broadcast)
+    max_path: int = MAX_PATH,
+    uniform_rl: int | None = None,
+) -> ReadPaths:
+    resolve = partial(_resolve_local, kmer_words, node_edge, node_pos)
+    return path_reads_impl(
+        resolve, from_v, to_v, edge_kmers, codes_ext, read_offsets,
+        pos_read, rlen_pos, max_path=max_path, uniform_rl=uniform_rl,
+    )
+
+
+def path_reads_impl(
+    resolve,  # (canon W3, flipped) -> (edge, epos, found)
+    from_v,
+    to_v,
+    edge_kmers,
+    codes_ext,
+    read_offsets,
+    pos_read,
+    rlen_pos,
     max_path: int = MAX_PATH,
     uniform_rl: int | None = None,
 ) -> ReadPaths:
@@ -96,14 +127,11 @@ def path_reads(
         )
         start = jax.lax.cummax(jnp.where(read_first0, p, 0))
         pir = p - start
-    row, found = kc.lookup_words_merge(kmer_words, canon)
+    edge, epos, found = resolve(canon, flipped)
     inb = pir + K <= rlen_pos
-    hit = found & inb
-
-    node = 2 * row + flipped.astype(I32)
-    edge = jnp.where(hit, node_edge[node], -1)
-    epos = jnp.where(hit, node_pos[node], 0)
-    hit = hit & (edge >= 0)
+    hit = found & inb & (edge >= 0)
+    edge = jnp.where(hit, edge, -1)
+    epos = jnp.where(hit, epos, 0)
 
     # run compression: a hit opens a new path slot unless the previous hit
     # in the same read (across any miss gap) was on the same edge AND the
