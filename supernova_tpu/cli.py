@@ -637,6 +637,15 @@ def main(argv=None) -> int:
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
+    # kill -USR1 <pid> dumps all thread stacks to stderr — the cheap
+    # where-is-it-stuck probe for host-stage walls on long runs
+    try:
+        import faulthandler
+        import signal
+
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (ImportError, AttributeError, ValueError):
+        pass
     # multi-host fleet: join BEFORE first jax use when SUPERNOVA_* process
     # env is set (the mrp/SGE cluster-mode analogue, _mrp:26 — one process
     # per host, collectives over the ("host","chip") mesh)
