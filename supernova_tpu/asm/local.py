@@ -51,6 +51,18 @@ def compute_mult(D) -> np.ndarray:
     return np.bincount(vals[keep], minlength=n_base).astype(np.int64)
 
 
+def build_adjacency(D):
+    """(out-edges by from_v, in-edges by to_v) dicts for get_barcodes —
+    build ONCE per pass and share: rebuilding per gap was O(E x gaps)."""
+    inn: Dict[int, List[int]] = {}
+    for e in range(D.n_edges):
+        inn.setdefault(int(D.from_v[e]), []).append(e)
+    into: Dict[int, List[int]] = {}
+    for e in range(D.n_edges):
+        into.setdefault(int(D.to_v[e]), []).append(e)
+    return inn, into
+
+
 def get_barcodes(
     D,
     d_end: int,
@@ -59,18 +71,15 @@ def get_barcodes(
     min_kmers: int,
     grab: int = GRAB,
     max_barcodes: int = MAX_BARCODES,
+    adj=None,
 ) -> np.ndarray:
     """Barcodes on unique, well-behaved base edges within `grab` kmers
     walking backward from the end of D-edge `d_end` along its chain
     (GetBarcodes, BuildLocal.h:15-75; bubbles and gap edges are skipped
-    over like the reference's 2-in/1-out walk)."""
+    over like the reference's 2-in/1-out walk).  `adj` = build_adjacency(D)
+    shared across calls."""
     kmers = D.bg.edges.lengths() - (K - 1)
-    inn: Dict[int, List[int]] = {}
-    for e in range(D.n_edges):
-        inn.setdefault(int(D.from_v[e]), []).append(e)
-    into: Dict[int, List[int]] = {}
-    for e in range(D.n_edges):
-        into.setdefault(int(D.to_v[e]), []).append(e)
+    inn, into = adj if adj is not None else build_adjacency(D)
 
     out: List[int] = []
     total = 0
@@ -453,6 +462,7 @@ def unvoid(
     if not flanks:
         return D, 0
     mult = compute_mult(D)
+    adj = build_adjacency(D)
 
     linear: Dict[int, np.ndarray] = {}
     grafts = []
@@ -460,9 +470,9 @@ def unvoid(
         # barcode harvest from both sides (use_rights), with gate escalation
         bcs = np.zeros(0, np.int64)
         for min_kmers in MIN_KMERS_PASSES:
-            bL = get_barcodes(D, eL, ebcx, mult, min_kmers)
+            bL = get_barcodes(D, eL, ebcx, mult, min_kmers, adj=adj)
             bR = get_barcodes(
-                D, int(D.dinv[eR]), ebcx, mult, min_kmers
+                D, int(D.dinv[eR]), ebcx, mult, min_kmers, adj=adj
             )  # right side walks its rc strand backward
             bcs = np.union1d(bL, bR)
             if len(bcs) <= MAX_BARCODES:
@@ -472,7 +482,10 @@ def unvoid(
         rids = barcode_reads(rs, bcs, max_reads)
         if len(rids) < 2:
             continue
-        seq_l, seq_r = D.edge_seq(eL), D.edge_seq(eR)
+        # closure anchors need only K bases of context; full edge_seq is
+        # O(edge length) and was a scaffold wall at 10 Mb
+        seq_l = dna.codes_to_seq(D.edge_tail_bases(eL, K))
+        seq_r = dna.codes_to_seq(D.edge_head_bases(eR, K))
         if len(seq_l) < K or len(seq_r) < K:
             continue
         seqs = [rs.read(int(r)) for r in rids]
@@ -570,6 +583,7 @@ def unvoid_voids(
     orientations each way).  Competing closures are arbitrated by
     ChooseClosure; the winner is grafted as a {-3} sub-DAG joining the
     two line-end vertices (Surgery).  Returns (D', n_closed)."""
+    from ..core import dna
     from . import star as astar
 
     if not getattr(rs, "barcoded", False):
@@ -582,6 +596,7 @@ def unvoid_voids(
     indeg = np.bincount(D.to_v, minlength=D.n_vertices)
     outdeg = np.bincount(D.from_v, minlength=D.n_vertices)
     mult = compute_mult(D)
+    adj = build_adjacency(D)
     gm = D.gap_mask()
 
     def last_edge(li):
@@ -631,7 +646,7 @@ def unvoid_voids(
         # barcodes come from the s1 side only, CP.cc:787)
         bcs = np.zeros(0, np.int64)
         for min_kmers in MIN_KMERS_PASSES:
-            bcs = get_barcodes(D, s1, ebcx, mult, min_kmers)
+            bcs = get_barcodes(D, s1, ebcx, mult, min_kmers, adj=adj)
             if len(bcs) <= MAX_BARCODES:
                 break
         if len(bcs) == 0 or len(bcs) > MAX_BARCODES:
@@ -639,7 +654,7 @@ def unvoid_voids(
         rids = barcode_reads(rs, bcs, max_reads)
         if len(rids) < 2:
             continue
-        seq_l = D.edge_seq(s1)
+        seq_l = dna.codes_to_seq(D.edge_tail_bases(s1, K))
         if len(seq_l) < K:
             continue
         seqs = [rs.read(int(r)) for r in rids]
@@ -649,7 +664,7 @@ def unvoid_voids(
             local_edges = local_unipath_edges(seqs, K, mc)
             cands = []
             for s2 in s2s:
-                seq_r = D.edge_seq(s2)
+                seq_r = dna.codes_to_seq(D.edge_head_bases(s2, K))
                 if len(seq_r) < K:
                     continue
                 cl = _extract_closure(
@@ -663,7 +678,8 @@ def unvoid_voids(
         if not cands:
             continue
         fronts = {
-            s2: D.edge_seq(s2)[:LCONTENT_CAP] for s2, _cl in cands
+            s2: dna.codes_to_seq(D.edge_head_bases(s2, LCONTENT_CAP))
+            for s2, _cl in cands
         }
         win = choose_closure(cands, fronts)
         if win is None:

@@ -80,6 +80,25 @@ def stackaroo_gaps(
     dl = np.asarray(dlen)[:r]
     valid = (np.arange(mp)[None, :] < dl[:, None]) & (dpaths >= 0)
 
+    # inverted placement index (edge -> read ids), built ONCE: the old
+    # per-gap np.isin over the whole (R, MAX_PATH) matrix was the 10 Mb
+    # scaffold wall (each gap re-scanned 38M cells)
+    flat_r, flat_c = np.nonzero(valid)
+    flat_e = dpaths[flat_r, flat_c]
+    order = np.argsort(flat_e, kind="stable")
+    idx_e = flat_e[order]
+    idx_r = flat_r[order]
+
+    def reads_on(edges: List[int]) -> set:
+        out: set = set()
+        for e in edges:
+            lo, hi = np.searchsorted(idx_e, [e, e + 1])
+            out.update(idx_r[lo:hi].tolist())
+        return out
+
+    from ..core import dna as _dna
+
+    ctx = max(FLANK_BASES, K)
     replacements: Dict[int, np.ndarray] = {}
     n_filled = 0
     for d in gap_ids:
@@ -88,11 +107,12 @@ def stackaroo_gaps(
         if len(lefts) != 1 or len(rights) != 1:
             continue  # {-3} requires exactly one abutting edge per side
         eL, eR = lefts[0], rights[0]
-        seq_l, seq_r = D.edge_seq(eL), D.edge_seq(eR)
+        # flank-sized context only — full edge_seq is O(edge length)
+        seq_l = _dna.codes_to_seq(D.edge_tail_bases(eL, ctx))
+        seq_r = _dna.codes_to_seq(D.edge_head_bases(eR, ctx))
         if len(seq_l) < K or len(seq_r) < K:
             continue
-        near = np.isin(dpaths, [eL, eR, int(D.dinv[eL]), int(D.dinv[eR])]) & valid
-        rids = set(np.nonzero(near.any(axis=1))[0].tolist())
+        rids = reads_on([eL, eR, int(D.dinv[eL]), int(D.dinv[eR])])
         rids |= {rid ^ 1 for rid in rids}  # mates dangle into the gap
         rids = sorted(rids)[:MAX_GAP_READS]
         if len(rids) < 2:

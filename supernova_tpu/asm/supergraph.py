@@ -75,6 +75,42 @@ class SuperGraph:
             parts.append(self.bg.edges.row(int(e))[K - 1 :])
         return np.concatenate(parts)
 
+    def edge_tail_bases(self, d: int, n: int) -> np.ndarray:
+        """Last <= n bases of a non-gap D-edge WITHOUT materializing the
+        whole edge (long chains make edge_bases O(edge length); gap-filling
+        only needs flank-sized context)."""
+        path = self.epaths.row(d)
+        if len(path) and path[0] < 0:
+            return self.edge_bases(d)[-n:]
+        parts = []
+        got = 0
+        for i in range(len(path) - 1, -1, -1):
+            row = self.bg.edges.row(int(path[i]))
+            if i > 0:
+                row = row[K - 1 :]
+            parts.append(row)
+            got += len(row)
+            if got >= n:
+                break
+        return np.concatenate(parts[::-1])[-n:]
+
+    def edge_head_bases(self, d: int, n: int) -> np.ndarray:
+        """First <= n bases of a non-gap D-edge (see edge_tail_bases)."""
+        path = self.epaths.row(d)
+        if len(path) and path[0] < 0:
+            return self.edge_bases(d)[:n]
+        parts = []
+        got = 0
+        for i in range(len(path)):
+            row = self.bg.edges.row(int(path[i]))
+            if i > 0:
+                row = row[K - 1 :]
+            parts.append(row)
+            got += len(row)
+            if got >= n:
+                break
+        return np.concatenate(parts)[:n]
+
     def edge_len(self, d: int) -> int:
         path = self.epaths.row(d)
         if len(path) and path[0] < 0:
