@@ -1339,7 +1339,9 @@ class Pipeline:
                 break
 
         for name in self.SUP_PHASES[start_idx:]:
+            t0 = time.time()
             D, lines = fns[name](D, lines)
+            log.info("scaffold phase %s: %.1fs", name, time.time() - t0)
             self._save_sup_snapshot(
                 name, D,
                 extra={
