@@ -30,6 +30,8 @@ import numpy as np
 from ..core.kmer_codec import K
 from .patch import PATCH_K
 
+import os
+
 GRAB = 10_000  # kmers of line-end context to harvest barcodes from
 MAX_BARCODES = 1000  # promiscuous-edge and total-set gate
 MIN_KMERS_PASSES = (1, 10)  # escalate the per-edge kmer gate if oversubscribed
@@ -466,7 +468,11 @@ def unvoid(
 
     linear: Dict[int, np.ndarray] = {}
     grafts = []
+    cap = int(os.environ.get("SN_UNVOID_CAP", "0"))  # profiling-only cap
+    n_assembled = 0
     for d, (eL, eR) in flanks.items():
+        if cap and n_assembled >= cap:
+            break
         # barcode harvest from both sides (use_rights), with gate escalation
         bcs = np.zeros(0, np.int64)
         for min_kmers in MIN_KMERS_PASSES:
@@ -489,6 +495,7 @@ def unvoid(
         if len(seq_l) < K or len(seq_r) < K:
             continue
         seqs = [rs.read(int(r)) for r in rids]
+        n_assembled += 1
         cl = closure_graph(seqs, seq_l, seq_r)
         if cl is not None and len(cl) == 1 and cl[0][0] == "L" and cl[0][1] == "R":
             # linear closure: in-place {-2} -> {-3} payload upgrade
@@ -607,7 +614,11 @@ def unvoid_voids(
 
     grafts = []
     n_closed = 0
+    cap = int(os.environ.get("SN_UNVOID_CAP", "0"))  # profiling-only cap
+    n_assembled = 0
     for l1 in range(n):
+        if cap and n_assembled >= cap:
+            break
         if llens[l1] < MIN_LINE_TO_WALK:
             continue
         s1 = last_edge(l1)
@@ -658,6 +669,7 @@ def unvoid_voids(
         if len(seq_l) < K:
             continue
         seqs = [rs.read(int(r)) for r in rids]
+        n_assembled += 1
         cands = []
         local_edges = None
         for mc in (2, 1):

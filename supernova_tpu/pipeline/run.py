@@ -1352,6 +1352,9 @@ class Pipeline:
                     "joins": np.int64(st["joins"]),
                 },
             )
+            if os.environ.get("SN_STOP_AFTER_PHASE") == name:
+                log.info("scaffold: SN_STOP_AFTER_PHASE=%s hit, exiting", name)
+                raise SystemExit(0)
             if name == "starstar":
                 if st["joins"] == 0:
                     return None  # no star evidence: legacy scaffolder
