@@ -33,6 +33,21 @@ from .patch import PATCH_K
 import os
 
 GRAB = 10_000  # kmers of line-end context to harvest barcodes from
+LOCAL_THREADS = max(1, (os.cpu_count() or 4) - 1)  # local-assembly pool
+
+
+def _parallel_map(fn, items):
+    """Thread-parallel map preserving item order.  The per-gap local
+    assemblies are dominated by GIL-releasing numpy (window packing,
+    lexsort, bincounts), so threads scale on the 10 Mb+ walls without the
+    fork hazards of a live JAX runtime (the reference runs these loops
+    under OpenMP, BuildLocal.cc: #pragma omp)."""
+    if len(items) <= 1 or LOCAL_THREADS == 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=LOCAL_THREADS) as pool:
+        return list(pool.map(fn, items))
 MAX_BARCODES = 1000  # promiscuous-edge and total-set gate
 MIN_KMERS_PASSES = (1, 10)  # escalate the per-edge kmer gate if oversubscribed
 MAX_READS = 8000  # local-assembly read budget (ref: 1M; our sims are smaller)
@@ -147,78 +162,161 @@ def get_barcodes(
     return np.unique(np.asarray(out, np.int64)) if out else np.zeros(0, np.int64)
 
 
+def _kmer_spectrum(seqs, k: int):
+    """Both-strand kmer spectrum of the read set: sorted unique kmers packed
+    big-endian base-4 into two uint64 halves (hi = first k//2 bases), with
+    multiplicities.  Computed ONCE per read set and shared across the
+    min_count escalation ladder (BuildLocal re-runs its local assembly with
+    relaxed gates; the window extraction + sort is the shared 90%)."""
+    assert k <= 64
+    k1 = k // 2
+    k2 = k - k1
+    arrs = [np.asarray(s, np.uint8) for s in seqs if len(s) >= k]
+    z = np.zeros(0, np.uint64)
+    if not arrs:
+        return z, z, np.zeros(0, np.int64)
+    cat8 = np.concatenate(arrs)
+    lens = np.array([len(s) for s in arrs], np.int64)
+    # rc strand = complement of the whole stream reversed: read order also
+    # reverses, but the multiset of within-read windows is identical, and
+    # boundary windows are masked by the same ends logic below
+    cat8 = np.concatenate([cat8, (cat8[::-1] ^ np.uint8(3))])
+    lens = np.concatenate([lens, lens[::-1]])
+    ends = np.cumsum(lens)
+    # pack the stream into 32-base uint64 words (big-endian in-word), then
+    # extract each window half as a 64-bit aligned segment — O(1) vector ops
+    # per window instead of an (N, k) reduction
+    pad = (-len(cat8)) % 32
+    m = np.concatenate([cat8, np.zeros(pad + 32, np.uint8)]).reshape(-1, 32)
+    words = np.zeros(len(m), np.uint64)
+    for j in range(32):
+        words <<= np.uint64(2)
+        words |= m[:, j].astype(np.uint64)
+
+    def _extract(pos: np.ndarray, kk: int) -> np.ndarray:
+        """Packed kk-mer (kk <= 32) starting at each base position."""
+        q, r = np.divmod(pos, 32)
+        b = (r.astype(np.uint64)) * np.uint64(2)
+        w0 = words[q]
+        w1 = words[q + 1]
+        # (w1 >> (63-b)) >> 1 is 0 at b == 0 (two shifts, each < 64)
+        seg = (w0 << b) | ((w1 >> (np.uint64(63) - b)) >> np.uint64(1))
+        return seg >> np.uint64(64 - 2 * kk)
+
+    # window at flat position p is in-read iff p + k <= end of p's read
+    n_win = len(cat8) - k + 1
+    p = np.arange(n_win)
+    owner_end = ends[np.searchsorted(ends, p, side="right")]
+    p = p[p + k <= owner_end]
+    hi = _extract(p, k1)
+    lo = _extract(p + k1, k2)
+    order = np.lexsort((lo, hi))
+    hi, lo = hi[order], lo[order]
+    starts = np.r_[True, (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+    sidx = np.flatnonzero(starts)
+    cnt = np.diff(np.r_[sidx, len(hi)])
+    return hi[sidx], lo[sidx], cnt
+
+
+def _decode_codes(hi: np.ndarray, lo: np.ndarray, k1: int, k2: int) -> np.ndarray:
+    """(n,) packed halves -> (n, k1+k2) uint8 base codes, vectorized."""
+    out = np.empty((len(hi), k1 + k2), np.uint8)
+    for j in range(k1):
+        out[:, k1 - 1 - j] = (hi >> np.uint64(2 * j)) & np.uint64(3)
+    for j in range(k2):
+        out[:, k1 + k2 - 1 - j] = (lo >> np.uint64(2 * j)) & np.uint64(3)
+    return out
+
+
+def _unitig_edges_packed(hi: np.ndarray, lo: np.ndarray, k: int):
+    """Unitig edges over a kept kmer set (packed halves, sorted unique).
+    Integer-native throughout — node keys are packed (k-1)-mers, degrees
+    come from bincounts, and the chain walk follows int successor arrays;
+    only the final unitig sequences are decoded to strings (the per-kmer
+    string decode + dict-of-strings walk was THE 10 Mb scaffold wall)."""
+    from ..core import dna
+
+    n = len(hi)
+    if n == 0:
+        return []
+    k1 = k // 2
+    k2 = k - k1
+    u3 = np.uint64(3)
+    mask1 = np.uint64((1 << (2 * (k1 - 1))) - 1)
+    mask2 = np.uint64((1 << (2 * (k2 - 1))) - 1)
+    # (k-1)-mer node keys in the (first k1 bases, last k2-1 bases) packing:
+    # prefix = bases[0:k-1], suffix = bases[1:k]
+    pre_a = hi
+    pre_b = lo >> np.uint64(2)
+    suf_a = ((hi & mask1) << np.uint64(2)) | (lo >> np.uint64(2 * (k2 - 1)))
+    suf_b = lo & mask2
+    nodes_a = np.concatenate([pre_a, suf_a])
+    nodes_b = np.concatenate([pre_b, suf_b])
+    order = np.lexsort((nodes_b, nodes_a))
+    sa, sb = nodes_a[order], nodes_b[order]
+    new = np.r_[True, (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])]
+    uid_sorted = np.cumsum(new) - 1
+    uid = np.empty(2 * n, np.int64)
+    uid[order] = uid_sorted
+    pre_id, suf_id = uid[:n], uid[n:]
+    n_nodes = int(uid_sorted[-1]) + 1
+    outdeg = np.bincount(pre_id, minlength=n_nodes)
+    indeg = np.bincount(suf_id, minlength=n_nodes)
+    simple = (outdeg == 1) & (indeg == 1)
+    node_out = np.full(n_nodes, -1, np.int64)
+    node_out[pre_id] = np.arange(n)  # valid where outdeg == 1
+    starts = np.flatnonzero(~simple[pre_id])
+    head_codes = _decode_codes(hi[starts], lo[starts], k1, k2)
+    last_base = (lo & u3).astype(np.uint8)
+    simple_l = simple.tolist()
+    suf_l = suf_id.tolist()
+    out_l = node_out.tolist()
+    edges = []
+    for si, i in enumerate(starts.tolist()):
+        chain = []
+        cur = suf_l[i]
+        # only simple nodes are crossed, so no node repeats (re-entry would
+        # need in-degree >= 2); termination is guaranteed
+        while simple_l[cur]:
+            j = out_l[cur]
+            chain.append(j)
+            cur = suf_l[j]
+        if chain:
+            seq = dna.codes_to_seq(
+                np.concatenate([head_codes[si], last_base[chain]])
+            )
+        else:
+            seq = dna.codes_to_seq(head_codes[si])
+        edges.append((seq[: k - 1], seq[-(k - 1):], seq))
+    return edges
+
+
+class LocalAssembly:
+    """Per-gap local assembly context: one kmer spectrum, unitig graphs
+    materialized lazily per min_count gate (the escalation ladder reuses
+    the spectrum instead of re-extracting every window)."""
+
+    def __init__(self, seqs, k: int = K):
+        self.k = k
+        self.hi, self.lo, self.cnt = _kmer_spectrum(seqs, k)
+        self._edges: Dict[int, list] = {}
+
+    def edges(self, min_count: int):
+        got = self._edges.get(min_count)
+        if got is None:
+            m = self.cnt >= min_count
+            got = _unitig_edges_packed(self.hi[m], self.lo[m], self.k)
+            self._edges[min_count] = got
+        return got
+
+
 def local_unipath_edges(seqs, k: int = K, min_count: int = 2):
     """Host-side unitig graph over the read set at kmer size k, both strands
     (the standalone analogue of BuildLocal's local assembly,
     BuildLocal.cc:419-447).  Returns [(from_node, to_node, seq)] where nodes
     are (k-1)-mer strings; adjacent unitigs overlap by k-1 bases — exactly
     the {-3} sequence-gap splice convention (GapAwareWalker)."""
-    from ..core import dna
-
-    # vectorized counting: pack each k-window into TWO uint64 halves
-    # (2 bits/base; k <= 64) and count sorted runs — replaces per-character
-    # Python dict counting; only the KEPT kmers (few) are decoded back to
-    # strings for the unitig walk below
-    assert k <= 64
-    k1 = k // 2
-    k2 = k - k1
-    pow1 = np.uint64(4) ** np.arange(k1 - 1, -1, -1, dtype=np.uint64)
-    pow2 = np.uint64(4) ** np.arange(k2 - 1, -1, -1, dtype=np.uint64)
-    # ONE concatenated array (fwd + rc strands), windows crossing a read
-    # boundary masked out — replaces the per-read Python loop, which
-    # dominated Unvoid host time at the multi-Mb scale
-    arrs = [np.asarray(s, np.uint8) for s in seqs if len(s) >= k]
-    kept: List[str] = []
-    if arrs:
-        both = arrs + [dna.revcomp(s).astype(np.uint8) for s in arrs]
-        cat = np.concatenate(both).astype(np.uint64)
-        lens = np.array([len(s) for s in both], np.int64)
-        ends = np.cumsum(lens)
-        w = np.lib.stride_tricks.sliding_window_view(cat, k)
-        hi = (w[:, :k1] * pow1).sum(axis=1, dtype=np.uint64)
-        lo = (w[:, k1:] * pow2).sum(axis=1, dtype=np.uint64)
-        # window at flat position p is in-read iff p + k <= end of p's read
-        owner_end = ends[np.searchsorted(ends, np.arange(len(hi)), side="right")]
-        ok = np.arange(len(hi)) + k <= owner_end
-        hi, lo = hi[ok], lo[ok]
-        order = np.lexsort((lo, hi))
-        hi, lo = hi[order], lo[order]
-        starts = np.r_[True, (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
-        sidx = np.flatnonzero(starts)
-        cnt = np.diff(np.r_[sidx, len(hi)])
-        sel = sidx[cnt >= min_count]
-
-        def _decode(v: int, kk: int) -> str:
-            return "".join(
-                "ACGT"[(int(v) >> (2 * j)) & 3] for j in range(kk - 1, -1, -1)
-            )
-
-        kept = [
-            _decode(int(hi[i]), k1) + _decode(int(lo[i]), k2) for i in sel
-        ]
-    outs: Dict[str, List[str]] = {}
-    ins: Dict[str, List[str]] = {}
-    for km in kept:
-        outs.setdefault(km[:-1], []).append(km)
-        ins.setdefault(km[1:], []).append(km)
-
-    def simple(node: str) -> bool:
-        return len(outs.get(node, ())) == 1 and len(ins.get(node, ())) == 1
-
-    edges = []
-    for km in kept:
-        if simple(km[:-1]):
-            continue  # interior of a unitig
-        parts = [km]
-        cur = km[1:]
-        # walking only crosses simple nodes, so no node repeats (re-entry
-        # would need in-degree >= 2); termination is guaranteed
-        while simple(cur):
-            nx = outs[cur][0]
-            parts.append(nx[-1])
-            cur = nx[1:]
-        edges.append((km[:-1], cur, "".join(parts)))
-    return edges
+    return LocalAssembly(seqs, k).edges(min_count)
 
 
 def _compress_chain(cl, k: int):
@@ -339,9 +437,9 @@ def closure_graph(
     pat_l, pat_r = seq_l[-k:], seq_r[:k]
     if len(pat_l) < k or len(pat_r) < k:
         return None
+    la = LocalAssembly(seqs, k)
     for mc in min_counts:
-        edges = local_unipath_edges(seqs, k, mc)
-        res = _extract_closure(edges, pat_l, pat_r, k, max_bases, max_edges)
+        res = _extract_closure(la.edges(mc), pat_l, pat_r, k, max_bases, max_edges)
         if res is not None:
             return res
     return None
@@ -466,13 +564,8 @@ def unvoid(
     mult = compute_mult(D)
     adj = build_adjacency(D)
 
-    linear: Dict[int, np.ndarray] = {}
-    grafts = []
-    cap = int(os.environ.get("SN_UNVOID_CAP", "0"))  # profiling-only cap
-    n_assembled = 0
-    for d, (eL, eR) in flanks.items():
-        if cap and n_assembled >= cap:
-            break
+    def work(item):
+        d, eL, eR = item
         # barcode harvest from both sides (use_rights), with gate escalation
         bcs = np.zeros(0, np.int64)
         for min_kmers in MIN_KMERS_PASSES:
@@ -484,29 +577,26 @@ def unvoid(
             if len(bcs) <= MAX_BARCODES:
                 break
         if len(bcs) == 0 or len(bcs) > MAX_BARCODES:
-            continue
+            return None
         rids = barcode_reads(rs, bcs, max_reads)
         if len(rids) < 2:
-            continue
+            return None
         # closure anchors need only K bases of context; full edge_seq is
         # O(edge length) and was a scaffold wall at 10 Mb
         seq_l = dna.codes_to_seq(D.edge_tail_bases(eL, K))
         seq_r = dna.codes_to_seq(D.edge_head_bases(eR, K))
         if len(seq_l) < K or len(seq_r) < K:
-            continue
+            return None
         seqs = [rs.read(int(r)) for r in rids]
-        n_assembled += 1
         cl = closure_graph(seqs, seq_l, seq_r)
         if cl is not None and len(cl) == 1 and cl[0][0] == "L" and cl[0][1] == "R":
-            # linear closure: in-place {-2} -> {-3} payload upgrade
-            row = agap.seq_to_gap(dna.seq_to_codes(cl[0][2]))
-            linear[d] = row
-            linear[int(D.dinv[d])] = agap.rc_gap(row)
-        elif cl is not None:
+            return ("linear", d, cl[0][2])
+        if cl is not None:
             rd = int(D.dinv[d])
             if d == rd:
-                continue
-            grafts.append(
+                return None
+            return (
+                "graft",
                 (
                     int(D.from_v[d]),
                     int(D.to_v[d]),
@@ -514,19 +604,37 @@ def unvoid(
                     int(D.to_v[rd]),
                     cl,
                     [d, rd],
-                )
+                ),
             )
-        else:
-            # fallback: small-k majority walk (thin read sets)
-            fill = _mini_dbg_walk(
-                seqs, seq_l[-400:], seq_r[:400], k, max_walk=MAX_LOCAL_WALK
-            )
-            if fill is None or len(fill) < k:
-                continue
-            gseq = seq_l[-(K - 1) :] + fill + seq_r[k : K - 1]
-            row = agap.seq_to_gap(dna.seq_to_codes(gseq), 0, 0)
-            linear[d] = row
-            linear[int(D.dinv[d])] = agap.rc_gap(row)
+        # fallback: small-k majority walk (thin read sets)
+        fill = _mini_dbg_walk(
+            seqs, seq_l[-400:], seq_r[:400], k, max_walk=MAX_LOCAL_WALK
+        )
+        if fill is None or len(fill) < k:
+            return None
+        gseq = seq_l[-(K - 1) :] + fill + seq_r[k : K - 1]
+        return ("linear0", d, gseq)
+
+    items = [(d, eL, eR) for d, (eL, eR) in flanks.items()]
+    cap = int(os.environ.get("SN_UNVOID_CAP", "0"))  # profiling-only cap
+    if cap:
+        items = items[:cap]
+    linear: Dict[int, np.ndarray] = {}
+    grafts = []
+    for res in _parallel_map(work, items):
+        if res is None:
+            continue
+        if res[0] == "graft":
+            grafts.append(res[1])
+            continue
+        kind, d, seq = res
+        row = (
+            agap.seq_to_gap(dna.seq_to_codes(seq))
+            if kind == "linear"
+            else agap.seq_to_gap(dna.seq_to_codes(seq), 0, 0)
+        )
+        linear[d] = row
+        linear[int(D.dinv[d])] = agap.rc_gap(row)
 
     D2, n_grafted = _apply_closures(D, linear, grafts)
     return D2, len(linear) // 2 + n_grafted
@@ -612,13 +720,10 @@ def unvoid_voids(
     def first_edge(li):
         return int(lines.lines[li].elements[0].paths[0][0])
 
-    grafts = []
-    n_closed = 0
-    cap = int(os.environ.get("SN_UNVOID_CAP", "0"))  # profiling-only cap
-    n_assembled = 0
+    # cheap serial eligibility pass: find void line ends + their candidate
+    # partner line starts (CP.cc:740-768)
+    items = []
     for l1 in range(n):
-        if cap and n_assembled >= cap:
-            break
         if llens[l1] < MIN_LINE_TO_WALK:
             continue
         s1 = last_edge(l1)
@@ -653,6 +758,13 @@ def unvoid_voids(
             s2s.append(s2)
         if overlaps or not s2s:
             continue
+        items.append((s1, v, s2s))
+    cap = int(os.environ.get("SN_UNVOID_CAP", "0"))  # profiling-only cap
+    if cap:
+        items = items[:cap]
+
+    def work(item):
+        s1, v, s2s = item
         # one barcode harvest + one local assembly per l1 (use_rights=False:
         # barcodes come from the s1 side only, CP.cc:787)
         bcs = np.zeros(0, np.int64)
@@ -661,19 +773,18 @@ def unvoid_voids(
             if len(bcs) <= MAX_BARCODES:
                 break
         if len(bcs) == 0 or len(bcs) > MAX_BARCODES:
-            continue
+            return None
         rids = barcode_reads(rs, bcs, max_reads)
         if len(rids) < 2:
-            continue
+            return None
         seq_l = dna.codes_to_seq(D.edge_tail_bases(s1, K))
         if len(seq_l) < K:
-            continue
+            return None
         seqs = [rs.read(int(r)) for r in rids]
-        n_assembled += 1
+        la = LocalAssembly(seqs, K)
         cands = []
-        local_edges = None
         for mc in (2, 1):
-            local_edges = local_unipath_edges(seqs, K, mc)
+            local_edges = la.edges(mc)
             cands = []
             for s2 in s2s:
                 seq_r = dna.codes_to_seq(D.edge_head_bases(s2, K))
@@ -688,27 +799,25 @@ def unvoid_voids(
             if cands:
                 break
         if not cands:
-            continue
+            return None
         fronts = {
             s2: dna.codes_to_seq(D.edge_head_bases(s2, LCONTENT_CAP))
             for s2, _cl in cands
         }
         win = choose_closure(cands, fronts)
         if win is None:
-            continue
+            return None
         s2, cl = win
-        grafts.append(
-            (
-                v,
-                int(D.from_v[s2]),
-                int(D.to_v[int(D.dinv[s2])]),
-                int(D.from_v[int(D.dinv[s1])]),
-                cl,
-                [],
-            )
+        return (
+            v,
+            int(D.from_v[s2]),
+            int(D.to_v[int(D.dinv[s2])]),
+            int(D.from_v[int(D.dinv[s1])]),
+            cl,
+            [],
         )
-        n_closed += 1
 
+    grafts = [g for g in _parallel_map(work, items) if g is not None]
     if not grafts:
         return D, 0
     D2, n_grafted = _apply_closures(D, {}, grafts)

@@ -196,16 +196,20 @@ class Pipeline:
 
         ck = self.outdir / "kmers.npz"
         if self.resume and ck.exists():
-            import jax.numpy as jnp
-
+            # host-backed table: the downstream consumers either resume from
+            # their own checkpoints (graph.npz) or are numpy (coverage
+            # estimate), and the eager H2D put of a multi-100MB table over
+            # the axon tunnel cost ~5 min of the 10 Mb resume wall; jnp ops
+            # lift np arrays lazily if the graph stage does recompute
             z = np.load(ck)
+            w = np.asarray(z["words"], dtype=np.uint32)
             return kcount.KmerTable(
-                kc_codec.np_to_soa(z["words"]),
-                jnp.asarray(z["count"]),
-                jnp.asarray(z["nbc"]),
-                jnp.asarray(z["left_mask"]),
-                jnp.asarray(z["right_mask"]),
-                jnp.asarray(int(z["n_valid"]), jnp.int32),
+                kc_codec.W3(w[:, 0], w[:, 1], w[:, 2]),
+                z["count"],
+                z["nbc"],
+                z["left_mask"],
+                z["right_mask"],
+                np.int32(z["n_valid"]),
             )
         ndev = self._mesh_ndev()
         if ndev and int(rs.offsets[-1]) > kcount.BLOCK_POSITIONS:
