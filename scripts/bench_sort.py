@@ -91,13 +91,32 @@ def main():
         )
         return hs, a[idx], b[idx], c[idx], pk[idx], cnt[idx]
 
+    from supernova_tpu.ops.pallas.sort import sort_bitonic_pallas
+
+    @jax.jit
+    def flat4_4op(a, b, c, pk):
+        return jax.lax.sort((a, b, c, pk), num_keys=4, is_stable=False)
+
+    @jax.jit
+    def pallas4(a, b, c, pk):
+        return sort_bitonic_pallas(a, b, c, pk, num_keys=4)
+
     t0 = timed("flat 4-key 5-op", flat4, a, b, c, pk, cnt)
+    timed("flat 4-key 4-op", flat4_4op, a, b, c, pk)
+    timed("pallas bitonic 4-key 4-op", pallas4, a, b, c, pk)
     timed("flat 3-key 5-op", flat3, a, b, c, pk, cnt)
     for rows in (64, 256, 1024):
         timed(f"batched ({rows}, {N//rows})", batched(rows), a, b, c, pk, cnt)
     timed("hash 1-key 6-op", hash1, a, b, c, pk, cnt)
     timed("hash 2-op sort + gather", key2, a, b, c, pk, cnt)
     print(f"baseline flat4: {t0*1e3:.1f} ms at {N} rows")
+
+    # correctness on chip: pallas output must equal lax.sort's (all-key ties
+    # are identical rows, so arrays match bitwise)
+    ref = flat4_4op(a, b, c, pk)
+    got = pallas4(a, b, c, pk)
+    ok = all(bool(jnp.array_equal(r, g)) for r, g in zip(ref, got))
+    print("pallas bitonic matches lax.sort:", ok)
 
 
 if __name__ == "__main__":
