@@ -62,6 +62,33 @@ def _flat_pair_part(c1f, q1f, s1, l1, c2f, q2f, s2, l2, skip, room):
         keep_idx = np.flatnonzero(valid)[:room]
         valid = np.zeros_like(valid)
         valid[keep_idx] = True
+    if (
+        valid.all()
+        and len(l1)
+        and (l1 == l1[0]).all()
+        and (l2 == l2[0]).all()
+        and (np.diff(s1) == l1[0]).all()
+        and (np.diff(s2) == l2[0]).all()
+    ):
+        # uniform-length fast path: the interleaved flat layout is a pure
+        # reshape (the general path below builds several n-base int64
+        # gather-index arrays — minutes of wall at 10^9 bases)
+        rl1, rl2 = int(l1[0]), int(l2[0])
+        npair = len(l1)
+        base1 = int(s1[0])
+        base2 = int(s2[0])
+        r1c = c1f[base1 : base1 + npair * rl1].reshape(npair, rl1)
+        r1q = q1f[base1 : base1 + npair * rl1].reshape(npair, rl1)
+        r2c = c2f[base2 : base2 + npair * rl2].reshape(npair, rl2)
+        r2q = q2f[base2 : base2 + npair * rl2].reshape(npair, rl2)
+        bc2d = np.ascontiguousarray(r1c[:, :BC_LEN])
+        bcq2d = np.ascontiguousarray(r1q[:, :BC_LEN])
+        comb_c = np.concatenate([r1c[:, skip:], r2c], axis=1).reshape(-1)
+        comb_q = np.concatenate([r1q[:, skip:], r2q], axis=1).reshape(-1)
+        lens_i = np.empty(2 * npair, dtype=np.int64)
+        lens_i[0::2] = rl1 - skip
+        lens_i[1::2] = rl2
+        return comb_c, comb_q, lens_i, bc2d, bcq2d
     s1v, l1v = s1[valid] + skip, l1[valid] - skip
     s2v, l2v = s2[valid], l2[valid]
     npair = len(s1v)

@@ -67,3 +67,40 @@ def test_flat_ingest_matches_list_path(tmp_path, rng):
         ingest_10x_fastqs([r1], [r2], wl, max_pairs=37),
         _ingest_lists([r1], [r2], wl, max_pairs=37),
     )
+
+
+def test_flat_ingest_nonuniform_lengths(tmp_path, rng):
+    """Variable-length records exercise the general (gather) path; the
+    uniform fast path must bail out to it on any length deviation."""
+    from supernova_tpu.ingest.fastq import write_fastq
+
+    g = sim.random_genome(rng, 20000)
+    _, hb = sim.diploidize(rng, g, 0.002)
+    wlc = sim.make_whitelist(rng, 64)
+    reads = sim.simulate_linked_reads(
+        rng, (g, hb), wlc, n_barcodes=20, molecules_per_barcode=2,
+        molecule_len=4000, coverage_per_molecule=1.0, error_rate=0.003,
+        bc_error_rate=0.05,
+    )
+    r1, r2 = write_sim_fastqs(reads, tmp_path)
+    # rewrite with ragged tails: truncate every 3rd record by 1-7 bases
+    from supernova_tpu.ingest.tenx import _read_fastq_arrays as rfa
+    import gzip
+
+    def raggedize(path, out):
+        c, q, o = rfa(path)
+        recs = []
+        for i in range(len(o) - 1):
+            a, b = int(o[i]), int(o[i + 1])
+            cut = (i % 3 == 0) * (1 + (i % 7))
+            recs.append((f"r{i}", c[a : b - cut], q[a : b - cut]))
+        write_fastq(out, recs)
+        return out
+
+    r1v = raggedize(r1, tmp_path / "ragged_R1.fastq")
+    r2v = raggedize(r2, tmp_path / "ragged_R2.fastq")
+    wl = Whitelist.from_codes(wlc)
+    _rs_equal(
+        ingest_10x_fastqs([r1v], [r2v], wl),
+        _ingest_lists([r1v], [r2v], wl),
+    )
