@@ -64,7 +64,12 @@ class ReadSet:
 
     def save(self, path: str | Path, pack_quals: bool = True):
         """Checkpoint (fastb/qualp/bci analogue).  Quals store PQVec-style
-        by default: a 4-entry codebook + 2-bit codes (core/pqvec.py)."""
+        by default: a 4-entry codebook + 2-bit codes (core/pqvec.py); bases
+        store 2-bit packed (fastb analogue).  Uncompressed npz: the packed
+        payload is near-incompressible and single-threaded deflate costs
+        minutes at 10^9-base scale."""
+        from .feudal import pack_codes
+
         extra = {}
         if pack_quals:
             from ..core import pqvec
@@ -77,9 +82,10 @@ class ReadSet:
             }
         else:
             extra = {"quals": self.quals}
-        np.savez_compressed(
+        np.savez(
             path,
-            codes=self.codes,
+            codesp=pack_codes(self.codes),
+            n_codes=np.int64(len(self.codes)),
             offsets=self.offsets,
             bc=self.bc,
             bci=self.bci,
@@ -96,8 +102,14 @@ class ReadSet:
             quals = pqvec.unpack(z["qualp"], int(z["n_quals"]), z["qual_book"])
         else:
             quals = z["quals"]
+        if "codesp" in z:
+            from .feudal import unpack_codes
+
+            codes = unpack_codes(z["codesp"], int(z["n_codes"]))
+        else:  # pre-packing checkpoints
+            codes = z["codes"]
         return ReadSet(
-            codes=z["codes"],
+            codes=codes,
             offsets=z["offsets"],
             quals=quals,
             bc=z["bc"],
