@@ -418,6 +418,87 @@ def count_block_raw(
     return _reduce_occurrences_raw(canon, bc, lm, rm, valid)
 
 
+def _unpack_codes_dev(packed, nbp: int, ext: int):
+    """Device-side 2-bit unpack (inverse of feudal.pack_codes), gather-free:
+    (nbp//4,) uint8 -> (nbp + ext,) int32 with a zero tail."""
+    x = packed.reshape(-1, 32).astype(jnp.int32)  # (rows, 32 bytes)
+    x = jnp.broadcast_to(x[:, :, None], (*x.shape, 4))  # (rows, 32, 4)
+    sh = (jnp.arange(4, dtype=jnp.int32) * 2)[None, None, :]
+    codes = ((x >> sh) & 3).reshape(-1)[:nbp]
+    return jnp.concatenate([codes, jnp.zeros((ext,), jnp.int32)])
+
+
+def prepare_reads_packed(rs, pad_to_positions: int | None = None):
+    """Compact host prep for one uniform-length block: 2-bit packed codes +
+    per-READ attributes; the per-POSITION arrays are rebuilt on device by
+    count_block_raw_packed.
+
+    Shrinks the host->device transfer ~80x (27 MB vs 2.3 GB per 96M-position
+    block): over the axon tunnel the transfer was ~2 min/block and pinning
+    each block's device inputs in the block ReadSet's prep cache OOM'd the
+    chip at block 6 of the 30 Mb run.  Returns None for non-uniform reads
+    (callers fall back to prepare_reads)."""
+    key = ("packed", pad_to_positions)
+    cached = getattr(rs, "_prep_cache_packed", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    n_reads = rs.n_reads
+    lens_all = np.diff(rs.offsets)
+    if n_reads == 0 or not (lens_all == lens_all[0]).all() or lens_all[0] <= K:
+        return None
+    rl = int(lens_all[0])
+    nb = int(rs.offsets[-1])
+    nbp = _round_up(max(nb, 1, pad_to_positions or 1), rl * 128)
+    grid = nbp // rl
+    from ..ingest.feudal import pack_codes
+
+    codes = np.zeros(nbp, np.uint8)
+    codes[:nb] = rs.codes
+    glen = np.zeros(grid, np.int32)
+    glen[:n_reads] = good_lengths_np(rs.quals, rs.offsets)
+    read_bc = np.full(grid, BC_IGNORED, np.int32)
+    if rs.barcoded:
+        read_bc[:n_reads] = np.where(rs.bc > 0, rs.bc, BC_IGNORED)
+    out = dict(
+        codes_packed=pack_codes(codes),
+        glen=glen,
+        read_bc=read_bc,
+        n_reads=n_reads,
+        uniform_rl=rl,
+        nbp=nbp,
+    )
+    try:
+        rs._prep_cache_packed = (key, out)
+    except Exception:
+        pass
+    return out
+
+
+@partial(jax.jit, static_argnames=("min_read_len", "uniform_rl", "nbp"))
+def count_block_raw_packed(
+    codes_packed, glen_r, bc_r, n_reads,
+    min_read_len: int = K + 1, uniform_rl: int = 150, nbp: int = 0,
+) -> RawBlockTable:
+    """count_block_raw from compact inputs: expands the per-position arrays
+    on device (broadcasts, no gathers), bit-identical to the host-expanded
+    path (same pos_read/glen_pos/bc_pos values by construction)."""
+    rl = uniform_rl
+    grid = nbp // rl
+    codes_ext = _unpack_codes_dev(codes_packed, nbp, max(K, 128))
+    pos = jnp.arange(nbp, dtype=jnp.int32) // rl
+    pos_read = jnp.minimum(pos, n_reads.astype(jnp.int32))
+    glen_pos = jnp.broadcast_to(glen_r[:, None], (grid, rl)).reshape(-1)
+    bc_pos = jnp.broadcast_to(bc_r[:, None], (grid, rl)).reshape(-1)
+    canon, bc, lm, rm, valid = extract_occurrences(
+        codes_ext, pos_read, glen_pos, bc_pos, min_read_len
+    )
+    pk = pack_occurrence_attrs(bc, lm, rm, valid)
+    a_, b_, c_, pk = uniform_tail_cut(rl, canon.a, canon.b, canon.c, pk)
+    bc, lm, rm, valid = unpack_occurrence_attrs(pk)
+    canon = W3(a_, b_, c_).where(valid, kc.SENTINEL)
+    return _reduce_occurrences_raw(canon, bc, lm, rm, valid)
+
+
 @partial(jax.jit, static_argnames=("min_freq", "min_bc"))
 def merge_raw_blocks(wa, wb, wc, count, stats, min_freq: int, min_bc: int
                      ) -> KmerTable:
@@ -604,18 +685,53 @@ def count_readset_blocked(
         len(blocks), max_positions, pad_pos, _hbm_in_use(),
     )
     was, wbs, wcs, cnts, sts = [], [], [], [], []
-    inp = prepare_reads(blocks[0], pad_to_positions=pad_pos, pad_to_reads=pad_rd)
-    for i in range(len(blocks)):
-        raw = count_block_raw(  # async dispatch
-            inp["codes_ext"], inp["pos_read"], inp["glen_pos"],
-            inp["bc_pos"], min_read_len=min_read_len,
-            uniform_rl=inp["uniform_rl"],
+
+    def dispatch_packed(p):
+        return count_block_raw_packed(
+            jnp.asarray(p["codes_packed"]), jnp.asarray(p["glen"]),
+            jnp.asarray(p["read_bc"]), jnp.asarray(np.int32(p["n_reads"])),
+            min_read_len=min_read_len, uniform_rl=p["uniform_rl"],
+            nbp=p["nbp"],
         )
+
+    def dispatch_full(p):
+        return count_block_raw(
+            p["codes_ext"], p["pos_read"], p["glen_pos"], p["bc_pos"],
+            min_read_len=min_read_len, uniform_rl=p["uniform_rl"],
+        )
+
+    # compact transfers (2-bit codes + per-read attrs, expanded on device)
+    # whenever reads are uniform-length; the full per-position path moves
+    # ~80x the bytes per block and is the fallback only.  Uniformity is
+    # decided on the PARENT readset: a uniform first block does not imply
+    # uniform later blocks.
+    lens_all = np.diff(rs.offsets)
+    packed = (
+        rs.n_reads > 0
+        and bool((lens_all == lens_all[0]).all())
+        and int(lens_all[0]) > K
+    )
+    if packed:
+        inp = prepare_reads_packed(blocks[0], pad_to_positions=pad_pos)
+    else:
+        inp = prepare_reads(
+            blocks[0], pad_to_positions=pad_pos, pad_to_reads=pad_rd
+        )
+    prep = (
+        (lambda b: prepare_reads_packed(b, pad_to_positions=pad_pos))
+        if packed
+        else (
+            lambda b: prepare_reads(
+                b, pad_to_positions=pad_pos, pad_to_reads=pad_rd
+            )
+        )
+    )
+    dispatch = dispatch_packed if packed else dispatch_full
+    for i in range(len(blocks)):
+        raw = dispatch(inp)  # async dispatch
         if i + 1 < len(blocks):
             # overlap the next block's host prep with this device program
-            inp = prepare_reads(
-                blocks[i + 1], pad_to_positions=pad_pos, pad_to_reads=pad_rd
-            )
+            inp = prep(blocks[i + 1])
         nv = int(raw.n_valid)  # sync point
         was.append(np.asarray(raw.words.a)[:nv])
         wbs.append(np.asarray(raw.words.b)[:nv])

@@ -131,3 +131,65 @@ def test_oom_retry_reraises_non_oom(rng, monkeypatch):
 
     with _pytest.raises(ValueError, match="some other"):
         kcount.count_readset(rs)
+
+
+def test_packed_block_path_bit_identical(rng):
+    """count_block_raw_packed (compact transfers, device-side expansion)
+    must be bit-identical to the host-expanded block path, and the blocked
+    count must equal the single-program count through it."""
+    import jax.numpy as jnp
+
+    from supernova_tpu.ingest.reads import build_readset_flat
+    from supernova_tpu.kmer import count as kcount
+
+    rl, n_reads = 150, 2000
+    g = rng.integers(0, 4, 2500)
+    starts = rng.integers(0, len(g) - rl, n_reads)
+    codes = g[np.add.outer(starts, np.arange(rl))].reshape(-1).astype(np.uint8)
+    offsets = np.arange(n_reads + 1, dtype=np.int64) * rl
+    quals = rng.choice([2, 20, 37], n_reads * rl, p=[0.02, 0.08, 0.9]).astype(
+        np.uint8
+    )
+    bc = np.sort(rng.integers(0, 50, n_reads // 2)).astype(np.int32)
+    rs = build_readset_flat(
+        codes, offsets, quals, bc, n_barcodes=50, barcoded=True
+    )
+
+    full = kcount.prepare_reads(rs)
+    pk = kcount.prepare_reads_packed(rs)
+    assert pk is not None
+    raw_f = kcount.count_block_raw(
+        full["codes_ext"], full["pos_read"], full["glen_pos"],
+        full["bc_pos"], uniform_rl=full["uniform_rl"],
+    )
+    raw_p = kcount.count_block_raw_packed(
+        jnp.asarray(pk["codes_packed"]), jnp.asarray(pk["glen"]),
+        jnp.asarray(pk["read_bc"]), jnp.asarray(np.int32(pk["n_reads"])),
+        uniform_rl=pk["uniform_rl"], nbp=pk["nbp"],
+    )
+    nv = int(raw_f.n_valid)
+    assert int(raw_p.n_valid) == nv and nv > 0
+    for f in ("count", "stats"):
+        assert np.array_equal(
+            np.asarray(getattr(raw_f, f))[:nv],
+            np.asarray(getattr(raw_p, f))[:nv],
+        )
+    for w in "abc":
+        assert np.array_equal(
+            np.asarray(getattr(raw_f.words, w))[:nv],
+            np.asarray(getattr(raw_p.words, w))[:nv],
+        )
+
+    t_b = kcount.count_readset_blocked(rs, max_positions=120_000)
+    t_s = kcount.count_readset(rs)
+    nv = int(t_s.n_valid)
+    assert nv > 500 and int(t_b.n_valid) == nv
+    for f in ("count", "nbc", "left_mask", "right_mask"):
+        assert np.array_equal(
+            np.asarray(getattr(t_b, f))[:nv], np.asarray(getattr(t_s, f))[:nv]
+        )
+    for w in "abc":
+        assert np.array_equal(
+            np.asarray(getattr(t_b.words, w))[:nv],
+            np.asarray(getattr(t_s.words, w))[:nv],
+        )
