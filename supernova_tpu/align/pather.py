@@ -328,6 +328,51 @@ def _path_prepared(bg, inp, max_path: int) -> ReadPaths:
     )
 
 
+@partial(jax.jit, static_argnames=("max_path", "uniform_rl", "nbp", "rp_pad"))
+def path_reads_packed(
+    kmer_words: W3, node_edge, node_pos, from_v, to_v, edge_kmers,
+    codes_packed, n_reads,
+    max_path: int, uniform_rl: int, nbp: int, rp_pad: int,
+) -> ReadPaths:
+    """path_reads from compact inputs (2-bit packed codes + read count):
+    the per-position arrays are rebuilt on device — same values as
+    prepare_reads' host-expanded ones by construction (uniform reads only).
+    Cuts the per-block host->device transfer ~16x for the blocked pather."""
+    from ..kmer.count import _unpack_codes_dev
+
+    rl = uniform_rl
+    codes_ext = _unpack_codes_dev(codes_packed, nbp, max(K, 128))
+    nr = n_reads.astype(I32)
+    pos = jnp.arange(nbp, dtype=I32) // rl
+    pos_read = jnp.minimum(pos, nr)
+    rlen_pos = jnp.where(pos < nr, I32(rl), I32(0)).astype(I32)
+    read_offsets = jnp.minimum(
+        jnp.arange(rp_pad + 1, dtype=I32) * rl, nr * rl
+    )
+    resolve = partial(_resolve_local, kmer_words, node_edge, node_pos)
+    return path_reads_impl(
+        resolve, from_v, to_v, edge_kmers, codes_ext, read_offsets,
+        pos_read, rlen_pos, max_path=max_path, uniform_rl=rl,
+    )
+
+
+def _path_prepared_packed(bg, pk, max_path: int, rp_pad: int) -> ReadPaths:
+    return path_reads_packed(
+        kc.np_to_soa(bg.kmer_words),
+        jnp.asarray(bg.node_edge),
+        jnp.asarray(bg.node_pos),
+        jnp.asarray(bg.from_v.astype(np.int32)),
+        jnp.asarray(bg.to_v.astype(np.int32)),
+        jnp.asarray((bg.edges.lengths() - (K - 1)).astype(np.int32)),
+        jnp.asarray(pk["codes_packed"]),
+        jnp.asarray(np.int32(pk["n_reads"])),
+        max_path=max_path,
+        uniform_rl=pk["uniform_rl"],
+        nbp=pk["nbp"],
+        rp_pad=rp_pad,
+    )
+
+
 def _path_readset_blocked(bg, rs, max_path: int,
                           max_positions: int | None = None) -> ReadPaths:
     from ..kmer.count import (
@@ -339,15 +384,33 @@ def _path_readset_blocked(bg, rs, max_path: int,
     blocks = split_readset_blocks(rs, max_positions or BLOCK_POSITIONS)
     pad_pos = max(int(b.offsets[-1]) for b in blocks)
     pad_rd = max(b.n_reads for b in blocks)
+
+    # compact transfers when reads are uniform length (same rule and same
+    # parent-level decision as the blocked count)
+    from ..kmer.count import _round_up, prepare_reads_packed
+
+    lens_all = np.diff(rs.offsets)
+    packed = (
+        rs.n_reads > 0
+        and bool((lens_all == lens_all[0]).all())
+        and int(lens_all[0]) > K
+    )
+    if packed:
+        rp_pad = _round_up(pad_rd + 1, 1024)
+        prep = lambda b: prepare_reads_packed(b, pad_to_positions=pad_pos)
+        dispatch = lambda p: _path_prepared_packed(bg, p, max_path, rp_pad)
+    else:
+        prep = lambda b: prepare_reads(
+            b, pad_to_positions=pad_pos, pad_to_reads=pad_rd
+        )
+        dispatch = lambda p: _path_prepared(bg, p, max_path)
     parts = []
-    inp = prepare_reads(blocks[0], pad_to_positions=pad_pos, pad_to_reads=pad_rd)
+    inp = prep(blocks[0])
     for i in range(len(blocks)):
-        rp = _path_prepared(bg, inp, max_path)  # async dispatch
+        rp = dispatch(inp)  # async dispatch
         if i + 1 < len(blocks):
             # overlap the next block's host prep with this device program
-            inp = prepare_reads(
-                blocks[i + 1], pad_to_positions=pad_pos, pad_to_reads=pad_rd
-            )
+            inp = prep(blocks[i + 1])
         n = blocks[i].n_reads
         parts.append(
             tuple(np.asarray(x)[:n] for x in rp)

@@ -82,3 +82,38 @@ def test_paths_index_and_ebcx(rng):
     assert counts.sum() == plen.sum()
     ebcx = pindex.edge_barcodes(edges_arr, plen, rs.bc, bg.n_edges)
     assert ebcx.values.min(initial=1) >= 1
+
+
+def test_blocked_packed_pather_matches_full(rng):
+    """The compact-transfer blocked pather (path_reads_packed) must equal
+    the single-program pather elementwise on a uniform-length readset."""
+    from supernova_tpu.align import pather
+    from supernova_tpu.dbg import build as dbuild
+    from supernova_tpu.dbg import graph as dgraph
+    from supernova_tpu.ingest.reads import build_readset_flat
+    from supernova_tpu.kmer import count as kcount
+
+    rl, n_reads = 150, 3000
+    g = rng.integers(0, 4, 20000)
+    starts = rng.integers(0, len(g) - rl, n_reads)
+    codes = g[np.add.outer(starts, np.arange(rl))].reshape(-1).astype(np.uint8)
+    offsets = np.arange(n_reads + 1, dtype=np.int64) * rl
+    quals = np.full(n_reads * rl, 37, np.uint8)
+    bc = np.sort(rng.integers(0, 30, n_reads // 2)).astype(np.int32)
+    rs = build_readset_flat(
+        codes, offsets, quals, bc, n_barcodes=30, barcoded=True
+    )
+    table = dbuild.trim_table(
+        kcount.count_readset(rs, min_freq=2), pad_multiple=256
+    )
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    rp_full = pather.path_readset(bg, rs)
+    rp_blk = pather._path_readset_blocked(
+        bg, rs, pather.MAX_PATH, max_positions=120_000
+    )
+    assert float((np.asarray(rp_blk.path_len) > 0).mean()) > 0.99
+    for f in ("edges", "path_len", "offset", "first_skip", "overflow"):
+        assert np.array_equal(
+            np.asarray(getattr(rp_full, f))[:n_reads],
+            np.asarray(getattr(rp_blk, f))[:n_reads],
+        ), f
