@@ -148,8 +148,15 @@ def ingest_10x_fastqs(
             s1, l1 = o[:n][0::2], lens[:n][0::2]
             s2, l2 = o[:n][1::2], lens[:n][1::2]
         else:
-            c1f, q1f, o1 = _read_fastq_arrays(p1)
-            c2f, q2f, o2 = _read_fastq_arrays(p2)
+            # decode the mates concurrently: gzip inflate and the native
+            # parser both release the GIL (~2x at 10^9-base scale)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(2) as ex:
+                f1 = ex.submit(_read_fastq_arrays, p1)
+                f2 = ex.submit(_read_fastq_arrays, p2)
+                c1f, q1f, o1 = f1.result()
+                c2f, q2f, o2 = f2.result()
             n = min(len(o1), len(o2)) - 1
             s1, l1 = o1[:n], np.diff(o1)[:n]
             s2, l2 = o2[:n], np.diff(o2)[:n]
