@@ -733,11 +733,16 @@ def count_readset_blocked(
             # overlap the next block's host prep with this device program
             inp = prep(blocks[i + 1])
         nv = int(raw.n_valid)  # sync point
-        was.append(np.asarray(raw.words.a)[:nv])
-        wbs.append(np.asarray(raw.words.b)[:nv])
-        wcs.append(np.asarray(raw.words.c)[:nv])
-        cnts.append(np.asarray(raw.count)[:nv])
-        sts.append(np.asarray(raw.stats)[:nv])
+        # slice on DEVICE before pulling: the padded arrays are ~2.5x the
+        # kept rows and the device->host link is the per-block bottleneck.
+        # Bucket the slice length so the tiny slice programs get reused
+        # across blocks (axon pays a compile per distinct shape).
+        nv_b = min(_round_up(max(nv, 1), 4 << 20), raw.words.a.shape[0])
+        was.append(np.asarray(raw.words.a[:nv_b])[:nv])
+        wbs.append(np.asarray(raw.words.b[:nv_b])[:nv])
+        wcs.append(np.asarray(raw.words.c[:nv_b])[:nv])
+        cnts.append(np.asarray(raw.count[:nv_b])[:nv])
+        sts.append(np.asarray(raw.stats[:nv_b])[:nv])
         log.info("blocked count: block %d/%d -> %d rows", i + 1, len(blocks), nv)
     del raw, inp  # drop the last block's device buffers before the merge
     tot = sum(len(x) for x in was)
