@@ -37,6 +37,14 @@ def ensure_cache(path: str | None = None):
     _DONE = True
     import jax
 
+    # CPU-backend guard: (de)serializing executables compiled for the
+    # multi-device CPU backend (tests + driver dryrun use 8 virtual devices)
+    # segfaults flakily inside compilation_cache.{get,put}_executable_and_time
+    # with the jaxlib in this image — and CPU compiles are fast anyway.  The
+    # persistent cache only pays on the TPU remote-compile path.
+    if jax.default_backend() != "tpu":
+        return
+
     cache = path or os.environ.get(
         "SUPERNOVA_TPU_JAX_CACHE", "/tmp/supernova_tpu_jax_cache"
     )

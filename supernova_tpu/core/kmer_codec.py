@@ -181,13 +181,6 @@ def unpack_bases(w: W3):
     return jnp.concatenate(cols, axis=1)
 
 
-# Pallas bitonic sort for the hot unstable sorts (ops/pallas/sort.py):
-# enabled on TPU above this row count; 0 disables (addin
-# core.kmer_codec.PALLAS_SORT_MIN_ROWS).  OFF pending chip validation
-# (scripts/bench_sort.py prints the correctness check + timings).
-PALLAS_SORT_MIN_ROWS = 0
-
-
 def sort_by_words(w: W3, extra_keys=(), payloads=(), stable: bool = True):
     """Lexicographic sort by the 3 kmer words (+ extra key arrays).
 
@@ -195,25 +188,16 @@ def sort_by_words(w: W3, extra_keys=(), payloads=(), stable: bool = True):
     Pass stable=False when rows with fully-equal keys are interchangeable
     (e.g. occurrence rows with all attributes packed into the keys) — the
     unstable sort is measurably faster on TPU.
+
+    NOTE: the Pallas bitonic sort (ops/pallas/sort.py) was chip-evaluated as
+    a replacement for the unstable all-key case and LOST — see
+    ARCHITECTURE.md "Pallas sort postmortem" (the compile service OOMs on
+    any tile large enough to amortize HBM round trips; the largest
+    compileable tile ran 0.42x of lax.sort at 2^25 rows).  lax.sort is the
+    fastest available exact sort on this runtime.
     """
     ops = [w.a, w.b, w.c, *extra_keys, *payloads]
     num_keys = 3 + len(extra_keys)
-    n = ops[0].shape[0]
-    if (
-        not stable
-        and not payloads
-        and PALLAS_SORT_MIN_ROWS
-        and n >= PALLAS_SORT_MIN_ROWS
-        and jax.default_backend() == "tpu"
-        and all(o.dtype == jnp.uint32 for o in ops)
-    ):
-        # all-keys unstable sort: the Pallas bitonic is bit-identical to
-        # lax.sort here (full-key ties are identical rows) and ~2x faster
-        # at count-block scale (scripts/bench_sort.py)
-        from ..ops.pallas.sort import sort_bitonic_pallas
-
-        out = sort_bitonic_pallas(*ops, num_keys=num_keys)
-        return W3(*out[:3]), tuple(out[3:]), ()
     out = jax.lax.sort(tuple(ops), num_keys=num_keys, is_stable=stable)
     nk = len(extra_keys)
     return W3(*out[:3]), tuple(out[3 : 3 + nk]), tuple(out[3 + nk :])

@@ -1,8 +1,15 @@
 """Pallas TPU kernel: multi-word bitonic sort with VMEM-fused stages.
 
-Replaces the flat XLA `lax.sort` on the count hot path (the 4-key
-occurrence sort IS the count iteration: ~235 ms at 33.5M rows on v5e,
-measured by scripts/bench_sort.py).  XLA's sort pays log2(n)^2 ~ 625
+STATUS: chip-evaluated and RETIRED from the count hot path (round 3) — see
+ARCHITECTURE.md "Pallas sort postmortem".  The axon remote-compile helper
+OOMs (SIGKILL) on any tile >= 512 rows, and the largest compileable tile
+(256 rows) measured 453 ms vs lax.sort's 192 ms at 2^25 rows x 4 operands
+(bit-identical output).  Kept in-tree with its interpret-mode tests as a
+documented negative result; `sort_by_words` always uses lax.sort.
+
+Original design intent: replace the flat XLA `lax.sort` on the count hot
+path (the 4-key occurrence sort IS the count iteration: ~235 ms at 33.5M
+rows on v5e, scripts/bench_sort.py).  XLA's sort pays log2(n)^2 ~ 625
 compare-exchange stages with limited fusion; this sorter restructures the
 network so almost all stages run at compute speed inside VMEM:
 

@@ -13,9 +13,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")  # env JAX_PLATFORMS may say otherwise
-jax.config.update("jax_compilation_cache_dir", "/tmp/supernova_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NO persistent compile cache for tests: executable (de)serialization on the
+# 8-virtual-device CPU backend segfaults flakily inside
+# compilation_cache.{get,put}_executable_and_time (observed in both the read
+# and the write path, fresh cache dir, jaxlib in this image) — and sharing the
+# chip runs' cache dir additionally risks corrupt entries from crashed runs.
 
 import numpy as np
 import pytest

@@ -1,6 +1,7 @@
 """Pallas bitonic sort (ops/pallas/sort.py), interpret mode.
 
-The kernel replaces the flat lax.sort on the count hot path; these tests
+The kernel was evaluated for the count hot path and retired (see
+ARCHITECTURE.md "Pallas sort postmortem"); these tests
 pin exact key order vs np.lexsort and payload integrity (per-key-group
 multisets) across tile counts, tie densities, and padding boundaries.
 Small tile_rows drive multi-tile merge phases at test sizes."""
