@@ -46,6 +46,22 @@ MAX_FORKS = 2
 FOUNDER_MAX_DIFFS = 2
 
 
+# CleanColumns thresholds (ReadStack.cc:498-515)
+CLEAN_MIN_Q = 20
+CLEAN_MIN_COUNT = 3
+# PairWeak1 thresholds (ReadStack.cc:727-748)
+PAIRWEAK_MIN_WIN = 100
+PAIRWEAK_RATIO = 10
+# MotifDiff stripe width / multiplicity (ReadStack.cc:800-845)
+MOTIF_WIDTH = 10
+MOTIF_MIN_MULT = 10
+MOTIF_MIN_Q = 20
+# Raise1 window / thresholds (ReadStack.cc:645-712)
+RAISE_WINDOW = 11
+RAISE_MIN_AGREE = 3
+RAISE_CRITICAL_Q = 30
+
+
 def _kmer_index(seq: str, k: int = ANCHOR_K) -> dict:
     idx: dict = {}
     for i in range(len(seq) - k + 1):
@@ -73,9 +89,21 @@ def build_stack(
     """Stack reads (both orientations tried) onto `flank + gap` coords:
     column 0 = flank[0]; returns (R, width) base codes (-1 empty) and
     capped quals (0 where empty)."""
+    b, q, _src = build_stack_src(reads, quals, flank, width)
+    return b, q
+
+
+def build_stack_src(
+    reads: List[np.ndarray],
+    quals: List[np.ndarray],
+    flank: str,
+    width: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """build_stack + the source read index of every stack row (for
+    pair-aware passes: PairWeak1 keys on read-pair ids)."""
     idx = _kmer_index(flank)
-    rows_b, rows_q = [], []
-    for codes, q in zip(reads, quals):
+    rows_b, rows_q, rows_s = [], [], []
+    for ri, (codes, q) in enumerate(zip(reads, quals)):
         for cod, qq in ((codes, q), (dna.revcomp(codes), q[::-1])):
             off = _place_read(cod, idx)
             if off is None:
@@ -89,10 +117,15 @@ def build_stack(
                 w[lo:hi] = np.minimum(qq[lo - off : hi - off], QCAP)
                 rows_b.append(b)
                 rows_q.append(w)
+                rows_s.append(ri)
             break
     if not rows_b:
-        return np.zeros((0, width), np.int8), np.zeros((0, width), np.int16)
-    return np.stack(rows_b), np.stack(rows_q)
+        return (
+            np.zeros((0, width), np.int8),
+            np.zeros((0, width), np.int16),
+            np.zeros(0, np.int64),
+        )
+    return np.stack(rows_b), np.stack(rows_q), np.asarray(rows_s)
 
 
 def _vote_weights(quals: np.ndarray) -> np.ndarray:
@@ -143,13 +176,231 @@ def filter_founder_diff(
     return diff.sum(axis=1) < FOUNDER_MAX_DIFFS
 
 
+def _founder_rows(flank: str, width: int) -> Tuple[np.ndarray, np.ndarray]:
+    """The flank as a founder row in stack coordinates: (width,) codes with
+    -1 past the flank, and capped quals (the flank is assembled sequence —
+    trusted at QCAP everywhere it is defined)."""
+    fb = np.full(width, -1, np.int8)
+    fq = np.zeros(width, np.int16)
+    nf = min(len(flank), width)
+    fb[:nf] = dna.seq_to_codes(flank[:nf])
+    fq[:nf] = QCAP
+    return fb, fq
+
+
+def clean_columns(
+    bases: np.ndarray, quals: np.ndarray, founder_b: np.ndarray,
+    founder_q: np.ndarray,
+) -> np.ndarray:
+    """CleanColumns (ReadStack.cc:498-515): in a column where >= 2 bases
+    each have >= 3 readers at Q>=20 (a genuinely ambiguous column), a row
+    that disagrees at Q>=20 with the founder — when the founder's base
+    itself has >= 3 Q20 readers — is suspect.  Returns the suspect mask."""
+    R, W = bases.shape
+    if R == 0:
+        return np.zeros(0, bool)
+    covered = bases >= 0
+    q20 = covered & (quals >= CLEAN_MIN_Q)
+    onehot = q20[:, :, None] & (bases[:, :, None] == np.arange(4)[None, None, :])
+    counts = onehot.sum(axis=0)  # (W, 4)
+    called = (counts >= CLEAN_MIN_COUNT).sum(axis=1)
+    fdef = founder_b >= 0
+    fcount = np.where(
+        fdef, np.take_along_axis(
+            counts, np.maximum(founder_b, 0)[:, None].astype(np.int64), axis=1
+        )[:, 0], 0,
+    )
+    col_active = (
+        (called >= 2) & fdef & (founder_q >= CLEAN_MIN_Q)
+        & (fcount >= CLEAN_MIN_COUNT)
+    )
+    diff = covered & (bases != founder_b[None, :]) & (quals >= CLEAN_MIN_Q)
+    return (diff & col_active[None, :]).any(axis=1)
+
+
+def pair_weak(
+    bases: np.ndarray, quals: np.ndarray, pids: np.ndarray
+) -> np.ndarray:
+    """PairWeak1 (ReadStack.cc:727-748): columns where the rows belonging
+    to FULL pairs (both mates present in the stack) agree overwhelmingly
+    (winner qual-sum >= 100, > 10x the runner-up, runner-up < 100) make
+    any Q30 dissenter suspect.  `pids` = pair id per row."""
+    R, W = bases.shape
+    if R == 0:
+        return np.zeros(0, bool)
+    pids = np.asarray(pids)
+    u, cnt = np.unique(pids, return_counts=True)
+    paired = np.isin(pids, u[cnt >= 2])
+    covered = bases >= 0
+    sel = covered & paired[:, None]
+    onehot = sel[:, :, None] * (bases[:, :, None] == np.arange(4)[None, None, :])
+    wsum = (onehot * quals[:, :, None]).sum(axis=0)  # (W, 4)
+    order = np.argsort(wsum, axis=1)
+    win = order[:, -1]
+    w0 = np.take_along_axis(wsum, order[:, -1:], axis=1)[:, 0]
+    w1 = np.take_along_axis(wsum, order[:, -2:-1], axis=1)[:, 0]
+    strong = (
+        (w0 >= PAIRWEAK_MIN_WIN) & (w0 > PAIRWEAK_RATIO * w1)
+        & (w1 < PAIRWEAK_MIN_WIN)
+    )
+    dissent = covered & (bases != win[None, :]) & (quals >= RAISE_CRITICAL_Q)
+    return (dissent & strong[None, :]).any(axis=1)
+
+
+def motif_diff(
+    bases: np.ndarray, quals: np.ndarray, founder_b: np.ndarray,
+    founder_q: np.ndarray,
+) -> np.ndarray:
+    """MotifDiff (ReadStack.cc:800-845): per non-overlapping 10-column
+    stripe, group rows by their fully-defined 10-mer; groups with
+    multiplicity >= 10 are "bigs".  If the founder's 10-mer is itself a
+    big, rows in OTHER bigs that differ from it at a position where the
+    founder qual >= 20 are misplaced repeat copies — delete them."""
+    R, W = bases.shape
+    to_delete = np.zeros(R, bool)
+    if R == 0:
+        return to_delete
+    wgt = MOTIF_WIDTH
+    pw = (4 ** np.arange(wgt - 1, -1, -1)).astype(np.int64)
+    for i in range(0, W - wgt + 1, wgt):
+        wb = bases[:, i : i + wgt].astype(np.int64)
+        full = (wb >= 0).all(axis=1)
+        if not full.any():
+            continue
+        code = (np.maximum(wb, 0) * pw[None, :]).sum(axis=1)
+        fb = founder_b[i : i + wgt].astype(np.int64)
+        if (fb < 0).any():
+            continue
+        fcode = int((fb * pw).sum())
+        codes_full = code[full]
+        u, cnt = np.unique(codes_full, return_counts=True)
+        bigs = u[cnt >= MOTIF_MIN_MULT]
+        # the founder counts toward its own group's multiplicity (in the
+        # reference it is a stack row); its group must itself be a big
+        fmult = 1 + int(cnt[np.searchsorted(u, fcode)]) if fcode in u else 1
+        if fmult < MOTIF_MIN_MULT:
+            continue
+        for g in bigs:
+            if g == fcode:
+                continue
+            gb = np.array(
+                [(g >> (2 * (wgt - 1 - l))) & 3 for l in range(wgt)],
+                np.int64,
+            )
+            hq = (gb != fb) & (founder_q[i : i + wgt] >= MOTIF_MIN_Q)
+            if hq.any():
+                to_delete |= full & (code == g)
+    return to_delete
+
+
+def raise1(bases: np.ndarray, quals: np.ndarray) -> np.ndarray:
+    """Raise1 (ReadStack.cc:645-712), vectorized over (row, window):
+    a middle base with 0 < qual < 30 in a fully-defined 11-base window is
+    raised to Q30 when >= 3 other rows carry the identical window with a
+    Q30 middle (and no zero quals), UNLESS a viable alternate exists
+    (>= 3 rows agreeing on everything but the middle, Q30 at a different
+    middle base).  Returns the edited quals (input is not mutated).
+
+    Divergence from the reference: one simultaneous pass over all rows and
+    windows (the reference mutates left-to-right per read, letting earlier
+    raises feed later windows — cascading only strengthens support, so the
+    single pass is conservative)."""
+    R, W = bases.shape
+    quals = quals.copy()
+    rw = RAISE_WINDOW
+    if R == 0 or W < rw:
+        return quals
+    mid = rw // 2
+    sw = np.lib.stride_tricks.sliding_window_view  # (R, W-rw+1, rw)
+    wb = sw(bases, rw, axis=1)
+    wq = sw(quals, rw, axis=1)
+    C = wb.shape[1]
+    full = (wb >= 0).all(axis=2)
+    pw = (4 ** np.arange(rw - 1, -1, -1)).astype(np.int64)
+    code = (np.maximum(wb, 0).astype(np.int64) * pw[None, None, :]).sum(axis=2)
+    colk = np.arange(C, dtype=np.int64)[None, :]
+    key = colk * (4**rw) + code  # unique per (window-start, content)
+    mid_q = wq[:, :, mid]
+    mid_b = wb[:, :, mid]
+    no_zero = (wq > 0).all(axis=2)
+
+    # supporters: identical full window, no zero quals, Q30 middle
+    sup_rows = full & no_zero & (mid_q >= RAISE_CRITICAL_Q)
+    sup_keys = key[sup_rows]
+    su, sc = np.unique(sup_keys, return_counts=True)
+
+    def _counts(u, c, k):
+        if len(u) == 0:
+            return np.zeros(k.shape, np.int64)
+        p = np.clip(np.searchsorted(u, k), 0, len(u) - 1)
+        return np.where(np.take(u, p) == k, np.take(c, p), 0)
+
+    support = _counts(su, sc, key)
+
+    # alternates: same window except the middle, Q30 at a DIFFERENT middle
+    # base; reference checks non-middle quals > 0 and counts per alt base
+    code_ex = code - np.maximum(mid_b, 0).astype(np.int64) * pw[mid]
+    keyx = (colk * (4**rw) + code_ex) * 4 + np.maximum(mid_b, 0)
+    no_zero_ex = (np.delete(wq, mid, axis=2) > 0).all(axis=2)
+    alt_rows = full & no_zero_ex & (mid_q >= RAISE_CRITICAL_Q)
+    au, ac = np.unique(keyx[alt_rows], return_counts=True)
+
+    alt_max = np.zeros_like(support)
+    for b in range(4):
+        k = (colk * (4**rw) + code_ex) * 4 + b
+        alt_max = np.maximum(
+            alt_max, np.where(mid_b == b, 0, _counts(au, ac, k))
+        )
+
+    target = (
+        full & (mid_q > 0) & (mid_q < RAISE_CRITICAL_Q)
+        & (support >= RAISE_MIN_AGREE) & (alt_max < RAISE_MIN_AGREE)
+    )
+    rr, cc = np.nonzero(target)
+    quals[rr, cc + mid] = RAISE_CRITICAL_Q
+    return quals
+
+
+def edit_stack(
+    bases: np.ndarray,
+    quals: np.ndarray,
+    flank: str,
+    pids: Optional[np.ndarray] = None,
+    min_survivors: int = 4,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The ReadStack editing pipeline ahead of consensus: founder
+    HighQualDiff (filter_founder_diff), CleanColumns, PairWeak1, MotifDiff
+    row removal, then Raise1 qual raising on the survivors.  Row-removal
+    passes are only applied while >= min_survivors rows remain (the same
+    survival guard the founder filter uses — with flat sim qual profiles a
+    pass can nuke the whole stack)."""
+    if bases.shape[0] == 0:
+        return bases, quals
+    fb, fq = _founder_rows(flank, bases.shape[1])
+    keep = filter_founder_diff(bases, quals, flank)
+    for mask in (
+        ~clean_columns(bases, quals, fb, fq),
+        ~motif_diff(bases, quals, fb, fq),
+        ~pair_weak(bases, quals, pids) if pids is not None else None,
+    ):
+        if mask is None:
+            continue
+        cand = keep & mask
+        if cand.sum() >= min_survivors:
+            keep = cand
+    if keep.sum() >= min_survivors:
+        bases, quals = bases[keep], quals[keep]
+    q2 = raise1(bases, quals.astype(np.int16))
+    return bases, q2
+
+
 def _extend(reads, quals, flank: str) -> str:
     """Single best consensus extension (first candidate of _extend_multi)."""
     cands = _extend_multi(reads, quals, flank)
     return cands[0] if cands else ""
 
 
-def _extend_multi(reads, quals, flank: str) -> List[str]:
+def _extend_multi(reads, quals, flank: str, read_ids=None) -> List[str]:
     """Branch-aware consensus extensions beyond the flank.
 
     Per column, the qual-weighted vote runs over the rows consistent with
@@ -162,15 +413,16 @@ def _extend_multi(reads, quals, flank: str) -> List[str]:
     strongest-branch-first (the Consensuses1 / Stackster multi-closure
     analogue, ReadStack.cc:846, 10X/Stackster.cc)."""
     width = len(flank) + MAX_EXT
-    b, q = build_stack(reads, quals, flank, width)
+    b, q, src = build_stack_src(reads, quals, flank, width)
     if b.shape[0] == 0:
         return []
-    keep = filter_founder_diff(b, q, flank)
-    # guard: with flat qual profiles every covering read can carry
-    # "confident" errors — only apply the founder filter when a usable
-    # stack survives it
-    if keep.sum() >= 4:
-        b, q = b[keep], q[keep]
+    # ReadStack editing pipeline: founder HighQualDiff + CleanColumns +
+    # MotifDiff + PairWeak1 row removal (each behind the >= 4-survivors
+    # guard), then Raise1 qual raising (ReadStack.cc:489-845)
+    pids = None if read_ids is None else np.asarray(read_ids)[src] // 2
+    b, q = edit_stack(b, q, flank, pids)
+    if b.shape[0] == 0:
+        return []
     w = _vote_weights(q)
     done: List[Tuple[float, str]] = []
     # (priority, ext-so-far, row mask, column, forks used)
@@ -240,14 +492,14 @@ def close_gap_stack(bg, rs, gp) -> Optional[str]:
     quals = [rs.qual(r) for r in gp.read_ids]
     left = bg.edge_seq(gp.e1)[-FLANK_W:]
     right = bg.edge_seq(gp.e2)[:FLANK_W]
-    exts_r = _extend_multi(reads, quals, left) or [""]
+    exts_r = _extend_multi(reads, quals, left, gp.read_ids) or [""]
     # right side: work in rc coords so "extension" is rightward again
     rc = lambda s: dna.codes_to_seq(dna.revcomp(dna.seq_to_codes(s)))
     exts_l = [
         rc(e)
         for e in _extend_multi(
             [dna.revcomp(r) for r in reads], [q[::-1] for q in quals],
-            rc(right),
+            rc(right), gp.read_ids,
         )
     ] or [""]
     for er in exts_r:

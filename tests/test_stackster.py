@@ -206,3 +206,129 @@ def test_stack_closes_gap_with_errorful_reads(rng):
         assert s2 in gs or s2 in gr, "stack consensus produced a wrong fill"
         closed += 1
     assert closed >= 1
+
+
+def _stack_from_rows(rows, qrows):
+    b = np.stack([np.asarray(r, np.int8) for r in rows])
+    q = np.stack([np.asarray(r, np.int16) for r in qrows])
+    return b, q
+
+
+def test_clean_columns_flags_ambiguous_dissent():
+    """CleanColumns (ReadStack.cc:498-515): in a column with two bases each
+    carrying >= 3 Q20 readers, Q20 dissenters vs the founder are suspect;
+    unambiguous columns flag nothing."""
+    flank = "AAAAAAAA"
+    fb, fq = astk._founder_rows(flank, 8)
+    # col 2: founder base A(0) has 3 readers, alt C(1) has 3 readers
+    rows = [[0] * 8] * 3 + [[0, 0, 1, 0, 0, 0, 0, 0]] * 3
+    b, q = _stack_from_rows(rows, [[30] * 8] * 6)
+    sus = astk.clean_columns(b, q, fb, fq)
+    assert sus.tolist() == [False] * 3 + [True] * 3
+    # alt support below min_count (2 readers): no ambiguity, no suspects
+    b2, q2 = _stack_from_rows(rows[:5], [[30] * 8] * 5)
+    assert not astk.clean_columns(b2, q2, fb, fq).any()
+
+
+def test_pair_weak_flags_q30_dissenter():
+    """PairWeak1 (ReadStack.cc:727-748): a column where full pairs agree
+    overwhelmingly makes a Q30 dissenter suspect — but only when the
+    paired winner clears (>=100, >10x runner-up)."""
+    # rows 0-3 = two full pairs agreeing (A), row 4 unpaired dissenter (C)
+    rows = [[0] * 6] * 4 + [[1] + [0] * 5]
+    b, q = _stack_from_rows(rows, [[30] * 6] * 5)
+    pids = np.array([0, 0, 1, 1, 2])
+    sus = astk.pair_weak(b, q, pids)
+    assert sus.tolist() == [False] * 4 + [True]
+    # winner sum below 100 (one pair only): no flag
+    sus2 = astk.pair_weak(b[:3], q[:3], np.array([0, 0, 1]))
+    assert not sus2.any()
+
+
+def test_motif_diff_deletes_repeat_copy_block():
+    """MotifDiff (ReadStack.cc:800-845): a 10-wide stripe where >= 10 rows
+    share the founder's motif and >= 10 rows share a high-qual-divergent
+    motif deletes the divergent block; a small divergent group survives."""
+    flank = "ACGTACGTAC"  # one exact stripe
+    fb, fq = astk._founder_rows(flank, 10)
+    f = dna.seq_to_codes(flank)
+    alt = f.copy()
+    alt[4] = (alt[4] + 1) % 4
+    rows = [f] * 9 + [alt] * 10 + [alt] * 0
+    b, q = _stack_from_rows(rows, [[30] * 10] * 19)
+    dele = astk.motif_diff(b, q, fb, fq)
+    assert dele.tolist() == [False] * 9 + [True] * 10
+    # divergent group of 9 (< MIN_MULT): kept
+    b2, q2 = _stack_from_rows([f] * 9 + [alt] * 9, [[30] * 10] * 18)
+    assert not astk.motif_diff(b2, q2, fb, fq).any()
+
+
+def test_raise1_raises_supported_middle_base():
+    """Raise1 (ReadStack.cc:645-712): a low-qual middle base in a fully
+    defined 11-window with >= 3 identical Q30-middle supporters is raised
+    to Q30 — unless >= 3 rows carry a Q30 alternate middle base."""
+    w = astk.RAISE_WINDOW
+    base_row = list(range(4)) * 3  # 12 cols, any content
+    base_row = base_row[:w]
+    rows = [base_row] * 4
+    quals = [[37] * w] * 3 + [[37] * (w // 2) + [10] + [37] * (w // 2)]
+    b, q = _stack_from_rows(rows, quals)
+    q2 = astk.raise1(b, q)
+    assert q2[3, w // 2] == astk.RAISE_CRITICAL_Q
+    # viable alternate: 3 rows agree except a Q30-different middle
+    altrow = list(base_row)
+    altrow[w // 2] = (altrow[w // 2] + 1) % 4
+    rows3 = [base_row] * 3 + [altrow] * 3 + [base_row]
+    quals3 = [[37] * w] * 6 + [[37] * (w // 2) + [10] + [37] * (w // 2)]
+    b3, q3 = _stack_from_rows(rows3, quals3)
+    q4 = astk.raise1(b3, q3)
+    assert q4[6, w // 2] == 10  # blocked by the alternate hypothesis
+    # supporters with a zero-qual window base don't count
+    quals5 = [[37] * (w - 1) + [0]] * 3 + [[37] * (w // 2) + [10] + [37] * (w // 2)]
+    b5, q5 = _stack_from_rows(rows, quals5)
+    q6 = astk.raise1(b5, q5)
+    assert q6[3, w // 2] == 10
+
+
+def test_closure_survives_repeat_copy_contamination(rng):
+    """A gap whose supporting read set is contaminated by reads from a
+    diverged repeat copy (10 reads sharing a consistent off-by-SNP motif
+    in the flank): the stack-editing passes must drop the block and the
+    closure must recover the TRUE fill rather than stalling or following
+    the repeat copy."""
+    g = sim.random_genome(rng, 2400)
+    hole_lo, hole_hi = 1100, 1180
+    read_len = 150
+    # repeat copy: same flank but with 2 SNPs in the flank window and a
+    # DIFFERENT interior
+    copy = g.copy()
+    copy[hole_lo - 40] = (copy[hole_lo - 40] + 1) % 4
+    copy[hole_lo - 15] = (copy[hole_lo - 15] + 2) % 4
+    copy[hole_lo:hole_hi] = (copy[hole_lo:hole_hi] + 1) % 4
+
+    reads, quals = [], []
+    q37 = lambda n=read_len: np.full(n, 37, np.uint8)
+    for i in range(12):  # true covering reads (reach ~40bp into right flank)
+        lo = hole_lo - 30 - i * 3
+        reads.append(g[lo : lo + read_len].copy())
+        quals.append(q37())
+    for i in range(10):  # repeat-copy contamination
+        lo = hole_lo - 30 - i * 3
+        reads.append(copy[lo : lo + read_len].copy())
+        quals.append(q37())
+    rs = build_readset(reads, quals, np.zeros(len(reads) // 2, np.int32),
+                       n_barcodes=0, barcoded=False)
+    left = dna.codes_to_seq(g[hole_lo - 200 : hole_lo])
+    right = dna.codes_to_seq(g[hole_hi : hole_hi + 200])
+
+    class FakeGP:
+        e1, e2 = 0, 1
+        read_ids = list(range(rs.n_reads))
+
+    class FakeBG:
+        def edge_seq(self, e):
+            return left if e == 0 else right
+
+    fill = astk.close_gap_stack(FakeBG(), rs, FakeGP())
+    assert fill is not None
+    assert fill == dna.codes_to_seq(g[hole_lo:hole_hi])
