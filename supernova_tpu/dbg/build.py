@@ -62,34 +62,66 @@ def oriented_words(table_words: W3, node_ids) -> W3:
     return kc.rc_words(w).where(d == 1, w)
 
 
+# Oriented-node block size for successor resolution.  build_links as one
+# program holds ~10 n2-scale arrays live through a 5-operand (m + n2)-row
+# sort — at 30 Mb (62M nodes) that crashed the TPU worker (HBM exhaustion);
+# blocking the resolve bounds the peak at table + O(block) regardless of
+# genome size.  Addin: dbg.build.LINK_BLOCK_NODES.
+LINK_BLOCK_NODES = 8_388_608
+
+
 @jax.jit
-def build_links(table: KmerTable) -> Links:
-    """Phase A: successor/predecessor maps + cycle-broken list ranking."""
+def _indeg8(table: KmerTable):
+    """(2M,) uint8 in-degree of every oriented node."""
     m = table.words.a.shape[0]
-    n2 = 2 * m
-    u = jnp.arange(n2, dtype=I32)
+    u = jnp.arange(2 * m, dtype=I32)
     row = u >> 1
     d = u & 1
+    lmask = table.left_mask[row]
+    rmask = table.right_mask[row]
+    in_mask = jnp.where(d == 0, lmask, rev4(rmask))
+    return popcount4(in_mask).astype(jnp.uint8)
 
+
+@partial(jax.jit, static_argnames=("blk",))
+def _links_block(table: KmerTable, indeg8, lo, blk: int):
+    """Successor of each oriented node in [lo, lo+blk): unique
+    out-extension whose target has unique in-extension.  -1 otherwise."""
+    m = table.words.a.shape[0]
+    n2 = 2 * m
+    u = lo + jnp.arange(blk, dtype=I32)
+    uc = jnp.minimum(u, n2 - 1)  # clamp pad rows; u < n2 guards link_ok
+    row = uc >> 1
+    d = uc & 1
     lmask = table.left_mask[row]
     rmask = table.right_mask[row]
     out_mask = jnp.where(d == 0, rmask, rev4(lmask))
-    in_mask = jnp.where(d == 0, lmask, rev4(rmask))
     outdeg = popcount4(out_mask)
-    indeg = popcount4(in_mask)
 
-    ow = oriented_words(table.words, u)
+    ow = oriented_words(table.words, uc)
     b = single_bit_index(out_mask)
     succ = kc.successor_words(ow, b)
     canon, flip = kc.canonicalize(succ)
     srow, found = kc.lookup_words_merge(table.words, canon)
     v = (2 * srow + flip.astype(I32)).astype(I32)
 
-    link_ok = (outdeg == 1) & found & (indeg[v] == 1) & (v != u)
-    nxt = jnp.where(link_ok, v, -1)
-    # prev = inverse of next (next is injective where defined)
+    link_ok = (
+        (outdeg == 1) & found
+        & (indeg8[jnp.where(found, v, 0)] == 1)
+        & (v != uc) & (u < n2)
+    )
+    return jnp.where(link_ok, v, -1)
+
+
+@jax.jit
+def _rank_links(nxt) -> Links:
+    """Cycle-broken list ranking over the full successor map (lean: only
+    pointer/rank arrays are live — no word or mask arrays)."""
+    n2 = nxt.shape[0]
+    u = jnp.arange(n2, dtype=I32)
+    link_ok = nxt >= 0
     prv = jnp.full((n2,), -1, I32)
-    prv = prv.at[jnp.where(link_ok, v, n2)].set(u, mode="drop")
+    prv = prv.at[jnp.where(link_ok, nxt, n2)].set(u, mode="drop")
 
     steps = int(np.ceil(np.log2(max(n2, 2)))) + 1
 
@@ -115,6 +147,26 @@ def build_links(table: KmerTable) -> Links:
 
     ptr, dist = jax.lax.fori_loop(0, steps, rank_body, (ptr, dist))
     return Links(nxt, prv, ptr, dist)
+
+
+def build_links(table: KmerTable) -> Links:
+    """Phase A: successor/predecessor maps + cycle-broken list ranking.
+
+    Host-blocked: the successor resolve (the HBM-heavy part — a 5-operand
+    sort-merge join per block) runs LINK_BLOCK_NODES nodes at a time; the
+    pointer-doubling ranking runs as its own lean program."""
+    m = table.words.a.shape[0]
+    n2 = 2 * m
+    blk = min(LINK_BLOCK_NODES, _round_up(n2, 1024))
+    ind = _indeg8(table)
+    if n2 <= blk:
+        nxt = _links_block(table, ind, jnp.asarray(0, I32), blk)[:n2]
+        return _rank_links(nxt)
+    parts = []
+    for lo in range(0, n2, blk):
+        b = _links_block(table, ind, jnp.asarray(lo, I32), blk)
+        parts.append(np.asarray(b[: min(n2 - lo, blk)]))
+    return _rank_links(jnp.asarray(np.concatenate(parts)))
 
 
 def _edge_shape(links: Links, n_valid_rows: int):

@@ -30,6 +30,13 @@ from ..kmer import count as kcount
 from ..out import fasta as fout
 from ..stats.logger import StatLogger, n50
 
+# Dictionary rows above which mesh pathing value-shards the kmer->(edge,pos)
+# table across devices instead of replicating it (~28 B/row resident +
+# lookup-sort temps; 64M rows ~ a 2 Gb genome's filtered dict — replication
+# stops fitting per-chip HBM around there).  Addin:
+# pipeline.run.PATH_VS_DICT_ROWS (tests force it low to exercise the path).
+PATH_VS_DICT_ROWS = 64_000_000
+
 
 class Pipeline:
     def __init__(
@@ -373,34 +380,64 @@ class Pipeline:
         return bg
 
     def _path_sharded(self, bg, rs, ndev: int):
-        """Data-parallel pathing over the mesh (replicated dictionary,
-        parallel/sharded_path.py); per-read results identical to the
-        single-device pather."""
+        """Data-parallel pathing over the mesh (parallel/sharded_path.py);
+        per-read results identical to the single-device pather.
+
+        Dictionary layout: replicated per device below PATH_VS_DICT_ROWS
+        (fast path — no exchange), hash-sharded by kmer above it (the
+        pod-scale HBM story: no device holds the full table, lookups ride
+        an all-to-all to the owner shard; reference analogue is the MSP
+        shard contract, lib/tada/src/cmd_msp.rs:44-50)."""
         import jax.numpy as jnp
 
         from ..core.kmer_codec import K as KK
         from ..core.kmer_codec import np_to_soa
         from ..parallel.mesh import make_mesh
-        from ..parallel.sharded_path import sharded_path, split_for_pathing
+        from ..parallel.sharded_path import (
+            shard_dictionary,
+            sharded_path,
+            sharded_path_vs,
+            split_for_pathing,
+        )
 
         mesh = make_mesh(ndev)
-        codes, off, pr, rlen, _nbl, rl, idx_blocks = split_for_pathing(
+        codes, off, pr, rlen, nbl, rl, idx_blocks = split_for_pathing(
             rs, ndev
         )
-        rp = sharded_path(
-            mesh,
-            np_to_soa(bg.kmer_words),
-            jnp.asarray(bg.node_edge),
-            jnp.asarray(bg.node_pos),
+        n_dict = int(np.asarray(bg.kmer_words).shape[0])
+        value_shard = n_dict > PATH_VS_DICT_ROWS
+        graph_args = (
             jnp.asarray(bg.from_v.astype(np.int32)),
             jnp.asarray(bg.to_v.astype(np.int32)),
             jnp.asarray((bg.edges.lengths() - (KK - 1)).astype(np.int32)),
-            jnp.asarray(codes),
-            jnp.asarray(off),
-            jnp.asarray(pr),
+        )
+        read_args = (
+            jnp.asarray(codes), jnp.asarray(off), jnp.asarray(pr),
             jnp.asarray(rlen),
         )
+        if value_shard:
+            words_sh, ne_sh, np_sh, L_sh = shard_dictionary(
+                np_to_soa(bg.kmer_words), bg.node_edge, bg.node_pos, ndev
+            )
+            rp = sharded_path_vs(
+                mesh, words_sh, jnp.asarray(ne_sh), jnp.asarray(np_sh),
+                *graph_args, *read_args,
+                n_dev=ndev, shard_rows=L_sh, capacity=2 * nbl,
+            )
+        else:
+            rp = sharded_path(
+                mesh,
+                np_to_soa(bg.kmer_words),
+                jnp.asarray(bg.node_edge),
+                jnp.asarray(bg.node_pos),
+                *graph_args, *read_args,
+            )
         self.stats.log("n_shards_path", ndev, "pathing mesh devices", stage="paths")
+        self.stats.log(
+            "path_dict_sharded", int(value_shard),
+            "1 = kmer dictionary value-sharded across the mesh",
+            stage="paths",
+        )
 
         def gather(col, width=None):
             a = np.asarray(col)

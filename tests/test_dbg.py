@@ -137,3 +137,18 @@ def test_graph_save_load(tmp_path, rng):
     bg2 = dgraph.BaseGraph.load(p)
     assert bg2.n_edges == bg.n_edges
     assert bg2.checksum() == bg.checksum()
+
+
+def test_blocked_links_match_single_block(rng, monkeypatch):
+    """LINK_BLOCK_NODES forced tiny: the host-blocked successor resolve
+    (the 30 Mb HBM fix) must produce a graph identical to the one-block
+    path — same checksum, edges, and involution."""
+    g = sim.random_genome(rng, 4000, n_repeat_chunks=2, repeat_len=120)
+    _, bg1 = build(g)
+    monkeypatch.setattr(dbuild, "LINK_BLOCK_NODES", 2048)
+    _, bg2 = build(g)
+    assert bg2.n_edges == bg1.n_edges
+    assert bg1.checksum() == bg2.checksum()
+    assert np.array_equal(bg1.inv, bg2.inv)
+    assert np.array_equal(bg1.edges.values, bg2.edges.values)
+    assert np.array_equal(bg1.edges.offsets, bg2.edges.offsets)

@@ -169,3 +169,47 @@ def test_e2e_2d_topology_matches_single(tmp_path, rng):
                         {r["name"]: r["value"] for r in s}[k])
     for k in ("assembly_checksum", "n_edges", "contig_N50", "assembly_size"):
         assert get(s1, k) == get(s2, k), k
+
+
+def test_e2e_value_sharded_dict_path_matches(tmp_path, rng, monkeypatch):
+    """PATH_VS_DICT_ROWS forced to 0: mesh pathing must hash-shard the
+    kmer dictionary (no device holds the full table) and still produce the
+    identical assembly + identical per-read paths (the pod-scale HBM story
+    wired into the real pipeline; reference analogue: the MSP shard
+    contract, lib/tada/src/cmd_msp.rs:44-50)."""
+    import json
+
+    from supernova_tpu.pipeline import run as prun
+
+    g = sim.random_genome(rng, 6000, n_repeat_chunks=1, repeat_len=150)
+    _, hb = sim.diploidize(rng, g, het_rate=0.001)
+    wl = sim.make_whitelist(rng, 128)
+    reads = sim.simulate_linked_reads(
+        rng, (g, hb), wl, n_barcodes=50, molecules_per_barcode=2,
+        molecule_len=3000, coverage_per_molecule=2.0, error_rate=0.001,
+    )
+    rs = ingest_sim(reads, wl)
+    p1 = Pipeline(tmp_path / "single", multi_device=False)
+    p1.run_full(rs, flavors=("raw",))
+    monkeypatch.setattr(prun, "PATH_VS_DICT_ROWS", 0)
+    p2 = Pipeline(tmp_path / "vs", multi_device=True)
+    p2.run_full(rs, flavors=("raw",))
+
+    s1 = json.load(open(tmp_path / "single" / "all_stats.json"))
+    s2 = json.load(open(tmp_path / "vs" / "all_stats.json"))
+    get = lambda s, k: (s[k] if isinstance(s, dict) else
+                        {r["name"]: r["value"] for r in s}[k])
+    assert get(s2, "path_dict_sharded") == 1
+    for k in ("assembly_checksum", "n_edges", "contig_N50", "assembly_size"):
+        assert get(s1, k) == get(s2, k), k
+    # per-read paths bit-identical (zipped checkpoint contents)
+    z1 = np.load(tmp_path / "single" / "paths.npz")
+    z2 = np.load(tmp_path / "vs" / "paths.npz")
+    assert sorted(z1.files) == sorted(z2.files)
+    for f in z1.files:
+        assert np.array_equal(z1[f], z2[f]), f
+    r1 = sorted(seq for _, seq in fout.read_fasta(
+        tmp_path / "single" / "assembly.raw.fasta.gz"))
+    r2 = sorted(seq for _, seq in fout.read_fasta(
+        tmp_path / "vs" / "assembly.raw.fasta.gz"))
+    assert r1 == r2
