@@ -149,24 +149,62 @@ def _rank_links(nxt) -> Links:
     return Links(nxt, prv, ptr, dist)
 
 
+# Above this node count the pointer-doubling ranking runs HOST-side: the
+# device fori_loop program (27 iterations of 2 n2-sized gathers) reproducibly
+# crashed the axon TPU worker at 62M nodes (30 Mb genome) while every other
+# graph program at that size ran fine.  The host ranking is exact, numpy, and
+# ~tens of seconds at 100 Mb scale.  Addin: dbg.build.RANK_DEVICE_MAX_NODES.
+RANK_DEVICE_MAX_NODES = 25_000_000
+
+
+def _rank_links_host(nxt: np.ndarray) -> Links:
+    """Numpy twin of _rank_links (cycle break at min node + list ranking)."""
+    n2 = nxt.shape[0]
+    u = np.arange(n2, dtype=np.int32)
+    link_ok = nxt >= 0
+    prv = np.full(n2, -1, np.int32)
+    prv[nxt[link_ok]] = u[link_ok]
+
+    steps = int(np.ceil(np.log2(max(n2, 2)))) + 1
+    ptr = np.where(prv >= 0, prv, u)
+    mn = u.copy()
+    for _ in range(steps):
+        ptr, mn = ptr[ptr], np.minimum(mn, mn[ptr])
+    in_cycle = prv[ptr] >= 0
+    prv = np.where(in_cycle & (u == mn), -1, prv)
+
+    ptr = np.where(prv >= 0, prv, u)
+    dist = (prv >= 0).astype(np.int32)
+    for _ in range(steps):
+        ptr, dist = ptr[ptr], dist + dist[ptr]
+    return Links(
+        jnp.asarray(nxt), jnp.asarray(prv), jnp.asarray(ptr),
+        jnp.asarray(dist),
+    )
+
+
 def build_links(table: KmerTable) -> Links:
     """Phase A: successor/predecessor maps + cycle-broken list ranking.
 
     Host-blocked: the successor resolve (the HBM-heavy part — a 5-operand
     sort-merge join per block) runs LINK_BLOCK_NODES nodes at a time; the
-    pointer-doubling ranking runs as its own lean program."""
+    pointer-doubling ranking runs on device below RANK_DEVICE_MAX_NODES and
+    host-side above it (see the constant's note)."""
     m = table.words.a.shape[0]
     n2 = 2 * m
     blk = min(LINK_BLOCK_NODES, _round_up(n2, 1024))
     ind = _indeg8(table)
-    if n2 <= blk:
+    if n2 <= blk and n2 <= RANK_DEVICE_MAX_NODES:
         nxt = _links_block(table, ind, jnp.asarray(0, I32), blk)[:n2]
         return _rank_links(nxt)
     parts = []
     for lo in range(0, n2, blk):
         b = _links_block(table, ind, jnp.asarray(lo, I32), blk)
         parts.append(np.asarray(b[: min(n2 - lo, blk)]))
-    return _rank_links(jnp.asarray(np.concatenate(parts)))
+    nxt = np.concatenate(parts)
+    if n2 <= RANK_DEVICE_MAX_NODES:
+        return _rank_links(jnp.asarray(nxt))
+    return _rank_links_host(nxt)
 
 
 def _edge_shape(links: Links, n_valid_rows: int):

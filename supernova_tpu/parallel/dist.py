@@ -104,6 +104,35 @@ def from_global(x) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
+def ensure_global(mesh, spec, x):
+    """to_global for host/local arrays under a multi-process fleet;
+    pass-through for already-global (non-fully-addressable) jax.Arrays and
+    for single-process runs.  Lets the sharded kernels accept either a
+    host-built input (replicated-host model) or an upstream stage's global
+    output without caring which."""
+    import jax
+
+    if jax.process_count() == 1:
+        return x
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return x
+    return to_global(mesh, spec, np.asarray(x))
+
+
+def host_fetch(x) -> np.ndarray:
+    """np.asarray that also works on non-addressable global Arrays (DCN
+    all-gather under a multi-process fleet, plain pull otherwise)."""
+    import jax
+
+    if (
+        jax.process_count() > 1
+        and isinstance(x, jax.Array)
+        and not x.is_fully_addressable
+    ):
+        return from_global(x)
+    return np.asarray(x)
+
+
 def local_rows(x) -> tuple[np.ndarray, list[int]]:
     """This process's addressable shard rows of a global Array ->
     (stacked host rows, shard indices along axis 0).  For per-shard result

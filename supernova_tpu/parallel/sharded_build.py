@@ -297,16 +297,18 @@ def compact_links(tables_stacked: KmerTable, links6, pad_multiple: int = 256):
     """Host: drop per-shard padding, lex-sort rows, remap node ids.
     Returns (merged KmerTable, Links) identical to the single-device pair
     (the masks are the recomputed ones from the distributed phase)."""
-    nxt, prv, head, dist, new_l, new_r = (np.asarray(x) for x in links6)
-    nv = np.asarray(tables_stacked.n_valid)
-    n_dev = len(nv)
-    cap = np.asarray(tables_stacked.count).shape[0] // n_dev
+    from .dist import host_fetch
 
-    wa = np.asarray(tables_stacked.words.a).reshape(n_dev, cap)
-    wb = np.asarray(tables_stacked.words.b).reshape(n_dev, cap)
-    wc = np.asarray(tables_stacked.words.c).reshape(n_dev, cap)
-    count = np.asarray(tables_stacked.count).reshape(n_dev, cap)
-    nbc = np.asarray(tables_stacked.nbc).reshape(n_dev, cap)
+    nxt, prv, head, dist, new_l, new_r = (host_fetch(x) for x in links6)
+    nv = host_fetch(tables_stacked.n_valid)
+    n_dev = len(nv)
+    cap = tables_stacked.count.shape[0] // n_dev  # global shape
+
+    wa = host_fetch(tables_stacked.words.a).reshape(n_dev, cap)
+    wb = host_fetch(tables_stacked.words.b).reshape(n_dev, cap)
+    wc = host_fetch(tables_stacked.words.c).reshape(n_dev, cap)
+    count = host_fetch(tables_stacked.count).reshape(n_dev, cap)
+    nbc = host_fetch(tables_stacked.nbc).reshape(n_dev, cap)
     lmk = new_l.reshape(n_dev, cap)
     rmk = new_r.reshape(n_dev, cap)
 
@@ -380,7 +382,7 @@ def sharded_build_graph(mesh, tables_stacked: KmerTable, n_dev: int,
     from ..dbg import graph as dgraph
     from ..dbg.build import _edge_shape, _round_up, materialize_edges
 
-    cap = np.asarray(tables_stacked.count).shape[0] // n_dev
+    cap = tables_stacked.count.shape[0] // n_dev  # global shape
     n2g = 2 * n_dev * cap
     steps = int(np.ceil(np.log2(max(n2g, 2)))) + 1
     links6 = sharded_links(mesh, tables_stacked, n_dev, cap, steps,

@@ -469,20 +469,24 @@ def sharded_glue(mesh, cvals_blocks, ccid_blocks, cpos_blocks,
         use_ragged=use_ragged,
         value_shard=value_shard,
     )
-    labels, ovf = jax.shard_map(
-        fn,
-        mesh=mesh,
-        check_vma=False,
-        in_specs=(Pn(AXIS), Pn(AXIS), Pn(AXIS),
-                  vspec, vspec, Pn(), Pn(), Pn(), Pn(), Pn()),
-        out_specs=(Pn(AXIS), Pn(AXIS)),
-    )(
+    from .dist import ensure_global, host_fetch
+
+    in_specs = (Pn(AXIS), Pn(AXIS), Pn(AXIS),
+                vspec, vspec, Pn(), Pn(), Pn(), Pn(), Pn())
+    args = (
         cvals_blocks.reshape(-1), ccid_blocks.reshape(-1),
         cpos_blocks.reshape(-1),
         cvals_flat, prefx, coffs, cstart, clen, cinv, kmers,
     )
-    labels = np.asarray(labels)[:n_bound]
-    return labels, int(np.asarray(ovf).sum())
+    labels, ovf = jax.shard_map(
+        fn,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=in_specs,
+        out_specs=(Pn(AXIS), Pn(AXIS)),
+    )(*(ensure_global(mesh, s, a) for s, a in zip(in_specs, args)))
+    labels = host_fetch(labels)[:n_bound]
+    return labels, int(host_fetch(ovf).sum())
 
 
 def split_closure_rows(cls, n_dev: int, bucket: int = 1024):

@@ -85,10 +85,82 @@ def main() -> None:
         "nbc": from_global(tables.nbc),
         "n_valid": from_global(tables.n_valid),
     }
+    # ---- distributed build -> path -> nucleate glue over the fleet ------
+    # (the full §5.8 story: every heavy stage runs under real
+    # jax.distributed, like the reference's cluster-wide mrp — _mrp:26)
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as Pn
+
+    from supernova_tpu.core import kmer_codec as kcodec
+    from supernova_tpu.parallel.dist import ensure_global, host_fetch
+    from supernova_tpu.parallel.mesh import AXIS, make_mesh
+    from supernova_tpu.parallel.sharded_build import sharded_build_graph
+    from supernova_tpu.parallel.sharded_count import sharded_count
+    from supernova_tpu.parallel.sharded_nucleate import glue_closures_sharded
+    from supernova_tpu.parallel.sharded_path import (
+        sharded_path,
+        split_for_pathing,
+    )
+
+    mesh1 = make_mesh(n_dev)
+    sp = Pn(AXIS)
+    codes1, pr1, glp1, bcp1, nbl1, rl1, url1 = split_readset(
+        rs, n_dev, base_bucket=2048, read_bucket=64
+    )
+    tables1, ovf1 = sharded_count(
+        mesh1,
+        *(ensure_global(mesh1, sp, np.asarray(a))
+          for a in (codes1, pr1, glp1, bcp1)),
+        n_dev=n_dev,
+        capacity=2 * nbl1,
+        min_freq=1,
+        uniform_rl=url1,
+    )
+    assert int(host_fetch(ovf1).sum()) == 0
+    bg = sharded_build_graph(mesh1, tables1, n_dev)
+
+    pcodes, poff, ppr, prlen, _, rl2, idxb = split_for_pathing(
+        rs, n_dev, base_bucket=2048, read_bucket=64
+    )
+    rp = sharded_path(
+        mesh1,
+        kcodec.np_to_soa(bg.kmer_words),
+        jnp.asarray(bg.node_edge),
+        jnp.asarray(bg.node_pos),
+        jnp.asarray(bg.from_v.astype(np.int32)),
+        jnp.asarray(bg.to_v.astype(np.int32)),
+        jnp.asarray((bg.edges.lengths() - (kcodec.K - 1)).astype(np.int32)),
+        *(ensure_global(mesh1, sp, np.asarray(a))
+          for a in (pcodes, poff, ppr, prlen)),
+    )
+    path_len = host_fetch(rp.path_len)
+    path_edges = host_fetch(rp.edges)
+
+    # nucleate glue: closures = the real read-path walks (deterministic on
+    # every process — the fleet-gathered paths), labels over the mesh
+    from supernova_tpu.asm.nucleate import sanitize_closures
+
+    walks = []
+    for r in range(path_edges.shape[0]):
+        L = int(path_len[r])
+        if L > 0:
+            walks.append([int(e) for e in path_edges[r, :L]])
+    cls = sanitize_closures(bg, walks)
+    labels, govf = glue_closures_sharded(
+        mesh1, bg, cls, min_over_bases=100, adaptive=False
+    )
+
     np.savez(
         os.path.join(out, f"rank{jax.process_index()}.npz"),
         **full,
         n_dev=n_dev,
+        graph_checksum=np.uint64(bg.checksum()),
+        graph_n_edges=np.int64(bg.n_edges),
+        graph_inv=bg.inv,
+        path_len=path_len,
+        path_edges=path_edges,
+        glue_labels=labels,
+        glue_ovf=np.int64(govf),
     )
     print(f"rank {jax.process_index()} ok", flush=True)
 

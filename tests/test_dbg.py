@@ -152,3 +152,15 @@ def test_blocked_links_match_single_block(rng, monkeypatch):
     assert np.array_equal(bg1.inv, bg2.inv)
     assert np.array_equal(bg1.edges.values, bg2.edges.values)
     assert np.array_equal(bg1.edges.offsets, bg2.edges.offsets)
+
+
+def test_host_ranking_matches_device(rng, monkeypatch):
+    """RANK_DEVICE_MAX_NODES forced to 0: the numpy list-ranking twin (the
+    62M-node worker-crash workaround) must produce the identical graph."""
+    g = sim.random_genome(rng, 4000, n_repeat_chunks=2, repeat_len=120)
+    _, bg1 = build(g)
+    monkeypatch.setattr(dbuild, "RANK_DEVICE_MAX_NODES", 0)
+    _, bg2 = build(g)
+    assert bg1.checksum() == bg2.checksum()
+    assert np.array_equal(bg1.inv, bg2.inv)
+    assert np.array_equal(bg1.edges.values, bg2.edges.values)

@@ -107,3 +107,69 @@ def test_two_process_hier_count_matches_single_process(tmp_path):
         assert np.array_equal(r0[k], v), (
             f"multi-process {k} differs from single-process"
         )
+
+    # ---- distributed build -> path -> nucleate (the full §5.8 story) ----
+    # both ranks agree...
+    for k in ("graph_checksum", "graph_n_edges", "graph_inv", "path_len",
+              "path_edges", "glue_labels", "glue_ovf"):
+        assert np.array_equal(r0[k], r1[k]), f"ranks disagree on {k}"
+    assert int(r0["glue_ovf"]) == 0
+
+    # ...and match the same chain run single-process on the local 4-device
+    # mesh (sharded_count -> sharded_build_graph -> sharded_path -> glue)
+    import jax.numpy as jnp
+
+    from supernova_tpu.core import kmer_codec as kcodec
+    from supernova_tpu.parallel.mesh import make_mesh
+    from supernova_tpu.parallel.sharded_build import sharded_build_graph
+    from supernova_tpu.parallel.sharded_count import sharded_count
+    from supernova_tpu.parallel.sharded_nucleate import glue_closures_sharded
+    from supernova_tpu.parallel.sharded_path import (
+        sharded_path,
+        split_for_pathing,
+    )
+
+    mesh1 = make_mesh(n_dev)
+    codes1, pr1, glp1, bcp1, nbl1, rl1, url1 = split_readset(
+        rs, n_dev, base_bucket=2048, read_bucket=64
+    )
+    tables1, ovf1 = sharded_count(
+        mesh1, *map(np.asarray, (codes1, pr1, glp1, bcp1)),
+        n_dev=n_dev, capacity=2 * nbl1, min_freq=1, uniform_rl=url1,
+    )
+    assert int(np.asarray(ovf1).sum()) == 0
+    bg = sharded_build_graph(mesh1, tables1, n_dev)
+    assert int(r0["graph_checksum"]) == bg.checksum()
+    assert int(r0["graph_n_edges"]) == bg.n_edges
+    assert np.array_equal(r0["graph_inv"], bg.inv)
+
+    pcodes, poff, ppr, prlen, _, _, _ = split_for_pathing(
+        rs, n_dev, base_bucket=2048, read_bucket=64
+    )
+    rp = sharded_path(
+        mesh1,
+        kcodec.np_to_soa(bg.kmer_words),
+        jnp.asarray(bg.node_edge),
+        jnp.asarray(bg.node_pos),
+        jnp.asarray(bg.from_v.astype(np.int32)),
+        jnp.asarray(bg.to_v.astype(np.int32)),
+        jnp.asarray((bg.edges.lengths() - (kcodec.K - 1)).astype(np.int32)),
+        jnp.asarray(pcodes), jnp.asarray(poff), jnp.asarray(ppr),
+        jnp.asarray(prlen),
+    )
+    assert np.array_equal(r0["path_len"], np.asarray(rp.path_len))
+    assert np.array_equal(r0["path_edges"], np.asarray(rp.edges))
+
+    from supernova_tpu.asm.nucleate import sanitize_closures
+
+    pe, pl = np.asarray(rp.edges), np.asarray(rp.path_len)
+    walks = [
+        [int(e) for e in pe[r, : int(pl[r])]]
+        for r in range(pe.shape[0]) if int(pl[r]) > 0
+    ]
+    cls = sanitize_closures(bg, walks)
+    labels, govf = glue_closures_sharded(
+        mesh1, bg, cls, min_over_bases=100, adaptive=False
+    )
+    assert govf == 0
+    assert np.array_equal(r0["glue_labels"], labels)
