@@ -93,6 +93,51 @@ class ReadSet:
             **extra,
         )
 
+    def save_lazy(self, d: str | Path, block: int = 1 << 26) -> Path:
+        """Write the flat stores as raw .npy files for memmap access — the
+        VirtualMasterVec analogue (feudal/VirtualMasterVec.h, used
+        RunStages.cc:323-327, CP.cc:1279-1283): bases/quals become
+        file-backed pages the OS caches and evicts on demand, so host RSS
+        stays bounded by the working set instead of the read total.  Copies
+        block-wise (bounded RAM even when self.codes is itself lazy)."""
+        d = Path(d)
+        d.mkdir(parents=True, exist_ok=True)
+        for name, src in (("codes", self.codes), ("quals", self.quals)):
+            mm = np.lib.format.open_memmap(
+                d / f"{name}.npy", mode="w+", dtype=np.uint8,
+                shape=(len(src),),
+            )
+            for s in range(0, len(src), block):
+                mm[s : s + block] = src[s : s + block]
+            mm.flush()
+            del mm
+        np.save(d / "offsets.npy", self.offsets)
+        np.save(d / "bc.npy", self.bc)
+        np.save(d / "bci.npy", self.bci)
+        np.save(d / "barcoded.npy", np.array(self.barcoded))
+        return d
+
+    @staticmethod
+    def load_lazy(d: str | Path) -> "ReadSet":
+        """Memmap-backed ReadSet: codes/quals are read-only file views
+        (page-cache resident only where touched); the small CSR/barcode
+        arrays load into RAM."""
+        d = Path(d)
+        rs = ReadSet(
+            codes=np.load(d / "codes.npy", mmap_mode="r"),
+            offsets=np.load(d / "offsets.npy"),
+            quals=np.load(d / "quals.npy", mmap_mode="r"),
+            bc=np.load(d / "bc.npy"),
+            bci=np.load(d / "bci.npy"),
+            barcoded=bool(np.load(d / "barcoded.npy")),
+        )
+        rs.validate()
+        return rs
+
+    @property
+    def is_lazy(self) -> bool:
+        return isinstance(self.codes, np.memmap)
+
     @staticmethod
     def load(path: str | Path) -> "ReadSet":
         z = np.load(path)

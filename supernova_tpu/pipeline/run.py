@@ -37,6 +37,11 @@ from ..stats.logger import StatLogger, n50
 # pipeline.run.PATH_VS_DICT_ROWS (tests force it low to exercise the path).
 PATH_VS_DICT_ROWS = 64_000_000
 
+# Flat base count above which the ReadSet re-homes onto disk memmaps
+# (reads.lazy/) — the VirtualMasterVec analogue.  2 GB of codes+quals RAM is
+# the break-even on this class of host.  Addin: pipeline.run.LAZY_READS_MIN_BASES.
+LAZY_READS_MIN_BASES = 2_000_000_000
+
 
 class Pipeline:
     def __init__(
@@ -126,6 +131,18 @@ class Pipeline:
         ck = self.outdir / "reads.npz"
         if not ck.exists():
             rs.save(ck)
+        # VirtualMasterVec analogue: above LAZY_READS_MIN_BASES, re-home the
+        # flat base/qual stores onto disk memmaps so host RSS for the rest
+        # of the run is bounded by the touched working set, not the read
+        # total (feudal/VirtualMasterVec.h; RunStages.cc:323-327)
+        if len(rs.codes) > LAZY_READS_MIN_BASES and not rs.is_lazy:
+            lz = self.outdir / "reads.lazy"
+            if not (lz / "codes.npy").exists():
+                rs.save_lazy(lz)
+            rs = ReadSet.load_lazy(lz)
+            self.stats.log(
+                "reads_lazy", 1, "bases/quals memmap-backed", stage="ingest"
+            )
         self.stats.log("nreads", rs.n_reads, "number of reads", cs=True, stage="ingest")
         self.stats.log(
             "mean_read_len",
@@ -172,7 +189,14 @@ class Pipeline:
                 "mem_per_read", mpr,
                 "MB of available memory per input read", stage="ingest",
             )
-        q30 = float((rs.quals >= 30).mean() * 100) if len(rs.quals) else 0.0
+        # blockwise (the quals store may be a disk memmap; a full >=
+        # comparison would materialize a read-total-sized temporary)
+        nq = len(rs.quals)
+        q30_n = sum(
+            int((rs.quals[s : s + (1 << 26)] >= 30).sum())
+            for s in range(0, nq, 1 << 26)
+        )
+        q30 = float(q30_n / nq * 100) if nq else 0.0
         self.stats.log("q30_r2_perc", q30, "Q30 bases %", stage="ingest")
         # bad-cycles check (DF.cc:364-424 qual-stat alerts / the
         # "quality <= 2 at fixed positions" alarm): per-cycle Q<=2 fraction

@@ -104,3 +104,24 @@ def test_flat_ingest_nonuniform_lengths(tmp_path, rng):
         ingest_10x_fastqs([r1v], [r2v], wl),
         _ingest_lists([r1v], [r2v], wl),
     )
+
+
+def test_lazy_readset_roundtrip(tmp_path, rng):
+    """save_lazy/load_lazy (VirtualMasterVec analogue): memmap-backed
+    ReadSet is bytewise identical and satisfies the same invariants."""
+    from supernova_tpu.ingest.reads import ReadSet, build_readset
+
+    reads = [rng.integers(0, 4, 100).astype(np.uint8) for _ in range(8)]
+    quals = [np.full(100, 37, np.uint8) for _ in range(8)]
+    rs = build_readset(reads, quals, np.array([2, 1, 2, 1]), n_barcodes=3)
+    d = rs.save_lazy(tmp_path / "lz")
+    rs2 = ReadSet.load_lazy(d)
+    assert rs2.is_lazy and not rs.is_lazy
+    assert np.array_equal(np.asarray(rs2.codes), rs.codes)
+    assert np.array_equal(np.asarray(rs2.quals), rs.quals)
+    assert np.array_equal(rs2.offsets, rs.offsets)
+    assert np.array_equal(rs2.bc, rs.bc)
+    assert np.array_equal(rs2.bci, rs.bci)
+    # random access + slicing semantics preserved
+    assert np.array_equal(rs2.read(3), rs.read(3))
+    assert np.array_equal(rs2.qual(5), rs.qual(5))

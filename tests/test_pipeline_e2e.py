@@ -213,3 +213,41 @@ def test_e2e_value_sharded_dict_path_matches(tmp_path, rng, monkeypatch):
     r2 = sorted(seq for _, seq in fout.read_fasta(
         tmp_path / "vs" / "assembly.raw.fasta.gz"))
     assert r1 == r2
+
+
+def test_e2e_lazy_readset_matches(tmp_path, rng, monkeypatch):
+    """LAZY_READS_MIN_BASES forced to 0: the whole pipeline runs off the
+    disk-memmap ReadSet (reads.lazy/) and must produce the identical
+    assembly (RSS-bounding VirtualMasterVec analogue in the real path)."""
+    import json
+
+    from supernova_tpu.pipeline import run as prun
+
+    g = sim.random_genome(rng, 6000, n_repeat_chunks=1, repeat_len=150)
+    _, hb = sim.diploidize(rng, g, het_rate=0.001)
+    wl = sim.make_whitelist(rng, 128)
+    reads = sim.simulate_linked_reads(
+        rng, (g, hb), wl, n_barcodes=50, molecules_per_barcode=2,
+        molecule_len=3000, coverage_per_molecule=2.0, error_rate=0.001,
+    )
+    rs = ingest_sim(reads, wl)
+    p1 = Pipeline(tmp_path / "ram")
+    p1.run_full(rs, flavors=("raw",))
+    monkeypatch.setattr(prun, "LAZY_READS_MIN_BASES", 0)
+    rs2 = ingest_sim(reads, wl)
+    p2 = Pipeline(tmp_path / "lazy")
+    p2.run_full(rs2, flavors=("raw",))
+    assert (tmp_path / "lazy" / "reads.lazy" / "codes.npy").exists()
+
+    s1 = json.load(open(tmp_path / "ram" / "all_stats.json"))
+    s2 = json.load(open(tmp_path / "lazy" / "all_stats.json"))
+    get = lambda s, k: (s[k] if isinstance(s, dict) else
+                        {r["name"]: r["value"] for r in s}[k])
+    assert get(s2, "reads_lazy") == 1
+    for k in ("assembly_checksum", "n_edges", "contig_N50", "assembly_size"):
+        assert get(s1, k) == get(s2, k), k
+    r1 = sorted(seq for _, seq in fout.read_fasta(
+        tmp_path / "ram" / "assembly.raw.fasta.gz"))
+    r2 = sorted(seq for _, seq in fout.read_fasta(
+        tmp_path / "lazy" / "assembly.raw.fasta.gz"))
+    assert r1 == r2
