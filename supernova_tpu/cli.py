@@ -276,6 +276,18 @@ def cmd_sam(args) -> int:
     return 0
 
 
+def cmd_readqa(args) -> int:
+    """_ALIGNER-equivalent read QA against the assembly (out/readqa.py)."""
+    from .out.readqa import write_readqa
+
+    paths = write_readqa(
+        args.dir, qa_dir=args.out, whitelist_path=args.whitelist,
+        whitelist_name=args.whitelist_name,
+    )
+    print(json.dumps(paths))
+    return 0
+
+
 def cmd_simulate(args) -> int:
     from .ingest.tenx import write_sim_fastqs
     from .sim import genome as sim
@@ -801,6 +813,21 @@ def main(argv=None) -> int:
     sm.add_argument("--out", required=True, help="output .sam or .sam.gz")
     sm.add_argument("--sample", default="sample")
     sm.set_defaults(fn=cmd_sam)
+
+    rq = sub.add_parser(
+        "readqa",
+        help="read-QA report: duplicate_summary/lot_info/readqa jsons "
+             "(the _ALIGNER QA products against the assembly; out/readqa.py)",
+    )
+    rq.add_argument("--dir", required=True, help="finished run directory")
+    rq.add_argument("--out", default=None,
+                    help="QA output dir (default: run dir)")
+    rq.add_argument("--whitelist", default=None,
+                    help="barcode whitelist file (enables lot detection)")
+    rq.add_argument("--whitelist-name", default=None,
+                    help="canonical whitelist name for lot oligo lookup "
+                         "(e.g. 4M-with-alts-february-2016)")
+    rq.set_defaults(fn=cmd_readqa)
 
     gf = sub.add_parser("graph-fasta", help="unipath edges as FASTA (tada fasta)")
     gf.add_argument("--dir", required=True)

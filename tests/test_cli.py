@@ -261,3 +261,56 @@ def test_cli_export_import_ref_roundtrip(tmp_path):
     s1 = json.loads((out1 / "summary.json").read_text())
     s2 = json.loads((out2 / "summary.json").read_text())
     assert s1["assembly_checksum"] == s2["assembly_checksum"]
+
+
+def test_identify_gelbead_lot_parity():
+    """Behavior parity with trim_reads/__init__.py:124-154: confident only
+    when the best lot holds >= 95% of >= 1000 matched counts."""
+    from supernova_tpu.out.readqa import CHROMIUM_LOT_MAP, identify_gelbead_lot
+
+    a = CHROMIUM_LOT_MAP["Chromium Lot 3"][0]
+    b = CHROMIUM_LOT_MAP["Chromium Lot 5"][0]
+    # confident: one lot dominates with enough counts
+    hist = {a + "CGATTGACG": 2000, b + "CGATTGACG": 10}
+    lot, conf, counts = identify_gelbead_lot(hist, CHROMIUM_LOT_MAP)
+    assert lot == "Chromium Lot 3" and conf == "confident"
+    assert counts["Chromium Lot 3"] == 2000
+    # insufficient data
+    lot, conf, _ = identify_gelbead_lot({a + "X": 10}, CHROMIUM_LOT_MAP)
+    assert lot is None and conf == "insufficient data"
+    # ambiguous: split counts
+    lot, conf, _ = identify_gelbead_lot(
+        {a + "X": 900, b + "X": 700}, CHROMIUM_LOT_MAP
+    )
+    assert lot is None and conf == "ambiguous"
+
+
+def test_cli_readqa(tmp_path):
+    """readqa over a finished run dir: duplicate_summary/lot_info/readqa
+    jsons with sane contents (the _ALIGNER QA closure; out/readqa.py)."""
+    simdir = tmp_path / "sim"
+    assert cli.main([
+        "simulate", "--out", str(simdir), "--genome-size", "6000",
+        "--barcodes", "40", "--whitelist-size", "128", "--repeats", "1",
+    ]) == 0
+    outdir = tmp_path / "asm"
+    assert cli.main([
+        "run", "--r1", str(simdir / "sample_R1.fastq.gz"),
+        "--r2", str(simdir / "sample_R2.fastq.gz"),
+        "--whitelist", str(simdir / "whitelist.txt"),
+        "--out", str(outdir), "--flavors", "raw",
+    ]) == 0
+    assert cli.main([
+        "readqa", "--dir", str(outdir),
+        "--whitelist", str(simdir / "whitelist.txt"),
+    ]) == 0
+    dup = json.loads((outdir / "duplicate_summary.json").read_text())
+    assert "full_use_bcs" in dup and "full_ignore_bcs" in dup
+    assert dup["full_use_bcs"]["placed_pairs"] > 0
+    # bc-split groups can only be finer: never fewer dups when ignoring bcs
+    assert dup["full_use_bcs"]["dups"] <= dup["full_ignore_bcs"]["dups"]
+    qa = json.loads((outdir / "readqa.json").read_text())
+    assert qa["placed_frac"] > 0.9
+    assert qa["reads"] > 0 and qa["valid_bc_frac"] > 0.5
+    lot = json.loads((outdir / "lot_info.json").read_text())
+    assert "gelbead_lot" in lot  # sim whitelist carries no lot oligos
