@@ -164,7 +164,9 @@ def bench_pather(genome, rng):
         np.asarray(rp.path_len)  # forces device round trip
     dt = (time.perf_counter() - t0) / iters
     rps = n_reads / dt
-    placed = float((np.asarray(rp.path_len) > 0).mean())
+    # slice off the shape-bucket padding rows (they can never place and
+    # dilute the fraction; the pipeline slices [: rs.n_reads] the same way)
+    placed = float((np.asarray(rp.path_len)[:n_reads] > 0).mean())
     return {
         "reads_aligned_per_s": round(rps, 1),
         "pather_vs_baseline": round(rps / REFERENCE_READS_PER_SEC, 3),

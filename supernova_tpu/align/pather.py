@@ -307,18 +307,29 @@ def path_readset(bg, rs, max_path: int = MAX_PATH) -> ReadPaths:
                 from ..kmer.count import _free_failed_attempt
 
                 _free_failed_attempt(e)
+    # compact transfer for uniform-length reads: 2-bit packed codes with
+    # device-side expansion (16x less host->device traffic than the
+    # expanded per-position arrays; the values are identical by
+    # construction — same rule as the blocked dispatch below)
+    from ..kmer.count import _round_up, prepare_reads_packed
+
+    pk = prepare_reads_packed(rs)
+    if pk is not None:
+        rp_pad = _round_up(rs.n_reads + 1, 1024)
+        return _path_prepared_packed(bg, pk, max_path, rp_pad)
     inp = prepare_reads(rs)
     return _path_prepared(bg, inp, max_path)
 
 
 def _path_prepared(bg, inp, max_path: int) -> ReadPaths:
+    da = bg.device_arrays()
     return path_reads(
-        kc.np_to_soa(bg.kmer_words),
-        jnp.asarray(bg.node_edge),
-        jnp.asarray(bg.node_pos),
-        jnp.asarray(bg.from_v.astype(np.int32)),
-        jnp.asarray(bg.to_v.astype(np.int32)),
-        jnp.asarray((bg.edges.lengths() - (K - 1)).astype(np.int32)),
+        da["words"],
+        da["node_edge"],
+        da["node_pos"],
+        da["from_v"],
+        da["to_v"],
+        da["edge_kmers"],
         inp["codes_ext"],
         inp["read_offsets"],
         inp["pos_read"],
@@ -357,13 +368,14 @@ def path_reads_packed(
 
 
 def _path_prepared_packed(bg, pk, max_path: int, rp_pad: int) -> ReadPaths:
+    da = bg.device_arrays()
     return path_reads_packed(
-        kc.np_to_soa(bg.kmer_words),
-        jnp.asarray(bg.node_edge),
-        jnp.asarray(bg.node_pos),
-        jnp.asarray(bg.from_v.astype(np.int32)),
-        jnp.asarray(bg.to_v.astype(np.int32)),
-        jnp.asarray((bg.edges.lengths() - (K - 1)).astype(np.int32)),
+        da["words"],
+        da["node_edge"],
+        da["node_pos"],
+        da["from_v"],
+        da["to_v"],
+        da["edge_kmers"],
         jnp.asarray(pk["codes_packed"]),
         jnp.asarray(np.int32(pk["n_reads"])),
         max_path=max_path,

@@ -61,6 +61,33 @@ class BaseGraph:
                     h = (h ^ np.uint64(b)) * prime
         return int(h)
 
+    def device_arrays(self) -> dict:
+        """Device-resident dictionary + topology for the pather, transferred
+        once per graph and cached on the instance.  path_readset is called
+        repeatedly on the same graph (initial pathing, post-patch re-pathing,
+        per-block dispatch), and re-uploading the kmer table each call costs
+        more than the pathing compute over the axon tunnel at 10 Mb+ scales.
+        BaseGraphs are immutable after construction (graph edits build new
+        instances via from_device/load), so the cache never goes stale."""
+        da = self.__dict__.get("_device_arrays")
+        if da is None:
+            import jax.numpy as jnp
+
+            from ..core import kmer_codec as kcodec
+
+            da = dict(
+                words=kcodec.np_to_soa(self.kmer_words),
+                node_edge=jnp.asarray(self.node_edge),
+                node_pos=jnp.asarray(self.node_pos),
+                from_v=jnp.asarray(self.from_v.astype(np.int32)),
+                to_v=jnp.asarray(self.to_v.astype(np.int32)),
+                edge_kmers=jnp.asarray(
+                    (self.edges.lengths() - (K - 1)).astype(np.int32)
+                ),
+            )
+            self.__dict__["_device_arrays"] = da
+        return da
+
     def validate(self):
         E = self.n_edges
         assert len(self.inv) == E and len(self.from_v) == E and len(self.to_v) == E
