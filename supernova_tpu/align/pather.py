@@ -38,6 +38,9 @@ from ..core.kmer_codec import K, W3
 I32 = jnp.int32
 MAX_PATH = 12  # max edges a 150bp read can plausibly traverse; overflow flagged
 JITTER = 3  # max indel slack for captured gaps / junctions (algorithmTwo)
+# uniform-length readsets route through the fused gather-free program
+# (path_reads_fused_impl); flip off to fall back to the general path
+FUSED = True
 
 
 class ReadPaths(NamedTuple):
@@ -75,6 +78,12 @@ def path_reads(
     max_path: int = MAX_PATH,
     uniform_rl: int | None = None,
 ) -> ReadPaths:
+    if uniform_rl is not None and FUSED:
+        return path_reads_fused_impl(
+            kmer_words, node_edge, node_pos, from_v, to_v, edge_kmers,
+            codes_ext, rlen_pos, pos_read.shape[0],
+            read_offsets.shape[0] - 1, max_path, uniform_rl,
+        )
     resolve = partial(_resolve_local, kmer_words, node_edge, node_pos)
     return path_reads_impl(
         resolve, from_v, to_v, edge_kmers, codes_ext, read_offsets,
@@ -209,20 +218,6 @@ def path_reads_impl(
     overflow = n_slots > max_path
     raw_len = jnp.minimum(n_slots, max_path)
 
-    # ---- seed-chain validation (algorithmTwo junction checks) ----------
-    # consecutive slots must be graph-adjacent AND the implied read coord
-    # of the next edge's start must equal this edge's start + its kmer
-    # count (edges overlap by K-1) within JITTER; keep the longest valid
-    # run of slots per read (drops chimeric/weak terminal seeds).
-    slot_i = jnp.arange(max_path, dtype=I32)[None, :]
-    exists = slot_i < raw_len[:, None]
-    e_safe = jnp.maximum(paths, 0)
-    o = entry_p - entry_e  # read coord where each slot's edge starts
-    km = edge_kmers[e_safe]
-    adj = to_v[e_safe][:, :-1] == from_v[e_safe][:, 1:]
-    pos_ok = jnp.abs(o[:, 1:] - (o[:, :-1] + km[:, :-1])) <= JITTER
-    valid_j = adj & pos_ok & exists[:, 1:] & exists[:, :-1]
-
     # per-slot kmer support (scatter-add over hit rows): the run with the
     # most supporting kmers wins, the vectorized version of dropping weak
     # terminal seeds in favor of the well-supported chain
@@ -238,6 +233,30 @@ def path_reads_impl(
         .add(1, mode="drop")[: rp * max_path]
         .reshape(rp, max_path)
     )
+
+    return _select_best_run(
+        paths, entry_p, entry_e, slot_hits, raw_len, n_slots, overflow,
+        from_v, to_v, edge_kmers, max_path, rp,
+    )
+
+
+def _select_best_run(
+    paths, entry_p, entry_e, slot_hits, raw_len, n_slots, overflow,
+    from_v, to_v, edge_kmers, max_path: int, rp: int,
+) -> ReadPaths:
+    """Seed-chain validation (algorithmTwo junction checks): consecutive
+    slots must be graph-adjacent AND the implied read coord of the next
+    edge's start must equal this edge's start + its kmer count (edges
+    overlap by K-1) within JITTER; keep the best-supported valid run of
+    slots per read (drops chimeric/weak terminal seeds)."""
+    slot_i = jnp.arange(max_path, dtype=I32)[None, :]
+    exists = slot_i < raw_len[:, None]
+    e_safe = jnp.maximum(paths, 0)
+    o = entry_p - entry_e  # read coord where each slot's edge starts
+    km = edge_kmers[e_safe]
+    adj = to_v[e_safe][:, :-1] == from_v[e_safe][:, 1:]
+    pos_ok = jnp.abs(o[:, 1:] - (o[:, :-1] + km[:, :-1])) <= JITTER
+    valid_j = adj & pos_ok & exists[:, 1:] & exists[:, :-1]
 
     # best-supported valid run via a static unrolled scan over the slots
     sup = jnp.where(exists, slot_hits, 0)
@@ -269,6 +288,204 @@ def path_reads_impl(
     offset = jnp.where(has_hit, e0 - p0, 0)
 
     return ReadPaths(paths, path_len, offset, first_skip, overflow)
+
+
+def _last_valid_scan(has, *vals):
+    """Inclusive 'last valid wins' scan: row i receives each val from the
+    nearest row j <= i with has[j] set (its own if set).  The associative
+    combine is the standard last-write-wins monoid — O(n) elementwise work,
+    no gathers."""
+    has_u = has.astype(jnp.uint32)
+
+    def comb(a, b):
+        sel = b[0] > 0
+        return (a[0] | b[0],) + tuple(
+            jnp.where(sel, bv, av) for av, bv in zip(a[1:], b[1:])
+        )
+
+    out = jax.lax.associative_scan(comb, (has_u,) + tuple(vals))
+    return out[1:]
+
+
+# fused-path pkidx bit layout: [31]=rc-flipped, [30]=invalid row, [29:0]=row
+_F_FLIP = np.uint32(1 << 31)
+_F_INV = np.uint32(1 << 30)
+_F_POS = np.uint32((1 << 30) - 1)
+
+
+def path_reads_fused_impl(
+    kmer_words: W3,
+    node_edge,
+    node_pos,
+    from_v,
+    to_v,
+    edge_kmers,
+    codes_ext,
+    rlen_pos,
+    nbp: int,
+    rp: int,
+    max_path: int,
+    uniform_rl: int,
+) -> ReadPaths:
+    """Gather-free pather for uniform-length reads.
+
+    Same contract as path_reads_impl with a local dictionary, rebuilt
+    around the TPU cost model (sorts/cumsums cheap, 10M-row gathers and
+    scatters expensive — see ARCHITECTURE.md "Performance notes"):
+
+      1. ONE unstable merge sort joins queries against the table, with the
+         oriented (edge, pos) dictionary values riding as sort payloads on
+         the table rows (node_edge/node_pos are strided slices at table
+         scale, never queried by gather at query scale).
+      2. A last-valid associative scan broadcasts each table row's values
+         down its run of matching query rows.
+      3. ONE more unstable sort (keys: miss flag, query position) compacts
+         hit rows back into read order — replacing the old scatter-back +
+         per-position stable sort + nb-scale scatters; everything after it
+         runs at hit scale (~placed kmers), not position scale.
+
+    The captured-gap rejoin rule, slot accounting, and seed-chain
+    validation are semantically identical to path_reads_impl (equality is
+    tested in tests/test_pather.py::test_fused_matches_general).
+    """
+    nb0 = nbp  # position rows before the tail cut (padded)
+    rl = uniform_rl
+    cols = rl - K + 1
+
+    if jax.default_backend() == "tpu" and nb0 % 128 == 0:
+        from ..ops.pallas.kmer_extract import sliding_words_pallas
+
+        words = sliding_words_pallas(jnp.asarray(codes_ext).astype(I32), nb0)
+    else:
+        words = kc.sliding_words(codes_ext, nb0)
+    canon, flipped = kc.canonicalize(words)
+    from ..kmer.count import uniform_tail_cut
+
+    a_, b_, c_, flipped, rlen_q = uniform_tail_cut(
+        rl, canon.a, canon.b, canon.c, flipped, rlen_pos
+    )
+    n = a_.shape[0]
+    q = jnp.arange(n, dtype=jnp.uint32)
+    pirq = (q % np.uint32(cols)).astype(I32)
+    invalid = pirq + K > rlen_q  # padding reads (uniform real reads pass)
+
+    m = kmer_words.a.shape[0]
+    # oriented dictionary values at table scale (strided slices, no gather)
+    ef, er = node_edge[0::2].astype(jnp.uint32), node_edge[1::2].astype(jnp.uint32)
+    pf, pr_ = node_pos[0::2].astype(jnp.uint32), node_pos[1::2].astype(jnp.uint32)
+    zq = jnp.zeros((n,), jnp.uint32)
+    pkidx = (
+        q
+        | jnp.where(flipped, _F_FLIP, np.uint32(0))
+        | jnp.where(invalid, _F_INV, np.uint32(0))
+    )
+    ka = jnp.concatenate([kmer_words.a, a_])
+    kb = jnp.concatenate([kmer_words.b, b_])
+    kc_ = jnp.concatenate([kmer_words.c, c_])
+    tag = jnp.concatenate(
+        [jnp.zeros((m,), jnp.uint32), jnp.ones((n,), jnp.uint32)]
+    )
+    pk = jnp.concatenate([jnp.arange(m, dtype=jnp.uint32), pkidx])
+    efx = jnp.concatenate([ef, zq])
+    erx = jnp.concatenate([er, zq])
+    pfx = jnp.concatenate([pf, zq])
+    prx = jnp.concatenate([pr_, zq])
+
+    # rows with equal (kmer, tag) are interchangeable: table rows are
+    # unique, and equal-kmer query rows receive identical values
+    sa, sb, sc, stag, spk, sef, ser, spf, spr = jax.lax.sort(
+        (ka, kb, kc_, tag, pk, efx, erx, pfx, prx),
+        num_keys=4,
+        is_stable=False,
+    )
+    mn = m + n
+    pos = jnp.arange(mn, dtype=I32)
+    is_table = stag == 0
+    last_tpos = jax.lax.cummax(jnp.where(is_table, pos, -1))
+    neq = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1]) | (sc[1:] != sc[:-1])
+    wstarts = jnp.concatenate([jnp.ones((1,), bool), neq])
+    last_run_start = jax.lax.cummax(jnp.where(wstarts, pos, 0))
+    found = (~is_table) & (last_tpos >= last_run_start)
+
+    efp, erp, pfp, prp = _last_valid_scan(is_table, sef, ser, spf, spr)
+    flip = (spk & _F_FLIP) != 0
+    inv = (spk & _F_INV) != 0
+    qpos = (spk & _F_POS).astype(I32)
+    hit = found & ~inv
+    edge = jnp.where(flip, erp, efp).astype(I32)
+    epos = jnp.where(flip, prp, pfp).astype(I32)
+
+    # compact hit rows into read order: keys (miss, query position)
+    misskey = (~hit).astype(jnp.uint32)
+    _, cq, ce, cp = jax.lax.sort(
+        (misskey, qpos.astype(jnp.uint32), edge, epos),
+        num_keys=2,
+        is_stable=False,
+    )
+    n_hits = jnp.sum(hit.astype(I32))
+    live = jnp.arange(mn, dtype=I32) < n_hits
+    cq = cq.astype(I32)
+    cread = cq // cols
+    cpir = cq % cols
+    cdelta = cp - cpir
+
+    # captured-gap rejoin: a hit opens a new slot unless the previous hit
+    # in the same read (across any miss gap) is on the same edge AND the
+    # implied read offset agrees within JITTER
+    prev_same = jnp.concatenate(
+        [
+            jnp.zeros((1,), bool),
+            (ce[1:] == ce[:-1])
+            & (cread[1:] == cread[:-1])
+            & (jnp.abs(cdelta[1:] - cdelta[:-1]) <= JITTER),
+        ]
+    )
+    new_for_hit = live & ~prev_same
+    mk = new_for_hit.astype(I32)
+    g = jnp.cumsum(mk) - 1  # global slot counter at each live row
+    read_first = live & jnp.concatenate(
+        [jnp.ones((1,), bool), cread[1:] != cread[:-1]]
+    )
+    base = jax.lax.cummax(jnp.where(read_first, g, -1))
+    slot = g - base
+
+    ok = new_for_hit & (slot < max_path)
+    flat_idx = jnp.where(ok, cread * max_path + slot, rp * max_path)
+
+    def place(vals, fill):
+        return (
+            jnp.full((rp * max_path + 1,), fill, I32)
+            .at[flat_idx]
+            .set(vals, mode="drop")[: rp * max_path]
+            .reshape(rp, max_path)
+        )
+
+    paths = place(ce, -1)
+    entry_p = place(cpir, 0)
+    entry_e = place(cp, 0)
+
+    flat_hit = jnp.where(
+        live & (slot < max_path), cread * max_path + slot, rp * max_path
+    )
+    slot_hits = (
+        jnp.zeros((rp * max_path + 1,), I32)
+        .at[flat_hit]
+        .add(1, mode="drop")[: rp * max_path]
+        .reshape(rp, max_path)
+    )
+
+    n_slots = (
+        jnp.zeros((rp + 1,), I32)
+        .at[jnp.where(new_for_hit, cread, rp)]
+        .add(1, mode="drop")[:rp]
+    )
+    overflow = n_slots > max_path
+    raw_len = jnp.minimum(n_slots, max_path)
+
+    return _select_best_run(
+        paths, entry_p, entry_e, slot_hits, raw_len, n_slots, overflow,
+        from_v, to_v, edge_kmers, max_path, rp,
+    )
 
 
 # --------------------------------------------------------------- host layer
@@ -357,6 +574,11 @@ def path_reads_packed(
     pos = jnp.arange(nbp, dtype=I32) // rl
     pos_read = jnp.minimum(pos, nr)
     rlen_pos = jnp.where(pos < nr, I32(rl), I32(0)).astype(I32)
+    if FUSED:
+        return path_reads_fused_impl(
+            kmer_words, node_edge, node_pos, from_v, to_v, edge_kmers,
+            codes_ext, rlen_pos, nbp, rp_pad, max_path, rl,
+        )
     read_offsets = jnp.minimum(
         jnp.arange(rp_pad + 1, dtype=I32) * rl, nr * rl
     )

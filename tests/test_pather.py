@@ -117,3 +117,45 @@ def test_blocked_packed_pather_matches_full(rng):
             np.asarray(getattr(rp_full, f))[:n_reads],
             np.asarray(getattr(rp_blk, f))[:n_reads],
         ), f
+
+
+def test_fused_matches_general(rng):
+    """The fused gather-free pather must equal the general sort/scatter
+    path elementwise on uniform-length reads (errors, barcodes, repeats —
+    exercises miss-gap rejoin, junction checks, and padding rows)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    g = sim.random_genome(rng, 4000, n_repeat_chunks=3, repeat_len=250)
+    wl = sim.make_whitelist(rng, 32)
+    _, hb = sim.diploidize(rng, g, 0.002)
+    reads = sim.simulate_linked_reads(
+        rng, (g, hb), wl, n_barcodes=12, molecules_per_barcode=2,
+        molecule_len=1800, coverage_per_molecule=2.0, error_rate=0.01,
+    )
+    rs = ingest_sim(reads, wl)
+    table = dbuild.trim_table(kcount.count_readset(rs), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    inp = kcount.prepare_reads(rs)
+    assert inp["uniform_rl"] is not None
+    da = bg.device_arrays()
+    fused = pather.path_reads_fused_impl(
+        da["words"], da["node_edge"], da["node_pos"], da["from_v"],
+        da["to_v"], da["edge_kmers"], inp["codes_ext"], inp["rlen_pos"],
+        inp["pos_read"].shape[0], inp["read_offsets"].shape[0] - 1,
+        pather.MAX_PATH, inp["uniform_rl"],
+    )
+    resolve = partial(
+        pather._resolve_local, da["words"], da["node_edge"], da["node_pos"]
+    )
+    general = pather.path_reads_impl(
+        resolve, da["from_v"], da["to_v"], da["edge_kmers"],
+        inp["codes_ext"], inp["read_offsets"], inp["pos_read"],
+        inp["rlen_pos"], uniform_rl=inp["uniform_rl"],
+    )
+    assert float((np.asarray(fused.path_len)[: rs.n_reads] > 0).mean()) > 0.8
+    for f in ("edges", "path_len", "offset", "first_skip", "overflow"):
+        assert np.array_equal(
+            np.asarray(getattr(fused, f)), np.asarray(getattr(general, f))
+        ), f
