@@ -60,6 +60,21 @@ MOTIF_MIN_Q = 20
 RAISE_WINDOW = 11
 RAISE_MIN_AGREE = 3
 RAISE_CRITICAL_Q = 30
+# FlagNoise glue rule (ReadStack.cc:1730-1762)
+NOISE_MIN_GLUE = 20
+NOISE_MAX_HOMOPOL = 10
+# IdentifyShifters (ReadStack.cc:1764-1788)
+SHIFT_MIN_RUN = 15
+SHIFT_MIN_ERR_DIFF = 5
+# Defenestrate stripe grouping (ReadStack.cc:1790-1838)
+DEFEN_WIDTH = 10
+DEFEN_MIN_MULT = 2
+DEFEN_MIN_DIFFS = 3
+DEFEN_MIN_COMP = 3
+# CorrectAll column vote (ReadStack.cc:1069-1117)
+CORRECT_MIN_WIN = 50
+CORRECT_WIN_RATIO = 10
+CORRECT_MAX_LOSE = 100
 
 
 def _kmer_index(seq: str, k: int = ANCHOR_K) -> dict:
@@ -361,6 +376,164 @@ def raise1(bases: np.ndarray, quals: np.ndarray) -> np.ndarray:
     return quals
 
 
+def flag_noise(bases: np.ndarray, founder_b: np.ndarray) -> np.ndarray:
+    """FlagNoise (ReadStack.cc:1730-1762): a stacked row must share at
+    least one mismatch-free "glue" stretch with the founder of capped
+    length >= 20, where any homopolymer (same founder base repeating)
+    contributes at most 10 of those columns — otherwise the row is noise.
+    Returns the delete mask."""
+    R, W = bases.shape
+    if R == 0:
+        return np.zeros(0, bool)
+    fdef = founder_b >= 0
+    agree = (bases >= 0) & fdef[None, :] & (bases == founder_b[None, :])
+    # homopolymer index: distance since the last column that does NOT
+    # extend the current (agreeing) homopolymer stretch
+    same_f = np.zeros(W, bool)
+    same_f[1:] = fdef[1:] & fdef[:-1] & (founder_b[1:] == founder_b[:-1])
+    ext = agree & same_f[None, :]
+    ext[:, 0] = False
+    idx_col = np.broadcast_to(np.arange(W)[None, :], (R, W))
+    last_break = np.maximum.accumulate(np.where(~ext, idx_col, -1), axis=1)
+    hp_idx = idx_col - last_break
+    weight = agree & (hp_idx < NOISE_MAX_HOMOPOL)
+    # capped run length via running sums reset at run starts: prefix-sum of
+    # weight minus its value at the current run's start
+    csum = np.cumsum(weight.astype(np.int64), axis=1)
+    run_start = np.maximum.accumulate(np.where(~agree, idx_col, 0), axis=1)
+    base_at = np.take_along_axis(csum, run_start, axis=1)
+    # run_start normally points at the last non-agree column (weight 0);
+    # when a run begins at column 0 it points INTO the run — re-add its
+    # weight so the first column is not dropped
+    start_in_run = np.take_along_axis(weight, run_start, axis=1)
+    capped = np.where(
+        agree, csum - base_at + start_in_run.astype(np.int64), 0
+    )
+    best = capped.max(axis=1)
+    return best < NOISE_MIN_GLUE
+
+
+def identify_shifters(bases: np.ndarray, founder_b: np.ndarray) -> np.ndarray:
+    """IdentifyShifters (ReadStack.cc:1764-1788): when the founder opens a
+    homopolymer run >= 15 at column p1, a row whose mismatch count vs the
+    founder (scanned from p1 until either sequence becomes undefined) drops
+    by >= 5 when the row is shifted one column left or right is an
+    indel-shifted read — delete it.  (The reference accumulates the left
+    shift into `errsp`; the intended per-direction comparison is
+    implemented here.)"""
+    R, W = bases.shape
+    out = np.zeros(R, bool)
+    if R == 0:
+        return out
+    fdef = founder_b >= 0
+    # first founder homopolymer run >= SHIFT_MIN_RUN
+    p1 = -1
+    i = 0
+    while i < W and fdef[i]:
+        j = i + 1
+        while j < W and fdef[j] and founder_b[j] == founder_b[i]:
+            j += 1
+        if j - i >= SHIFT_MIN_RUN:
+            p1 = i
+            break
+        i = j
+    if p1 < 0:
+        return out
+
+    def errs_from(shift: int) -> np.ndarray:
+        cols = np.arange(p1, W - max(0, shift))
+        rcols = cols + shift
+        valid = rcols >= 0
+        cols, rcols = cols[valid], rcols[valid]
+        fd = fdef[cols]
+        rd = bases[:, rcols] >= 0
+        both = fd[None, :] & rd
+        # prefix until the first undefined of either (reference `break`)
+        alive = np.cumprod(both, axis=1).astype(bool)
+        mism = alive & (bases[:, rcols] != founder_b[cols][None, :])
+        return mism.sum(axis=1)
+
+    errs = errs_from(0)
+    errsp = errs_from(1)
+    errsm = errs_from(-1)
+    return np.maximum(errs - errsp, errs - errsm) >= SHIFT_MIN_ERR_DIFF
+
+
+def defenestrate(bases: np.ndarray) -> np.ndarray:
+    """Defenestrate (ReadStack.cc:1790-1838): per non-overlapping 10-column
+    stripe, rows with a fully-defined stripe are grouped by content; the
+    founder group is the lexicographically first group with multiplicity
+    >= 2 and complexity >= 3 (complexity = 1 + #adjacent transitions).
+    Every other group meeting the same multiplicity/complexity bar that
+    differs from the founder group at >= 3 positions is thrown out the
+    window (a stacked repeat copy)."""
+    R, W = bases.shape
+    out = np.zeros(R, bool)
+    if R == 0:
+        return out
+    wgt = DEFEN_WIDTH
+    for i in range(0, W - wgt + 1, wgt):
+        stripe = bases[:, i : i + wgt]
+        full = (stripe >= 0).all(axis=1)
+        if full.sum() < 2 * DEFEN_MIN_MULT:
+            continue
+        rows = stripe[full].astype(np.int8)
+        uniq, inv, cnt = np.unique(
+            rows, axis=0, return_inverse=True, return_counts=True
+        )
+        comp = 1 + (uniq[:, 1:] != uniq[:, :-1]).sum(axis=1)
+        qual_g = (cnt >= DEFEN_MIN_MULT) & (comp >= DEFEN_MIN_COMP)
+        if not qual_g.any():
+            continue
+        founder = int(np.nonzero(qual_g)[0][0])  # lexicographically first
+        diffs = (uniq != uniq[founder][None, :]).sum(axis=1)
+        kill_g = qual_g & (diffs >= DEFEN_MIN_DIFFS)
+        if kill_g.any():
+            kill_rows = kill_g[inv]
+            idx = np.nonzero(full)[0]
+            out[idx[kill_rows]] = True
+    return out
+
+
+def correct_all(
+    bases: np.ndarray, quals: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """CorrectAll (ReadStack.cc:1055-1117): correct the founder (row 0)
+    against the stack.  Per column, qual-sums per base (Q<=2 counts 0.2);
+    each competitor's sum is discounted by its single best reader; the
+    winner replaces the founder base (qual 0) when it wins by >= 50, by
+    >= 10x the best competitor, and the competitor total is <= 100.
+    Returns (corrected codes, quals, trim_to) where trim_to is the first
+    untrustworthy column (= width when every column verifies)."""
+    R, W = bases.shape
+    b = bases[0].copy()
+    q = quals[0].astype(np.int16).copy()
+    if R == 0 or W == 0:
+        return b, q, 0
+    covered = bases >= 0
+    onehot = covered[:, :, None] & (bases[:, :, None] == np.arange(4)[None, None, :])
+    wt = np.where(quals <= 2, np.minimum(quals, 0.2), quals.astype(np.float64))
+    sums = (onehot * wt[:, :, None]).sum(axis=0)  # (W, 4)
+    tops = np.where(onehot, quals[:, :, None], 0).max(axis=0)  # (W, 4)
+    order = np.argsort(sums, axis=1)
+    win = order[:, -1]
+    win_w = np.take_along_axis(sums, order[:, -1:], axis=1)[:, 0]
+    # competitors lose their single best reader (ReadStack.cc:1092-1094)
+    disc = sums - tops
+    disc[np.arange(W), win] = -np.inf
+    comp_w = disc.max(axis=1)
+    ok = (
+        (win_w >= CORRECT_MIN_WIN)
+        & (win_w >= CORRECT_WIN_RATIO * np.maximum(comp_w, 0))
+        & (comp_w <= CORRECT_MAX_LOSE)
+    )
+    trim_to = int(np.argmin(ok)) if not ok.all() else W
+    change = ok & (b != win.astype(np.int8))
+    b = np.where(change, win.astype(np.int8), b)
+    q = np.where(change, np.int16(0), q)
+    return b, q, trim_to
+
+
 def edit_stack(
     bases: np.ndarray,
     quals: np.ndarray,
@@ -369,16 +542,20 @@ def edit_stack(
     min_survivors: int = 4,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """The ReadStack editing pipeline ahead of consensus: founder
-    HighQualDiff (filter_founder_diff), CleanColumns, PairWeak1, MotifDiff
-    row removal, then Raise1 qual raising on the survivors.  Row-removal
-    passes are only applied while >= min_survivors rows remain (the same
-    survival guard the founder filter uses — with flat sim qual profiles a
-    pass can nuke the whole stack)."""
+    HighQualDiff (filter_founder_diff), FlagNoise, IdentifyShifters,
+    Defenestrate, CleanColumns, MotifDiff, PairWeak1 row removal, then
+    Raise1 qual raising on the survivors.  Row-removal passes are only
+    applied while >= min_survivors rows remain (the same survival guard
+    the founder filter uses — with flat sim qual profiles a pass can nuke
+    the whole stack)."""
     if bases.shape[0] == 0:
         return bases, quals
     fb, fq = _founder_rows(flank, bases.shape[1])
     keep = filter_founder_diff(bases, quals, flank)
     for mask in (
+        ~flag_noise(bases, fb),
+        ~identify_shifters(bases, fb),
+        ~defenestrate(bases),
         ~clean_columns(bases, quals, fb, fq),
         ~motif_diff(bases, quals, fb, fq),
         ~pair_weak(bases, quals, pids) if pids is not None else None,

@@ -308,7 +308,7 @@ def cmd_simulate(args) -> int:
         molecules_per_barcode=3,
         molecule_len=min(20_000, args.genome_size // 2),
         coverage_per_molecule=2.0,
-        error_rate=0.002,
+        error_rate=args.error_rate,
         bc_error_rate=0.01,
     )
     out = Path(args.out)
@@ -721,6 +721,8 @@ def main(argv=None) -> int:
     s.add_argument("--genome-size", type=int, default=20_000)
     s.add_argument("--repeats", type=int, default=2)
     s.add_argument("--het-rate", type=float, default=0.001)
+    s.add_argument("--error-rate", type=float, default=0.002,
+                   help="per-base substitution rate (real Illumina ~0.1-1.5%%)")
     s.add_argument("--barcodes", type=int, default=100)
     s.add_argument("--whitelist-size", type=int, default=512)
     s.add_argument("--seed", type=int, default=0)

@@ -332,3 +332,77 @@ def test_closure_survives_repeat_copy_contamination(rng):
     fill = astk.close_gap_stack(FakeBG(), rs, FakeGP())
     assert fill is not None
     assert fill == dna.codes_to_seq(g[hole_lo:hole_hi])
+
+
+def test_flag_noise_requires_glue():
+    """FlagNoise (ReadStack.cc:1730-1762): a row needs a mismatch-free
+    stretch of capped length >= 20 against the founder; homopolymer columns
+    contribute at most 10."""
+    rng = np.random.default_rng(5)
+    f = rng.integers(0, 4, 60).astype(np.int8)
+    f[10:40] = 2  # 30-base homopolymer island
+    fb = f.copy()
+    good = f.copy()                      # agrees everywhere: plenty of glue
+    choppy = f.copy()
+    choppy[::6] = (choppy[::6] + 1) % 4  # a mismatch every 6 columns
+    homopol = np.full(60, -1, np.int8)
+    homopol[10:40] = 2                   # only the homopolymer: capped at 10
+    b = np.stack([good, choppy, homopol])
+    q = np.full(b.shape, 30, np.int16)
+    dele = astk.flag_noise(b, fb)
+    assert dele.tolist() == [False, True, True]
+
+
+def test_identify_shifters_drops_indel_reads():
+    """IdentifyShifters (ReadStack.cc:1764-1788): after a founder
+    homopolymer run >= 15, a row that matches far better when shifted one
+    column is an indel artifact."""
+    f = np.concatenate([
+        np.full(16, 1, np.int8),             # CCC... x16 homopolymer
+        np.asarray([0, 2, 3] * 10, np.int8),  # AGT AGT ...
+    ])
+    w = len(f)
+    aligned = f.copy()
+    shifted = np.empty(w, np.int8)
+    shifted[:17] = 1  # one EXTRA C in the homopolymer...
+    shifted[17:] = f[16 : w - 1]  # ...so all later content shifts right by 1
+    b = np.stack([aligned, shifted])
+    dele = astk.identify_shifters(b, f)
+    assert dele.tolist() == [False, True]
+    # no founder homopolymer -> no flags
+    f2 = np.resize(np.asarray([0, 1, 2, 3], np.int8), w)
+    assert not astk.identify_shifters(b, f2).any()
+
+
+def test_defenestrate_drops_divergent_group():
+    """Defenestrate (ReadStack.cc:1790-1838): a multiplicity->=2 stripe
+    group differing >= 3 from the founder group goes out the window;
+    low-complexity groups are ignored."""
+    a = [0, 1, 2, 3, 0, 1, 2, 3, 0, 1]          # complexity 10
+    alt = [3, 1, 2, 0, 0, 1, 2, 3, 3, 1]        # 4 diffs vs a
+    low = [0, 0, 0, 0, 0, 0, 0, 0, 0, 1]        # complexity 2
+    rows = [a, a, alt, alt, low, low]
+    b, _ = _stack_from_rows(rows, [[30] * 10] * 6)
+    dele = astk.defenestrate(b)
+    assert dele.tolist() == [False, False, True, True, False, False]
+
+
+def test_correct_all_fixes_founder_and_trims():
+    """CorrectAll (ReadStack.cc:1055-1117): a lopsided column overwrites
+    the founder base at qual 0; the first unverified column sets trim_to."""
+    w = 8
+    founder = np.zeros(w, np.int8)
+    founder[3] = 2  # founder error
+    rows = [founder] + [[0] * w] * 4
+    b, q = _stack_from_rows(rows, [[30] * w] * 5)
+    cb, cq, trim = astk.correct_all(b, q)
+    assert cb[3] == 0 and cq[3] == 0
+    assert (cb[np.arange(w) != 3] == 0).all()
+    assert trim == w
+    # a column where support collapses starts the trim
+    b2 = b.copy()
+    b2[1:, 6:] = -1
+    q2 = q.copy()
+    q2[1:, 6:] = 0
+    _, _, trim2 = astk.correct_all(b2, q2)
+    assert trim2 == 6
