@@ -499,6 +499,46 @@ def count_block_raw_packed(
     return _reduce_occurrences_raw(canon, bc, lm, rm, valid)
 
 
+# host-side partition merge by default: block tables are host-resident and
+# the device round trip is transfer-bound (see merge_block_tables)
+MERGE_ON_HOST = True
+
+
+def _merge_partition_host(wa, wb, wc, count, stats, min_freq: int,
+                          min_bc: int):
+    """Numpy twin of merge_raw_blocks for one kmer-disjoint partition:
+    same per-kmer semantics (count=sum, nbc=clamped sum, masks=OR,
+    has_ign=OR, then the reference (min_freq, min_bc) filter).  Returns
+    the 7 kept host columns sorted lexicographically."""
+    order = np.lexsort((wc, wb, wa))
+    a, b, c = wa[order], wb[order], wc[order]
+    cnt = count[order].astype(np.int64)
+    st = stats[order]
+    n = len(a)
+    if n == 0:
+        z = np.zeros(0, np.uint32)
+        return (z, z, z, z.astype(np.int32), z.astype(np.int32), z, z)
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (c[1:] != c[:-1])
+    starts = np.flatnonzero(new)
+    total = np.add.reduceat(cnt, starts)
+    nbc = np.minimum(
+        np.add.reduceat(((st >> np.uint32(9)) & np.uint32(4095)).astype(np.int64), starts),
+        4095,
+    )
+    ign = np.bitwise_or.reduceat((st & np.uint32(1)).astype(np.uint32), starts) > 0
+    lm = np.bitwise_or.reduceat(((st >> np.uint32(5)) & np.uint32(15)).astype(np.uint32), starts)
+    rm = np.bitwise_or.reduceat(((st >> np.uint32(1)) & np.uint32(15)).astype(np.uint32), starts)
+    keep = (total >= min_freq) & (ign | (nbc >= min_bc))
+    ks = starts[keep]
+    return (
+        a[ks], b[ks], c[ks],
+        total[keep].astype(np.int32), nbc[keep].astype(np.int32),
+        lm[keep], rm[keep],
+    )
+
+
 @partial(jax.jit, static_argnames=("min_freq", "min_bc"))
 def merge_raw_blocks(wa, wb, wc, count, stats, min_freq: int, min_bc: int
                      ) -> KmerTable:
@@ -798,6 +838,13 @@ def _merge_blocks_partitioned(
     so concatenating their outputs keeps the table sorted."""
     tot = sum(len(x) for x in was)
     n_parts = max(2, -(-tot // int(MERGE_ROWS * 0.75)))
+    # The raw rows live on the HOST (block results are fetched as they
+    # complete); pushing every partition through the device costs a
+    # row-proportional host->device round trip that dwarfs the 0.3 s
+    # device sort on transfer-limited runtimes (measured on the axon
+    # tunnel at 30 Mb: ~150 s/partition via device vs ~40 s in numpy).
+    # The numpy path reproduces merge_raw_blocks' semantics exactly and
+    # is the default; flip MERGE_ON_HOST off to use the device program.
     # splitters: quantiles of a global sample of the leading words
     sample = np.concatenate([a[:: max(1, len(a) // 65536)] for a in was])
     sample.sort()
@@ -827,31 +874,42 @@ def _merge_blocks_partitioned(
         else:
             rows = shape_rows
 
-        def cat(parts, fill, dt):
-            buf = np.full(rows, fill, dt)
-            k = 0
-            for p, l, h in zip(parts, lo, hi):
-                buf[k : k + h - l] = p[l:h]
-                k += h - l
-            return jnp.asarray(buf)
+        if MERGE_ON_HOST:
+            cath = lambda parts, dt: np.concatenate(
+                [p[l:h] for p, l, h in zip(parts, lo, hi)]
+            ).astype(dt, copy=False)
+            cols = _merge_partition_host(
+                cath(was, np.uint32), cath(wbs, np.uint32),
+                cath(wcs, np.uint32), cath(cnts, np.int32),
+                cath(sts, np.uint32), min_freq, min_bc,
+            )
+            nv = len(cols[0])
+        else:
+            def cat(parts, fill, dt):
+                buf = np.full(rows, fill, dt)
+                k = 0
+                for p, l, h in zip(parts, lo, hi):
+                    buf[k : k + h - l] = p[l:h]
+                    k += h - l
+                return jnp.asarray(buf)
 
-        t = merge_raw_blocks(
-            cat(was, kc.SENTINEL, np.uint32),
-            cat(wbs, kc.SENTINEL, np.uint32),
-            cat(wcs, kc.SENTINEL, np.uint32),
-            cat(cnts, 0, np.int32),
-            cat(sts, 0, np.uint32),
-            min_freq=min_freq,
-            min_bc=min_bc,
-        )
-        nv = int(t.n_valid)  # sync; then fetch the filtered partition
-        cols = (
-            np.asarray(t.words.a)[:nv], np.asarray(t.words.b)[:nv],
-            np.asarray(t.words.c)[:nv], np.asarray(t.count)[:nv],
-            np.asarray(t.nbc)[:nv], np.asarray(t.left_mask)[:nv],
-            np.asarray(t.right_mask)[:nv],
-        )
-        del t  # free this partition's device table before the next alloc
+            t = merge_raw_blocks(
+                cat(was, kc.SENTINEL, np.uint32),
+                cat(wbs, kc.SENTINEL, np.uint32),
+                cat(wcs, kc.SENTINEL, np.uint32),
+                cat(cnts, 0, np.int32),
+                cat(sts, 0, np.uint32),
+                min_freq=min_freq,
+                min_bc=min_bc,
+            )
+            nv = int(t.n_valid)  # sync; then fetch the filtered partition
+            cols = (
+                np.asarray(t.words.a)[:nv], np.asarray(t.words.b)[:nv],
+                np.asarray(t.words.c)[:nv], np.asarray(t.count)[:nv],
+                np.asarray(t.nbc)[:nv], np.asarray(t.left_mask)[:nv],
+                np.asarray(t.right_mask)[:nv],
+            )
+            del t  # free this partition's device table before the next
         logging.getLogger("supernova_tpu").info(
             "blocked count: merge partition <%d: %d rows -> %d kept",
             int(hi_word), n, nv,
