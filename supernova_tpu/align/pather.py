@@ -41,6 +41,38 @@ JITTER = 3  # max indel slack for captured gaps / junctions (algorithmTwo)
 # uniform-length readsets route through the fused gather-free program
 # (path_reads_fused_impl); flip off to fall back to the general path
 FUSED = True
+# Budget on the merge-join sort length (table rows + query kmer rows).
+# The axon remote-compile helper is SIGKILLed above ~90M rows x 9 sort
+# operands (observed at the 30 Mb scale: 31M-row table + 66M queries);
+# 76M rows (10 Mb: 10.4M + 66M) is chip-proven.  The blocked pather sizes
+# its read blocks so m+n stays under this; when the table alone exceeds
+# JOIN_ROWS - MIN_QUERY_ROWS, the fused path joins against table SLICES.
+JOIN_ROWS = 76_000_000
+MIN_QUERY_ROWS = 8_000_000
+
+
+def _table_slices(m: int) -> int:
+    """Number of table slices the fused join needs so each slice plus a
+    useful query block fits JOIN_ROWS."""
+    if m <= JOIN_ROWS - MIN_QUERY_ROWS:
+        return 1
+    return -(-m // (JOIN_ROWS // 2))
+
+
+def _join_block_positions(bg, rs) -> int:
+    """Max positions per pather block so the join sort (per table slice +
+    post-tail-cut query rows) stays within JOIN_ROWS."""
+    m = 0 if bg.kmer_words is None else int(bg.kmer_words.shape[0])
+    m_s = -(-m // _table_slices(m))
+    q_budget = max(MIN_QUERY_ROWS, JOIN_ROWS - m_s)
+    lens = np.diff(rs.offsets)
+    frac = 1.0
+    if rs.n_reads > 0 and (lens == lens[0]).all() and int(lens[0]) > K:
+        rl = int(lens[0])
+        frac = (rl - K + 1) / rl
+    from ..kmer.count import BLOCK_POSITIONS
+
+    return min(BLOCK_POSITIONS, int(q_budget / frac))
 
 
 class ReadPaths(NamedTuple):
@@ -83,6 +115,7 @@ def path_reads(
             kmer_words, node_edge, node_pos, from_v, to_v, edge_kmers,
             codes_ext, rlen_pos, pos_read.shape[0],
             read_offsets.shape[0] - 1, max_path, uniform_rl,
+            n_slices=_table_slices(kmer_words.a.shape[0]),
         )
     resolve = partial(_resolve_local, kmer_words, node_edge, node_pos)
     return path_reads_impl(
@@ -326,6 +359,7 @@ def path_reads_fused_impl(
     rp: int,
     max_path: int,
     uniform_rl: int,
+    n_slices: int = 1,
 ) -> ReadPaths:
     """Gather-free pather for uniform-length reads.
 
@@ -379,42 +413,106 @@ def path_reads_fused_impl(
         | jnp.where(flipped, _F_FLIP, np.uint32(0))
         | jnp.where(invalid, _F_INV, np.uint32(0))
     )
-    ka = jnp.concatenate([kmer_words.a, a_])
-    kb = jnp.concatenate([kmer_words.b, b_])
-    kc_ = jnp.concatenate([kmer_words.c, c_])
-    tag = jnp.concatenate(
-        [jnp.zeros((m,), jnp.uint32), jnp.ones((n,), jnp.uint32)]
+
+    def join_once(twa, twb, twc, tef, ter, tpf, tpr):
+        """Merge-join the queries against ONE table slice; returns per-row
+        (hit, qpos, edge, epos) in that slice's merged order."""
+        ms = twa.shape[0]
+        ka = jnp.concatenate([twa, a_])
+        kb = jnp.concatenate([twb, b_])
+        kc_ = jnp.concatenate([twc, c_])
+        tag = jnp.concatenate(
+            [jnp.zeros((ms,), jnp.uint32), jnp.ones((n,), jnp.uint32)]
+        )
+        pk = jnp.concatenate([jnp.arange(ms, dtype=jnp.uint32), pkidx])
+        efx = jnp.concatenate([tef, zq])
+        erx = jnp.concatenate([ter, zq])
+        pfx = jnp.concatenate([tpf, zq])
+        prx = jnp.concatenate([tpr, zq])
+
+        # rows with equal (kmer, tag) are interchangeable: table rows are
+        # unique, and equal-kmer query rows receive identical values
+        sa, sb, sc, stag, spk, sef, ser, spf, spr = jax.lax.sort(
+            (ka, kb, kc_, tag, pk, efx, erx, pfx, prx),
+            num_keys=4,
+            is_stable=False,
+        )
+        pos = jnp.arange(ms + n, dtype=I32)
+        is_table = stag == 0
+        last_tpos = jax.lax.cummax(jnp.where(is_table, pos, -1))
+        neq = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1]) | (sc[1:] != sc[:-1])
+        wstarts = jnp.concatenate([jnp.ones((1,), bool), neq])
+        last_run_start = jax.lax.cummax(jnp.where(wstarts, pos, 0))
+        found = (~is_table) & (last_tpos >= last_run_start)
+
+        efp, erp, pfp, prp = _last_valid_scan(is_table, sef, ser, spf, spr)
+        flip = (spk & _F_FLIP) != 0
+        inv = (spk & _F_INV) != 0
+        qpos = (spk & _F_POS).astype(I32)
+        hit = found & ~inv
+        edge = jnp.where(flip, erp, efp).astype(I32)
+        epos = jnp.where(flip, prp, pfp).astype(I32)
+        return hit, qpos, edge, epos
+
+    S = max(1, n_slices)
+    if S == 1:
+        hit, qpos, edge, epos = join_once(
+            kmer_words.a, kmer_words.b, kmer_words.c, ef, er, pf, pr_
+        )
+        return _compact_and_place(
+            hit, qpos, edge, epos, cols, rp, max_path,
+            from_v, to_v, edge_kmers,
+        )
+
+    # sliced-table join: when the dictionary alone approaches JOIN_ROWS
+    # (100 Mb: ~104M rows), join the queries against S contiguous slices
+    # of the sorted table — a query matches in exactly one slice, so the
+    # per-slice results combine by first-found.  All S sorts share one
+    # compiled shape (Ls + n rows).
+    Ls = -(-m // S)
+    padn = S * Ls - m
+    twa, twb, twc = kmer_words.a, kmer_words.b, kmer_words.c
+    if padn:
+        sen = jnp.full((padn,), kc.SENTINEL, jnp.uint32)
+        zpad = jnp.zeros((padn,), jnp.uint32)
+        twa = jnp.concatenate([twa, sen])
+        twb = jnp.concatenate([twb, sen])
+        twc = jnp.concatenate([twc, sen])
+        ef = jnp.concatenate([ef, zpad])
+        er = jnp.concatenate([er, zpad])
+        pf = jnp.concatenate([pf, zpad])
+        pr_ = jnp.concatenate([pr_, zpad])
+    found_q = jnp.zeros((n,), bool)
+    edge_q = jnp.full((n,), -1, I32)
+    epos_q = jnp.zeros((n,), I32)
+    for s in range(S):
+        sl = slice(s * Ls, (s + 1) * Ls)
+        hit, qpos, edge, epos = join_once(
+            twa[sl], twb[sl], twc[sl], ef[sl], er[sl], pf[sl], pr_[sl]
+        )
+        qslot = jnp.where(hit, qpos, n)
+        f = jnp.zeros((n + 1,), bool).at[qslot].set(True, mode="drop")[:n]
+        e = jnp.full((n + 1,), -1, I32).at[qslot].set(edge, mode="drop")[:n]
+        p = jnp.zeros((n + 1,), I32).at[qslot].set(epos, mode="drop")[:n]
+        found_q = found_q | f
+        edge_q = jnp.where(f, e, edge_q)
+        epos_q = jnp.where(f, p, epos_q)
+    return _compact_and_place(
+        found_q, q.astype(I32), edge_q, epos_q, cols, rp, max_path,
+        from_v, to_v, edge_kmers,
     )
-    pk = jnp.concatenate([jnp.arange(m, dtype=jnp.uint32), pkidx])
-    efx = jnp.concatenate([ef, zq])
-    erx = jnp.concatenate([er, zq])
-    pfx = jnp.concatenate([pf, zq])
-    prx = jnp.concatenate([pr_, zq])
 
-    # rows with equal (kmer, tag) are interchangeable: table rows are
-    # unique, and equal-kmer query rows receive identical values
-    sa, sb, sc, stag, spk, sef, ser, spf, spr = jax.lax.sort(
-        (ka, kb, kc_, tag, pk, efx, erx, pfx, prx),
-        num_keys=4,
-        is_stable=False,
-    )
-    mn = m + n
-    pos = jnp.arange(mn, dtype=I32)
-    is_table = stag == 0
-    last_tpos = jax.lax.cummax(jnp.where(is_table, pos, -1))
-    neq = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1]) | (sc[1:] != sc[:-1])
-    wstarts = jnp.concatenate([jnp.ones((1,), bool), neq])
-    last_run_start = jax.lax.cummax(jnp.where(wstarts, pos, 0))
-    found = (~is_table) & (last_tpos >= last_run_start)
 
-    efp, erp, pfp, prp = _last_valid_scan(is_table, sef, ser, spf, spr)
-    flip = (spk & _F_FLIP) != 0
-    inv = (spk & _F_INV) != 0
-    qpos = (spk & _F_POS).astype(I32)
-    hit = found & ~inv
-    edge = jnp.where(flip, erp, efp).astype(I32)
-    epos = jnp.where(flip, prp, pfp).astype(I32)
-
+def _compact_and_place(
+    hit, qpos, edge, epos, cols: int, rp: int, max_path: int,
+    from_v, to_v, edge_kmers,
+) -> ReadPaths:
+    """Shared tail of the fused pather: one unstable 2-key sort compacts
+    hit rows into read order, then slot/support accounting and seed-chain
+    validation run at hit scale.  Inputs may be in merged order (single
+    table) or query order (sliced table) — only (hit, qpos, edge, epos)
+    per row matter."""
+    mn = hit.shape[0]
     # compact hit rows into read order: keys (miss, query position)
     misskey = (~hit).astype(jnp.uint32)
     _, cq, ce, cp = jax.lax.sort(
@@ -497,15 +595,15 @@ def path_readset(bg, rs, max_path: int = MAX_PATH) -> ReadPaths:
     pair-aligned blocks sharing one program shape (reads are independent,
     results concatenate; same dispatch rule as the blocked count)."""
     from ..kmer.count import (
-        BLOCK_POSITIONS,
         MIN_BLOCK_POSITIONS,
         _is_oom,
         prepare_reads,
     )
 
-    if int(rs.offsets[-1]) > BLOCK_POSITIONS:
+    block_budget = _join_block_positions(bg, rs)
+    if int(rs.offsets[-1]) > block_budget:
         # self-healing block size on device OOM (same rule as count_readset)
-        max_pos = BLOCK_POSITIONS
+        max_pos = block_budget
         while True:
             try:
                 return _path_readset_blocked(
@@ -578,6 +676,7 @@ def path_reads_packed(
         return path_reads_fused_impl(
             kmer_words, node_edge, node_pos, from_v, to_v, edge_kmers,
             codes_ext, rlen_pos, nbp, rp_pad, max_path, rl,
+            n_slices=_table_slices(kmer_words.a.shape[0]),
         )
     read_offsets = jnp.minimum(
         jnp.arange(rp_pad + 1, dtype=I32) * rl, nr * rl

@@ -159,3 +159,28 @@ def test_fused_matches_general(rng):
         assert np.array_equal(
             np.asarray(getattr(fused, f)), np.asarray(getattr(general, f))
         ), f
+
+
+def test_sliced_table_join_matches_single(rng):
+    """The sliced-table fused join (used when the dictionary alone
+    approaches the join-sort budget, e.g. 100 Mb tables) must equal the
+    single-table join elementwise."""
+    g = sim.random_genome(rng, 5000, n_repeat_chunks=2, repeat_len=250)
+    rs = perfect_readset(g)
+    table = dbuild.trim_table(kcount.count_readset(rs, min_freq=2), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    inp = kcount.prepare_reads(rs)
+    da = bg.device_arrays()
+    args = (
+        da["words"], da["node_edge"], da["node_pos"], da["from_v"],
+        da["to_v"], da["edge_kmers"], inp["codes_ext"], inp["rlen_pos"],
+        inp["pos_read"].shape[0], inp["read_offsets"].shape[0] - 1,
+        pather.MAX_PATH, inp["uniform_rl"],
+    )
+    one = pather.path_reads_fused_impl(*args, n_slices=1)
+    for s in (2, 3):
+        sliced = pather.path_reads_fused_impl(*args, n_slices=s)
+        for f in ("edges", "path_len", "offset", "first_skip", "overflow"):
+            assert np.array_equal(
+                np.asarray(getattr(one, f)), np.asarray(getattr(sliced, f))
+            ), (s, f)
