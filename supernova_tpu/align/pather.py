@@ -47,8 +47,17 @@ FUSED = True
 # 76M rows (10 Mb: 10.4M + 66M) is chip-proven.  The blocked pather sizes
 # its read blocks so m+n stays under this; when the table alone exceeds
 # JOIN_ROWS - MIN_QUERY_ROWS, the fused path joins against table SLICES.
-JOIN_ROWS = 76_000_000
+JOIN_ROWS = 64_000_000
 MIN_QUERY_ROWS = 8_000_000
+
+
+def _is_compile_kill(e: Exception) -> bool:
+    """Remote-compile helper death (axon SIGKILLs its tpu_compile_helper
+    when a program's compile exceeds its memory cap — observed near
+    ~76M-row 9-operand sorts, threshold varies with service state).
+    Shrinking the block and recompiling self-heals."""
+    s = str(e)
+    return "remote_compile" in s and ("SIGKILL" in s or "exit signal" in s)
 
 
 def _table_slices(m: int) -> int:
@@ -610,14 +619,23 @@ def path_readset(bg, rs, max_path: int = MAX_PATH) -> ReadPaths:
                     bg, rs, max_path, max_positions=max_pos
                 )
             except Exception as e:  # noqa: BLE001 — OOM-retry boundary
-                if not _is_oom(e) or max_pos // 2 < MIN_BLOCK_POSITIONS:
+                # device OOM shrinks to the count floor; a compile-helper
+                # SIGKILL (transient service memory cap) may shrink lower —
+                # small programs always compile
+                floor = MIN_BLOCK_POSITIONS if _is_oom(e) else 4_000_000
+                if (
+                    not (_is_oom(e) or _is_compile_kill(e))
+                    or max_pos // 2 < floor
+                ):
                     raise
                 max_pos //= 2
                 import logging
 
                 logging.getLogger("supernova_tpu").warning(
-                    "paths: device OOM at block=%d positions; retrying "
-                    "with block=%d", max_pos * 2, max_pos,
+                    "paths: %s at block=%d positions; retrying with "
+                    "block=%d",
+                    "device OOM" if _is_oom(e) else "compile-helper kill",
+                    max_pos * 2, max_pos,
                 )
                 from ..kmer.count import _free_failed_attempt
 
