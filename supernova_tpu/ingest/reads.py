@@ -234,13 +234,27 @@ def build_readset_flat(
     out_lens = lens[order]
     out_offsets = lengths_to_offsets(out_lens)
     total = int(out_offsets[-1])
-    # gather index: output position -> source position
-    within = np.arange(total, dtype=np.int64) - np.repeat(
-        out_offsets[:-1], out_lens
-    )
-    idx = np.repeat(offsets[:-1][order], out_lens) + within
-    codes_s = np.asarray(codes, np.uint8)[idx]
-    quals_s = np.asarray(quals, np.uint8)[idx]
+    # permute the flat base/qual stores read-by-read in bounded chunks:
+    # a whole-array gather index is int64 PER BASE (9.6 Gbases at the
+    # 100 Mb scale -> 2 x 77 GB just for indices, OOM); chunking keeps the
+    # transient index memory ~2 GB while writing into the preallocated
+    # outputs
+    codes = np.asarray(codes, np.uint8)
+    quals = np.asarray(quals, np.uint8)
+    codes_s = np.empty(total, np.uint8)
+    quals_s = np.empty(total, np.uint8)
+    src_starts = offsets[:-1][order]
+    chunk = 1 << 20  # reads per chunk (~300 MB of index at 300 b/read)
+    for r0 in range(0, n_reads, chunk):
+        r1 = min(r0 + chunk, n_reads)
+        cl = out_lens[r0:r1]
+        o0, o1 = int(out_offsets[r0]), int(out_offsets[r1])
+        within = np.arange(o1 - o0, dtype=np.int64) - np.repeat(
+            out_offsets[r0:r1] - o0, cl
+        )
+        idx = np.repeat(src_starts[r0:r1], cl) + within
+        codes_s[o0:o1] = codes[idx]
+        quals_s[o0:o1] = quals[idx]
     bc_sorted = bc_ids[order]
     if n_barcodes is None:
         n_barcodes = int(bc_sorted.max()) if n_reads else 0

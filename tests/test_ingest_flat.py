@@ -125,3 +125,41 @@ def test_lazy_readset_roundtrip(tmp_path, rng):
     # random access + slicing semantics preserved
     assert np.array_equal(rs2.read(3), rs.read(3))
     assert np.array_equal(rs2.qual(5), rs.qual(5))
+
+
+def test_chunked_streaming_ingest_matches_whole_file(tmp_path, rng):
+    """The record-chunked streaming decode (big mate files) must produce
+    the identical ReadSet to the whole-file path — odd chunk sizes force
+    multi-chunk blocks plus a short tail."""
+    from supernova_tpu.ingest import tenx
+
+    g = sim.random_genome(rng, 20000)
+    _, hb = sim.diploidize(rng, g, 0.002)
+    wlc = sim.make_whitelist(rng, 128)
+    reads = sim.simulate_linked_reads(
+        rng, (g, hb), wlc, n_barcodes=40, molecules_per_barcode=2,
+        molecule_len=4000, coverage_per_molecule=1.0, error_rate=0.003,
+        bc_error_rate=0.05,
+    )
+    r1, r2 = write_sim_fastqs(reads, tmp_path)
+    wl = Whitelist.from_codes(wlc)
+    whole = ingest_10x_fastqs([r1], [r2], wl)
+    old = (tenx._CHUNKED_GZ_BYTES, tenx._RECORDS_PER_CHUNK)
+    try:
+        tenx._CHUNKED_GZ_BYTES = 0
+        tenx._RECORDS_PER_CHUNK = 7
+        chunked = ingest_10x_fastqs([r1], [r2], wl)
+        tenx._RECORDS_PER_CHUNK = 1000000  # single chunk covers everything
+        onechunk = ingest_10x_fastqs([r1], [r2], wl)
+    finally:
+        tenx._CHUNKED_GZ_BYTES, tenx._RECORDS_PER_CHUNK = old
+    _rs_equal(whole, chunked)
+    _rs_equal(whole, onechunk)
+    # max_pairs interacts with chunk boundaries
+    try:
+        tenx._CHUNKED_GZ_BYTES = 0
+        tenx._RECORDS_PER_CHUNK = 7
+        capped = ingest_10x_fastqs([r1], [r2], wl, max_pairs=23)
+    finally:
+        tenx._CHUNKED_GZ_BYTES, tenx._RECORDS_PER_CHUNK = old
+    _rs_equal(capped, ingest_10x_fastqs([r1], [r2], wl, max_pairs=23))
