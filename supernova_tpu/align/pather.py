@@ -49,6 +49,10 @@ FUSED = True
 # JOIN_ROWS - MIN_QUERY_ROWS, the fused path joins against table SLICES.
 JOIN_ROWS = 64_000_000
 MIN_QUERY_ROWS = 8_000_000
+# above this join length the dictionary values propagate by cummax+gather
+# instead of the associative scan (whose log-depth lowering is what blows
+# the remote compile helper's memory cap at large shapes)
+SCAN_PROPAGATE_MAX_ROWS = 24_000_000
 
 
 def _is_compile_kill(e: Exception) -> bool:
@@ -423,10 +427,22 @@ def path_reads_fused_impl(
         | jnp.where(invalid, _F_INV, np.uint32(0))
     )
 
-    def join_once(twa, twb, twc, tef, ter, tpf, tpr):
+    def join_once(twa, twb, twc, tef, ter, tpf, tpr, tnode_edge, tnode_pos):
         """Merge-join the queries against ONE table slice; returns per-row
-        (hit, qpos, edge, epos) in that slice's merged order."""
+        (hit, qpos, edge, epos) in that slice's merged order.
+
+        Two propagation variants for the dictionary values:
+          * scan: (edge,pos) ride the sort as 4 payload columns and a
+            last-valid associative scan broadcasts them — zero gathers,
+            but the scan's log-depth lowering is compile-heavy (the axon
+            compile helper is SIGKILLed on it above ~64M rows).
+          * gather: 5-operand sort only; the matching table ROW id is
+            propagated by a cummax (table sidx is monotone in merged
+            order) and (edge,pos) come from two node-array gathers.
+            Slightly slower per row, compiles at any size.
+        """
         ms = twa.shape[0]
+        scan_prop = (ms + n) <= SCAN_PROPAGATE_MAX_ROWS
         ka = jnp.concatenate([twa, a_])
         kb = jnp.concatenate([twb, b_])
         kc_ = jnp.concatenate([twc, c_])
@@ -434,18 +450,19 @@ def path_reads_fused_impl(
             [jnp.zeros((ms,), jnp.uint32), jnp.ones((n,), jnp.uint32)]
         )
         pk = jnp.concatenate([jnp.arange(ms, dtype=jnp.uint32), pkidx])
-        efx = jnp.concatenate([tef, zq])
-        erx = jnp.concatenate([ter, zq])
-        pfx = jnp.concatenate([tpf, zq])
-        prx = jnp.concatenate([tpr, zq])
+        ops = [ka, kb, kc_, tag, pk]
+        if scan_prop:
+            ops += [
+                jnp.concatenate([tef, zq]),
+                jnp.concatenate([ter, zq]),
+                jnp.concatenate([tpf, zq]),
+                jnp.concatenate([tpr, zq]),
+            ]
 
         # rows with equal (kmer, tag) are interchangeable: table rows are
         # unique, and equal-kmer query rows receive identical values
-        sa, sb, sc, stag, spk, sef, ser, spf, spr = jax.lax.sort(
-            (ka, kb, kc_, tag, pk, efx, erx, pfx, prx),
-            num_keys=4,
-            is_stable=False,
-        )
+        out = jax.lax.sort(tuple(ops), num_keys=4, is_stable=False)
+        sa, sb, sc, stag, spk = out[:5]
         pos = jnp.arange(ms + n, dtype=I32)
         is_table = stag == 0
         last_tpos = jax.lax.cummax(jnp.where(is_table, pos, -1))
@@ -454,19 +471,30 @@ def path_reads_fused_impl(
         last_run_start = jax.lax.cummax(jnp.where(wstarts, pos, 0))
         found = (~is_table) & (last_tpos >= last_run_start)
 
-        efp, erp, pfp, prp = _last_valid_scan(is_table, sef, ser, spf, spr)
         flip = (spk & _F_FLIP) != 0
         inv = (spk & _F_INV) != 0
         qpos = (spk & _F_POS).astype(I32)
         hit = found & ~inv
-        edge = jnp.where(flip, erp, efp).astype(I32)
-        epos = jnp.where(flip, prp, pfp).astype(I32)
+        if scan_prop:
+            efp, erp, pfp, prp = _last_valid_scan(is_table, *out[5:])
+            edge = jnp.where(flip, erp, efp).astype(I32)
+            epos = jnp.where(flip, prp, pfp).astype(I32)
+        else:
+            # last table row id above each row (monotone -> cummax); the
+            # node arrays are table-scale so the gathers read hot HBM
+            lt = jax.lax.cummax(
+                jnp.where(is_table, spk.astype(I32), -1)
+            )
+            node = 2 * jnp.maximum(lt, 0) + flip.astype(I32)
+            edge = jnp.where(hit, tnode_edge[node], -1)
+            epos = jnp.where(hit, tnode_pos[node], 0)
         return hit, qpos, edge, epos
 
     S = max(1, n_slices)
     if S == 1:
         hit, qpos, edge, epos = join_once(
-            kmer_words.a, kmer_words.b, kmer_words.c, ef, er, pf, pr_
+            kmer_words.a, kmer_words.b, kmer_words.c, ef, er, pf, pr_,
+            node_edge.astype(I32), node_pos.astype(I32),
         )
         return _compact_and_place(
             hit, qpos, edge, epos, cols, rp, max_path,
@@ -481,6 +509,7 @@ def path_reads_fused_impl(
     Ls = -(-m // S)
     padn = S * Ls - m
     twa, twb, twc = kmer_words.a, kmer_words.b, kmer_words.c
+    ne_i, np_i = node_edge.astype(I32), node_pos.astype(I32)
     if padn:
         sen = jnp.full((padn,), kc.SENTINEL, jnp.uint32)
         zpad = jnp.zeros((padn,), jnp.uint32)
@@ -491,13 +520,18 @@ def path_reads_fused_impl(
         er = jnp.concatenate([er, zpad])
         pf = jnp.concatenate([pf, zpad])
         pr_ = jnp.concatenate([pr_, zpad])
+        znode = jnp.zeros((2 * padn,), I32)
+        ne_i = jnp.concatenate([ne_i, znode])
+        np_i = jnp.concatenate([np_i, znode])
     found_q = jnp.zeros((n,), bool)
     edge_q = jnp.full((n,), -1, I32)
     epos_q = jnp.zeros((n,), I32)
     for s in range(S):
         sl = slice(s * Ls, (s + 1) * Ls)
+        sl2 = slice(2 * s * Ls, 2 * (s + 1) * Ls)
         hit, qpos, edge, epos = join_once(
-            twa[sl], twb[sl], twc[sl], ef[sl], er[sl], pf[sl], pr_[sl]
+            twa[sl], twb[sl], twc[sl], ef[sl], er[sl], pf[sl], pr_[sl],
+            ne_i[sl2], np_i[sl2],
         )
         qslot = jnp.where(hit, qpos, n)
         f = jnp.zeros((n + 1,), bool).at[qslot].set(True, mode="drop")[:n]

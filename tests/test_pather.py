@@ -184,3 +184,35 @@ def test_sliced_table_join_matches_single(rng):
             assert np.array_equal(
                 np.asarray(getattr(one, f)), np.asarray(getattr(sliced, f))
             ), (s, f)
+
+
+def test_gather_propagate_matches_scan(rng):
+    """The two dictionary-value propagation variants (assoc-scan payload
+    carry vs cummax+node-gather) must agree elementwise."""
+    g = sim.random_genome(rng, 4000, n_repeat_chunks=2, repeat_len=200)
+    rs = perfect_readset(g)
+    table = dbuild.trim_table(kcount.count_readset(rs, min_freq=2), pad_multiple=256)
+    bg = dgraph.from_device(dbuild.build_graph(table), table)
+    inp = kcount.prepare_reads(rs)
+    da = bg.device_arrays()
+    args = (
+        da["words"], da["node_edge"], da["node_pos"], da["from_v"],
+        da["to_v"], da["edge_kmers"], inp["codes_ext"], inp["rlen_pos"],
+        inp["pos_read"].shape[0], inp["read_offsets"].shape[0] - 1,
+        pather.MAX_PATH, inp["uniform_rl"],
+    )
+    old = pather.SCAN_PROPAGATE_MAX_ROWS
+    try:
+        pather.SCAN_PROPAGATE_MAX_ROWS = 10**9
+        scan = pather.path_reads_fused_impl(*args, n_slices=1)
+        scan2 = pather.path_reads_fused_impl(*args, n_slices=2)
+        pather.SCAN_PROPAGATE_MAX_ROWS = 0
+        gath = pather.path_reads_fused_impl(*args, n_slices=1)
+        gath2 = pather.path_reads_fused_impl(*args, n_slices=2)
+    finally:
+        pather.SCAN_PROPAGATE_MAX_ROWS = old
+    for a, b in ((scan, gath), (scan, scan2), (scan, gath2)):
+        for f in ("edges", "path_len", "offset", "first_skip", "overflow"):
+            assert np.array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+            ), f
