@@ -31,6 +31,16 @@ MAX_CN_DIFF = 0.5
 BC_VIEW = 50_000
 MIN_ADVANTAGE = 60.0
 MIN_ADD = 2.0
+# Join-point bridge veto: a real L1->R join is made by molecules that
+# physically span it, so shared barcodes must appear within BRIDGE_VIEW of
+# L1's right END and R's left START.  Repeat-mediated false joins (two loci
+# sharing a repeat copy 0.6-6.5 Mb apart — the 10 Mb rung's 10 dis-class
+# chimeras) trip LineProx and can win order scoring, but their shared
+# barcodes sit at the repeat's interior position, not at the join point on
+# both sides.  The 20 kb window matches the KillMisassembledCells flank
+# scale (Super.cc:306-330) and the ~20-50 kb molecule length.
+BRIDGE_VIEW = 20_000
+MIN_BRIDGE = 2
 
 
 def restrict_positions(
@@ -107,6 +117,36 @@ def score_order(
     dpp = np.r_[0, np.diff(pp)]
     plus = np.where(inc, dpp / mean_gap, 0.0)
     return float(plus[plus >= MIN_ADD].sum())
+
+
+def bridge_support(
+    L1: int,
+    R: int,
+    lbp,
+    llens: np.ndarray,
+    view: int = BRIDGE_VIEW,
+) -> int:
+    """# distinct barcodes with a position within `view` of L1's right end
+    AND within `view` of R's left start — the molecules that could span the
+    join.  `lbp` values may be [(bc, pos), ...] lists or (bc, pos) array
+    pairs (lbp_arrays); positions are oriented-line coordinates."""
+
+    def arrays(li):
+        v = lbp.get(li)
+        if v is None or not len(v):
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        if isinstance(v, tuple):
+            return v
+        a = np.asarray(v, dtype=np.int64).reshape(-1, 2)
+        return a[:, 0], a[:, 1]
+
+    b1, p1 = arrays(L1)
+    b2, p2 = arrays(R)
+    if not len(b1) or not len(b2):
+        return 0
+    near_end = b1[p1 >= int(llens[L1]) - view]
+    near_start = b2[p2 <= view]
+    return len(np.intersect1d(near_end, near_start))
 
 
 def line_prox(
@@ -315,13 +355,18 @@ def star_joins(
     right_dead: Dict[int, bool],
     min_star: int | None = None,       # None -> MIN_STAR at call time
     min_advantage: float | None = None,  # None -> MIN_ADVANTAGE (addin-able)
+    min_bridge: int | None = None,     # None -> MIN_BRIDGE (addin-able)
 ) -> List[Tuple[int, int, float]]:
     """One star pass -> [(L1, R, advantage)] right-joins.  `right_dead[li]`
-    marks lines whose right end extends nowhere in D (oriented line ids)."""
+    marks lines whose right end extends nowhere in D (oriented line ids).
+    Winners must additionally pass the join-point bridge veto
+    (bridge_support >= min_bridge)."""
     if min_star is None:
         min_star = MIN_STAR  # read at call time: --addin overridable
     if min_advantage is None:
         min_advantage = MIN_ADVANTAGE
+    if min_bridge is None:
+        min_bridge = MIN_BRIDGE
     cov = line_coverage(llens, lbp)
     joins: List[Tuple[int, int, float]] = []
     order_ids = sorted(
@@ -373,5 +418,7 @@ def star_joins(
             if ad < min_advantage:
                 continue
             R = scored[0][1]
+        if bridge_support(L1, R, lbp, llens) < min_bridge:
+            continue
         joins.append((L1, R, float(ad)))
     return joins

@@ -47,6 +47,43 @@ def test_star_joins_picks_true_neighbor():
     assert chains == [(0, 1)] or chains == [(4, 3)]
 
 
+def test_bridge_veto_refuses_repeat_mediated_join():
+    """Two long lines sharing a repeat copy at INTERIOR positions (the 10 Mb
+    rung's dis-class chimera signature: LineProx fires, order scoring can
+    clear MIN_ADVANTAGE, but no barcode sits near the join point on both
+    sides) must not be joined; a true junction-supported join must be."""
+    llens = np.array([100_000] * 4)
+    linv = np.array([2, 3, 0, 1])
+    lbp = {i: [] for i in range(4)}
+    # repeat-leak barcodes: line 0 carries them near its right end (the
+    # repeat copy sits at 95 kb), line 1 carries them at an interior copy
+    # (60 kb in) — their consecutive ordering 0-then-1 looks consistent to
+    # ScoreOrder, but nothing bridges the join point on line 1's side.
+    for bc in range(1, 41):
+        for j in range(5):
+            lbp[0].append((bc, 95_000 + 200 * j))
+            lbp[1].append((bc, 60_000 + 200 * j))
+    for i in range(2):
+        lbp[int(linv[i])] = [(bc, int(llens[i]) - p) for bc, p in lbp[i]]
+    assert astar.bridge_support(0, 1, lbp, llens) == 0
+    lhood = {0: [(40, 1)]}
+    rdead = {i: True for i in range(4)}
+    joins = astar.star_joins(range(4), llens, linv, lbp, lhood, rdead)
+    assert joins == []
+    # move line 1's copy of the shared barcodes to its left start: now the
+    # evidence is junction-shaped and the join goes through
+    lbp2 = {i: [] for i in range(4)}
+    for bc in range(1, 41):
+        for j in range(5):
+            lbp2[0].append((bc, 95_000 + 200 * j))
+            lbp2[1].append((bc, 200 * j))
+    for i in range(2):
+        lbp2[int(linv[i])] = [(bc, int(llens[i]) - p) for bc, p in lbp2[i]]
+    assert astar.bridge_support(0, 1, lbp2, llens) == 40
+    joins2 = astar.star_joins(range(4), llens, linv, lbp2, lhood, rdead)
+    assert [(a, b) for a, b, _ in joins2] == [(0, 1)]
+
+
 def test_build_scaffolds_involution_consistent():
     llens = np.array([6000] * 4)
     linv = np.array([2, 3, 0, 1])
