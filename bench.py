@@ -25,7 +25,7 @@ REFERENCE_KMERS_PER_SEC = 20e6
 REFERENCE_READS_PER_SEC = 40e3
 
 
-def probe_backend(total_wait_s: float = 1800.0, try_s: int = 120) -> bool:
+def probe_backend(total_wait_s: float = 240.0, try_s: int = 90) -> bool:
     """The axon TPU tunnel can hang jax backend init indefinitely when it
     is down; probe it in a child process (killable) and wait up to
     total_wait_s for it to come back before giving up."""
@@ -48,7 +48,7 @@ def probe_backend(total_wait_s: float = 1800.0, try_s: int = 120) -> bool:
         if time.time() > deadline:
             return False
         print("bench: TPU backend unresponsive, retrying...", flush=True)
-        time.sleep(60)
+        time.sleep(15)
 
 
 SMOKE = bool(int(__import__("os").environ.get("BENCH_SMOKE", "0")))
@@ -107,17 +107,8 @@ def main():
     kmer_positions = nb - n_reads * (K - 1)
     kps = kmer_positions / dt
 
-    # --- second north-star metric: reads aligned/s (pather, warm) --------
-    # BASELINE.json names "k-mers/s/chip + reads aligned/s"; the driver
-    # contract is ONE JSON line, so the pather figure rides in `extra`.
-    extra = {}
-    try:
-        extra = bench_pather(genome, rng)
-    except Exception as e:  # noqa: BLE001 — never lose the count line
-        extra = {"pather_error": repr(e)[:200]}
-
-    print(
-        json.dumps(
+    def count_line(extra):
+        return json.dumps(
             {
                 "metric": "kmer_count_throughput",
                 "value": round(kps, 1),
@@ -126,7 +117,31 @@ def main():
                 "extra": extra,
             }
         )
-    )
+
+    # Round 3 lost its number because the single JSON line printed only
+    # after BOTH benches finished and the pather compile blew the driver
+    # budget (BENCH_r03.json: rc 124, parsed null).  Now: print the count
+    # line IMMEDIATELY, then run the pather bench under a hard SIGALRM
+    # budget and print a second, enriched line — whichever line the driver
+    # parses (first or last), it parses a full record.
+    print(count_line({"pather": "pending"}), flush=True)
+
+    # --- second north-star metric: reads aligned/s (pather, warm) --------
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("pather bench budget exceeded")
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(60 if SMOKE else 900)
+    try:
+        extra = bench_pather(genome, rng)
+    except Exception as e:  # noqa: BLE001 — never lose the count line
+        extra = {"pather_error": repr(e)[:200]}
+    finally:
+        signal.alarm(0)
+
+    print(count_line(extra), flush=True)
 
 
 def bench_pather(genome, rng):

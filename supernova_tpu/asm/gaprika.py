@@ -1,0 +1,338 @@
+"""Gaprika: barcode-only gap sizing, self-calibrated from the assembly.
+
+Reference behavior analogue (no code shared): 10X/Gaprika.cc.  The insight
+there is that the expected barcode-sharing between two windows separated by
+s bases is a function of s set by the sample's own molecule-length
+distribution — so instead of modeling molecules, measure the curve on the
+assembly itself:
+
+  1. CALIBRATE (Gaprika.cc:85-155): for each candidate separation g, sample
+     gap-free anchor points i on long lines; lefts = barcodes with >=
+     MIN_POINTS read positions in [i-W, i), rights = same in [i+g, i+g+W);
+     record bridge_frac = |lefts ∩ rights| / |lefts ∪ rights|.  Mean over
+     samples -> curve frac(g).
+  2. ESTIMATE (Gaprika.cc:160-247): at each {-2} barcode-only gap edge,
+     compute the same bridge fraction across the gap's flanking windows and
+     invert the curve.  Too-weak linking (frac < curve(max)/2) leaves the
+     gap unsized — those are misassembly suspects, not sizing targets.
+
+Differences from the reference, on purpose:
+  * fine grid + monotone (PAVA) smoothing + linear interpolation of the
+    inverse, instead of nearest-of-{0,5k,10k,...} — the reference's 5 kb
+    grid cannot land within 1 kb; a calibrated continuous inverse can.
+  * adaptive sampling stride — the reference strides WINDOW*50 (built for
+    3.2 Gb genomes); we pick the stride to hit a target sample count so
+    calibration stays dense on Mb-scale rungs.
+  * windows shrink (>= MIN_WINDOW) when a line is too short for the full
+    10 kb window, with the same window used for calibration + estimation.
+
+Everything is host-side numpy: lines are 1e3-1e5 objects with sorted
+position arrays; the work is searchsorted + small-set unions (the reference
+also runs this phase host-side under OpenMP).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+WINDOW = 10_000  # flanking window (Gaprika.cc:28 WINDOW)
+MIN_WINDOW = 2_000
+GAP_DELTA = 500  # grid step (reference: 5000 — Gaprika.cc:30 GAP_DELTA)
+MAX_GAP = 20_000
+MIN_GAP = 100  # floor on estimates (reference: 400 — Gaprika.cc:31)
+MIN_POINTS = 2  # read positions per barcode per window (Gaprika.cc:32)
+TARGET_SAMPLES = 300  # calibration anchors per grid point (adaptive stride)
+MIN_SAMPLES = 25  # grid points with fewer samples are dropped
+
+
+def line_arrays(
+    line_positions: Dict[int, Dict[int, list]]
+) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """{line: {bc: [pos]}} -> {line: (pos_sorted, bc_by_pos)} (lbpx form)."""
+    out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    for li, by_bc in line_positions.items():
+        if not by_bc:
+            continue
+        bcs = np.concatenate(
+            [np.full(len(ps), b, np.int64) for b, ps in by_bc.items()]
+        )
+        pos = np.concatenate(
+            [np.asarray(ps, np.int64) for ps in by_bc.values()]
+        )
+        o = np.argsort(pos, kind="stable")
+        out[li] = (pos[o], bcs[o])
+    return out
+
+
+def _window_bcs(
+    pos: np.ndarray, bc: np.ndarray, a: int, b: int, min_points: int
+) -> np.ndarray:
+    """Distinct barcodes with >= min_points positions in [a, b)."""
+    lo, hi = np.searchsorted(pos, [a, b])
+    w = bc[lo:hi]
+    if len(w) < min_points:
+        return np.zeros(0, np.int64)
+    u, c = np.unique(w, return_counts=True)
+    return u[c >= min_points]
+
+
+def bridge_frac(
+    pos: np.ndarray,
+    bc: np.ndarray,
+    left: Tuple[int, int],
+    right: Tuple[int, int],
+    min_points: int = MIN_POINTS,
+) -> float | None:
+    """|lefts ∩ rights| / |lefts ∪ rights| for two windows, or None when
+    both windows are barcode-empty."""
+    L = _window_bcs(pos, bc, left[0], left[1], min_points)
+    R = _window_bcs(pos, bc, right[0], right[1], min_points)
+    union = len(np.union1d(L, R))
+    if union == 0:
+        return None
+    return len(np.intersect1d(L, R)) / union
+
+
+def _pava_decreasing(y: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Weighted isotonic regression, DECREASING (pool adjacent violators)."""
+    y = np.asarray(y, float).copy()
+    w = np.asarray(w, float).copy()
+    # fit increasing on the reversed series
+    vals: List[float] = []
+    wts: List[float] = []
+    cnt: List[int] = []
+    for yi, wi in zip(y[::-1], w[::-1]):
+        vals.append(yi)
+        wts.append(wi)
+        cnt.append(1)
+        while len(vals) > 1 and vals[-1] < vals[-2]:
+            v = (vals[-1] * wts[-1] + vals[-2] * wts[-2]) / (wts[-1] + wts[-2])
+            ww = wts[-1] + wts[-2]
+            cc = cnt[-1] + cnt[-2]
+            vals = vals[:-2] + [v]
+            wts = wts[:-2] + [ww]
+            cnt = cnt[:-2] + [cc]
+    out = np.repeat(vals, cnt)[::-1]
+    return out
+
+
+def calibrate(
+    arrays: Dict[int, Tuple[np.ndarray, np.ndarray]],
+    llens: np.ndarray,
+    gap_spans: Dict[int, np.ndarray],
+    window: int = WINDOW,
+    grid: np.ndarray | None = None,
+    min_points: int = MIN_POINTS,
+    target_samples: int = TARGET_SAMPLES,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (gaps, fracs): the monotone-decreasing bridge-fraction curve.
+
+    `gap_spans[li]` is an (n, 2) array of [start, end) line-coordinate
+    intervals occupied by gap edges — calibration windows containing any
+    gap are skipped (Gaprika.cc:104-107 at_gap), so the curve is measured
+    on contiguous sequence only.  Empty result -> (len-0, len-0)."""
+    if grid is None:
+        grid = np.arange(0, MAX_GAP + 1, GAP_DELTA)
+    usable = [
+        li for li, (p, b) in arrays.items()
+        if int(llens[li]) >= 2 * window + int(grid[0]) and len(p)
+    ]
+    total_len = sum(int(llens[li]) for li in usable)
+    if total_len == 0:
+        return np.zeros(0, np.int64), np.zeros(0, float)
+    gaps_out: List[int] = []
+    fracs_out: List[float] = []
+    weights: List[int] = []
+    for g in grid:
+        g = int(g)
+        span = 2 * window + g
+        stride = max(window // 2, (total_len - span * len(usable)) // max(target_samples, 1))
+        samples: List[float] = []
+        for li in usable:
+            n = int(llens[li])
+            if n < span:
+                continue
+            pos, bc = arrays[li]
+            gs = gap_spans.get(li)
+            for i in range(window, n - window - g + 1, max(stride, 1)):
+                left1, right2 = i - window, i + g + window
+                if gs is not None and len(gs):
+                    # any gap interval intersecting [left1, right2)?
+                    if bool(np.any((gs[:, 0] < right2) & (gs[:, 1] > left1))):
+                        continue
+                f = bridge_frac(
+                    pos, bc, (left1, i), (i + g, right2), min_points
+                )
+                if f is not None:
+                    samples.append(f)
+        if len(samples) >= MIN_SAMPLES:
+            gaps_out.append(g)
+            fracs_out.append(float(np.mean(samples)))
+            weights.append(len(samples))
+    if not gaps_out:
+        return np.zeros(0, np.int64), np.zeros(0, float)
+    fr = _pava_decreasing(np.array(fracs_out), np.array(weights, float))
+    return np.array(gaps_out, np.int64), fr
+
+
+def invert_curve(gaps: np.ndarray, fracs: np.ndarray, f: float) -> int | None:
+    """Continuous inverse of the decreasing curve at observed fraction f
+    (linear interpolation between grid points); None off an empty curve."""
+    if len(gaps) == 0:
+        return None
+    if f >= fracs[0]:
+        return int(gaps[0])
+    if f <= fracs[-1]:
+        return int(gaps[-1])
+    # first index where fracs[i] <= f (fracs decreasing)
+    i = int(np.searchsorted(-fracs, -f, side="left"))
+    g0, g1 = float(gaps[i - 1]), float(gaps[i])
+    f0, f1 = float(fracs[i - 1]), float(fracs[i])
+    if f0 == f1:
+        return int(round((g0 + g1) / 2))
+    t = (f0 - f) / (f0 - f1)
+    return int(round(g0 + t * (g1 - g0)))
+
+
+def find_gap_edges(D, lines) -> List[Tuple[int, int, int, int]]:
+    """-> [(d, line, start_coord, repr_len)] for canonical (d <= dinv[d])
+    {-2} barcode-only gap edges, positioned in line coordinates."""
+    from . import gap as agap
+    from .molecules import edge_line_starts
+
+    line_of, start_of = edge_line_starts(D, lines)
+    out = []
+    for d in range(D.n_edges):
+        row = D.epaths.row(d)
+        if not (len(row) and row[0] == -2):
+            continue
+        if d > int(D.dinv[d]):
+            continue
+        li = int(line_of[d])
+        if li < 0:
+            continue
+        out.append((d, li, int(start_of[d]), agap.gap_repr_len(row)))
+    return out
+
+
+def gap_spans_by_line(D, lines) -> Dict[int, np.ndarray]:
+    """All gap-edge [start, end) intervals per line (every gap code, both
+    orientations — they all break molecule continuity)."""
+    from .molecules import edge_line_starts
+
+    line_of, start_of = edge_line_starts(D, lines)
+    gm = D.gap_mask()
+    spans: Dict[int, List[Tuple[int, int]]] = {}
+    for d in np.nonzero(gm)[0]:
+        li = int(line_of[d])
+        if li < 0:
+            continue
+        s = int(start_of[d])
+        spans.setdefault(li, []).append((s, s + D.edge_len(int(d))))
+    return {li: np.asarray(v, np.int64) for li, v in spans.items()}
+
+
+def set_bc_gap_sizes(D, sizes: Dict[int, int]):
+    """Rebuild D.epaths with {-2} rows resized to [-2, size] for the given
+    canonical edges AND their involution partners.  Returns the same D
+    object (epaths replaced)."""
+    from ..core.ragged import Ragged
+
+    if not sizes:
+        return D
+    full: Dict[int, int] = {}
+    for d, s in sizes.items():
+        full[int(d)] = int(s)
+        full[int(D.dinv[d])] = int(s)
+    rows = []
+    for d in range(D.n_edges):
+        if d in full:
+            rows.append(np.array([-2, full[d]], np.int64))
+        else:
+            rows.append(D.epaths.row(d))
+    D.epaths = Ragged.from_rows(rows, dtype=np.int64)
+    return D
+
+
+def gaprika(
+    D,
+    lines,
+    line_positions: Dict[int, Dict[int, list]],
+    llens: np.ndarray,
+    window: int = WINDOW,
+    max_gap: int = MAX_GAP,
+    min_gap: int = MIN_GAP,
+) -> Tuple[object, int, dict]:
+    """Size every {-2} gap edge from the calibrated bridge curve.
+
+    Returns (D, n_sized, info).  Window auto-shrinks toward MIN_WINDOW when
+    the line-length distribution can't support 10 kb flanks (short-rung
+    regime); gaps whose bridge fraction is weaker than half the curve's
+    max-gap value are left at their prior size (misassembly suspects,
+    Gaprika.cc:227-229)."""
+    arrays = line_arrays(line_positions)
+    if not arrays:
+        return D, 0, {"reason": "no positions"}
+    targets = find_gap_edges(D, lines)
+    if not targets:
+        return D, 0, {"reason": "no {-2} gap edges"}
+    spans = gap_spans_by_line(D, lines)
+    # pick the largest window (>= MIN_WINDOW) for which at least a few
+    # lines can host calibration anchors at max_gap separation
+    w = window
+    while w > MIN_WINDOW:
+        n_ok = sum(
+            1 for li in arrays if int(llens[li]) >= 2 * w + max_gap
+        )
+        if n_ok >= 3:
+            break
+        w //= 2
+    w = max(w, MIN_WINDOW)
+    grid = np.arange(0, max_gap + 1, GAP_DELTA)
+    gaps, fracs = calibrate(arrays, llens, spans, window=w, grid=grid)
+    info = {
+        "window": w,
+        "curve_points": int(len(gaps)),
+        "curve": [[int(g), round(float(f), 4)] for g, f in zip(gaps, fracs)],
+    }
+    if len(gaps) < 3:
+        return D, 0, {**info, "reason": "curve too sparse"}
+    weak_floor = fracs[-1] / 2.0
+    sizes: Dict[int, int] = {}
+    n_weak = n_offline = 0
+    for d, li, gpos, cur in targets:
+        if li not in arrays:
+            n_offline += 1
+            continue
+        pos, bc = arrays[li]
+        left1 = gpos - w
+        right2 = gpos + cur + w
+        if left1 < 0 or right2 > int(llens[li]):
+            n_offline += 1
+            continue
+        gs = spans.get(li)
+        if gs is not None and len(gs):
+            others = (gs[:, 0] < right2) & (gs[:, 1] > left1)
+            # exclude the gap being sized itself
+            self_row = (gs[:, 0] == gpos) & (gs[:, 1] == gpos + cur)
+            if bool(np.any(others & ~self_row)):
+                n_offline += 1
+                continue
+        f = bridge_frac(pos, bc, (left1, gpos), (gpos + cur, right2))
+        if f is None:
+            n_offline += 1
+            continue
+        if f < weak_floor:
+            n_weak += 1
+            continue
+        est = invert_curve(gaps, fracs, f)
+        if est is None:
+            continue
+        sizes[d] = max(min_gap, est)
+    D = set_bc_gap_sizes(D, sizes)
+    info.update(
+        n_targets=len(targets), n_sized=len(sizes),
+        n_weak=n_weak, n_offline=n_offline,
+    )
+    return D, len(sizes), info

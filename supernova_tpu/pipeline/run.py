@@ -1169,7 +1169,7 @@ class Pipeline:
     # restores the NEWEST matching snapshot and re-runs only later phases.
     SUP_PHASES = (
         "splay", "star", "fix", "starstar", "stackaroo", "unvoid", "void",
-        "patch", "mis", "invfix", "canon", "fase",
+        "patch", "mis", "invfix", "canon", "gaprika", "fase",
     )
 
     def _scaffold_star_phases(self, D, lines, rs, edges, plen, ebcx):
@@ -1371,6 +1371,28 @@ class Pipeline:
                 )
             return D, lines
 
+        def ph_gaprika(D, lines):
+            # Gaprika (CP.cc:1578): re-size every {-2} barcode-only gap
+            # from the bridge-fraction curve calibrated on the assembly's
+            # own gap-free line stretches (asm/gaprika.py)
+            from ..asm import gaprika as agk
+
+            lp = self._line_positions or {}
+            if lp:
+                D, n_sized, ginfo = agk.gaprika(D, lines, lp, lines.lengths(D))
+                if n_sized:
+                    D.validate()
+                    self.stats.log(
+                        "gaps_sized", n_sized,
+                        "{-2} gaps re-sized by the calibrated bridge curve",
+                        stage="scaffold",
+                    )
+                log.info(
+                    "gaprika: %s",
+                    {k: v for k, v in ginfo.items() if k != "curve"},
+                )
+            return D, lines
+
         def ph_fase(D, lines):
             return D, lines  # terminal marker: snapshot only
 
@@ -1379,7 +1401,7 @@ class Pipeline:
             "starstar": ph_starstar, "stackaroo": ph_stackaroo,
             "unvoid": ph_unvoid, "void": ph_void, "patch": ph_patch,
             "mis": ph_mis, "invfix": ph_invfix, "canon": ph_canon,
-            "fase": ph_fase,
+            "gaprika": ph_gaprika, "fase": ph_fase,
         }
 
         start_idx = 0
