@@ -300,6 +300,7 @@ def gaprika(
         return D, 0, {**info, "reason": "curve too sparse"}
     weak_floor = fracs[-1] / 2.0
     sizes: Dict[int, int] = {}
+    weak_edges: List[int] = []
     n_weak = n_offline = 0
     for d, li, gpos, cur in targets:
         if li not in arrays:
@@ -324,7 +325,12 @@ def gaprika(
             n_offline += 1
             continue
         if f < weak_floor:
+            # linking weaker than half the curve's max-gap value: the
+            # reference skips sizing these as misassembly suspects
+            # (Gaprika.cc:225-229); callers may break the join here —
+            # this is the barcode-set discontinuity score at join points
             n_weak += 1
+            weak_edges.append(d)
             continue
         est = invert_curve(gaps, fracs, f)
         if est is None:
@@ -333,6 +339,36 @@ def gaprika(
     D = set_bc_gap_sizes(D, sizes)
     info.update(
         n_targets=len(targets), n_sized=len(sizes),
-        n_weak=n_weak, n_offline=n_offline,
+        n_weak=n_weak, n_offline=n_offline, weak_edges=weak_edges,
     )
     return D, len(sizes), info
+
+
+def join_jaccard_floor(
+    line_positions: Dict[int, Dict[int, list]],
+    llens: np.ndarray,
+    D=None,
+    lines=None,
+    window: int = None,
+    max_gap: int = MAX_GAP,
+) -> float | None:
+    """Calibrated admission floor for new scaffold joins: the bridge-curve
+    value at max_gap separation (a candidate join must look at least as
+    linked as a true max_gap gap).  None when the curve can't be built
+    (too few long lines) — callers fall back to the raw count veto."""
+    from .star import BRIDGE_VIEW
+
+    if window is None:
+        window = min(WINDOW, BRIDGE_VIEW)
+    arrays = line_arrays(line_positions)
+    if not arrays:
+        return None
+    spans = (
+        gap_spans_by_line(D, lines) if D is not None and lines is not None
+        else {}
+    )
+    grid = np.arange(0, max_gap + 1, max(GAP_DELTA * 4, 2_000))
+    gaps, fracs = calibrate(arrays, llens, spans, window=window, grid=grid)
+    if len(gaps) < 3 or int(gaps[-1]) < max_gap // 2:
+        return None
+    return float(fracs[-1])

@@ -149,6 +149,48 @@ def bridge_support(
     return len(np.intersect1d(near_end, near_start))
 
 
+def bridge_jaccard(
+    L1: int,
+    R: int,
+    lbp,
+    llens: np.ndarray,
+    view: int = BRIDGE_VIEW,
+    min_points: int = 2,
+) -> float | None:
+    """Coverage-normalized join-point linkage: Jaccard of the barcode sets
+    (>= min_points read positions each) in L1's last `view` bases and R's
+    first `view` bases — the same statistic Gaprika's calibration curve is
+    built from (asm/gaprika.py), so curve(gap) gives its expected value for
+    a TRUE join at that gap.  Raw bridge COUNTS are noise-dominated on
+    small rungs (every barcode's ~10 molecules tile a 1 Mb genome), but the
+    Jaccard stays scale-invariant: same-GEM coincidences inflate numerator
+    and denominator together.  None when both windows are empty."""
+
+    def arrays(li):
+        v = lbp.get(li)
+        if v is None or not len(v):
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        if isinstance(v, tuple):
+            return v
+        a = np.asarray(v, dtype=np.int64).reshape(-1, 2)
+        return a[:, 0], a[:, 1]
+
+    def filtered(b):
+        if len(b) < min_points:
+            return np.zeros(0, np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return u[c >= min_points]
+
+    b1, p1 = arrays(L1)
+    b2, p2 = arrays(R)
+    L = filtered(b1[p1 >= int(llens[L1]) - view])
+    Rb = filtered(b2[p2 <= view])
+    union = len(np.union1d(L, Rb))
+    if union == 0:
+        return None
+    return len(np.intersect1d(L, Rb)) / union
+
+
 def line_prox(
     line_bcs: List[np.ndarray], canon: Sequence[int], max_view: int = MAX_VIEW
 ) -> Dict[int, List[Tuple[int, int]]]:
@@ -356,17 +398,21 @@ def star_joins(
     min_star: int | None = None,       # None -> MIN_STAR at call time
     min_advantage: float | None = None,  # None -> MIN_ADVANTAGE (addin-able)
     min_bridge: int | None = None,     # None -> MIN_BRIDGE (addin-able)
+    bridge_view: int | None = None,    # None -> BRIDGE_VIEW (addin-able)
+    jaccard_floor: float | None = None,  # calibrated curve floor (run.py)
 ) -> List[Tuple[int, int, float]]:
     """One star pass -> [(L1, R, advantage)] right-joins.  `right_dead[li]`
     marks lines whose right end extends nowhere in D (oriented line ids).
     Winners must additionally pass the join-point bridge veto
-    (bridge_support >= min_bridge)."""
+    (bridge_support >= min_bridge within bridge_view of the join)."""
     if min_star is None:
         min_star = MIN_STAR  # read at call time: --addin overridable
     if min_advantage is None:
         min_advantage = MIN_ADVANTAGE
     if min_bridge is None:
         min_bridge = MIN_BRIDGE
+    if bridge_view is None:
+        bridge_view = BRIDGE_VIEW
     cov = line_coverage(llens, lbp)
     joins: List[Tuple[int, int, float]] = []
     order_ids = sorted(
@@ -418,7 +464,11 @@ def star_joins(
             if ad < min_advantage:
                 continue
             R = scored[0][1]
-        if bridge_support(L1, R, lbp, llens) < min_bridge:
+        if bridge_support(L1, R, lbp, llens, view=bridge_view) < min_bridge:
             continue
+        if jaccard_floor is not None:
+            bj = bridge_jaccard(L1, R, lbp, llens, view=bridge_view)
+            if bj is None or bj < jaccard_floor:
+                continue
         joins.append((L1, R, float(ad)))
     return joins

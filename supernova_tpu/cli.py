@@ -300,16 +300,22 @@ def cmd_simulate(args) -> int:
     # 4M-barcode whitelist being far larger than any run's GEM count)
     wl_size = max(args.whitelist_size, 2 * args.barcodes)
     wl = sim.make_whitelist(rng, wl_size)
+    # Chromium-realistic GEM statistics (alarms-supernova.json:100-112):
+    # ~10 molecules/barcode, exponential molecule lengths mean ~60 kb,
+    # 0.2x per-molecule read sampling.  Per-barcode yield 10*60k*0.2 =
+    # 120 kb matches the previous dense model (3*20k*2.0), so the ladder
+    # scripts' --barcodes counts keep their ~48x total coverage.
     reads = sim.simulate_linked_reads(
         rng,
         (g, hb),
         wl,
         n_barcodes=args.barcodes,
-        molecules_per_barcode=3,
-        molecule_len=min(20_000, args.genome_size // 2),
-        coverage_per_molecule=2.0,
+        molecules_per_barcode=args.molecules_per_barcode,
+        molecule_len=min(args.molecule_len, max(args.genome_size // 2, 2_000)),
+        coverage_per_molecule=args.mol_coverage,
         error_rate=args.error_rate,
         bc_error_rate=0.01,
+        chromium_model=not args.dense_sim,
     )
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -726,6 +732,15 @@ def main(argv=None) -> int:
     s.add_argument("--barcodes", type=int, default=100)
     s.add_argument("--whitelist-size", type=int, default=512)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--molecules-per-barcode", type=int, default=10,
+                   help="mean molecules per GEM (Poisson; chromium model)")
+    s.add_argument("--molecule-len", type=int, default=60_000,
+                   help="mean molecule length (exponential; chromium model)")
+    s.add_argument("--mol-coverage", type=float, default=0.2,
+                   help="per-molecule read coverage (reference: 0.1-0.3x)")
+    s.add_argument("--dense-sim", action="store_true",
+                   help="legacy dense model: fixed-length molecules, no "
+                        "Poisson GEM loading (pre-round-4 rungs)")
     s.set_defaults(fn=cmd_simulate)
 
     e = sub.add_parser("evaluate", help="evaluate an assembly vs truth haplotypes")

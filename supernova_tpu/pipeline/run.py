@@ -945,8 +945,19 @@ class Pipeline:
             canon = list(range(lines.n_lines))
             lhood = astar.line_prox(line_bcs, canon)
             rdead = astar.right_dead_ends(lines, D)
+            # calibrated admission floor: a join must look at least as
+            # linked as a true 20 kb gap on THIS dataset's bridge curve
+            # (raw bridge counts are same-GEM-noise-dominated on small
+            # rungs; the Jaccard is scale-invariant — asm/gaprika.py)
+            from ..asm import gaprika as agk
+
+            lp_cal: dict = {}
+            for (b, li), ps in positions.items():
+                lp_cal.setdefault(li, {})[b] = ps
+            floor = agk.join_jaccard_floor(lp_cal, llens, D, lines)
             joins = astar.star_joins(
-                canon, llens, lines.linv, lbp, lhood, rdead
+                canon, llens, lines.linv, lbp, lhood, rdead,
+                jaccard_floor=floor,
             )
             joins = astar.filter_joins(joins, lines.linv)
             if not joins:
@@ -1374,11 +1385,16 @@ class Pipeline:
         def ph_gaprika(D, lines):
             # Gaprika (CP.cc:1578): re-size every {-2} barcode-only gap
             # from the bridge-fraction curve calibrated on the assembly's
-            # own gap-free line stretches (asm/gaprika.py)
+            # own gap-free line stretches; joins whose linkage falls below
+            # half the curve's max-gap value are misassembly suspects
+            # (Gaprika.cc:225-229) and get BROKEN here — the barcode-set
+            # discontinuity score at join points
             from ..asm import gaprika as agk
 
-            lp = self._line_positions or {}
-            if lp:
+            for _ in range(2):  # second pass re-sizes after any breaks
+                lp = self._line_positions or {}
+                if not lp:
+                    break
                 D, n_sized, ginfo = agk.gaprika(D, lines, lp, lines.lengths(D))
                 if n_sized:
                     D.validate()
@@ -1390,6 +1406,20 @@ class Pipeline:
                 log.info(
                     "gaprika: %s",
                     {k: v for k, v in ginfo.items() if k != "curve"},
+                )
+                weak = ginfo.get("weak_edges") or []
+                if not weak:
+                    break
+                dels = sorted(
+                    {int(d) for d in weak} | {int(D.dinv[d]) for d in weak}
+                )
+                D = del_edges(D, dels)
+                D.validate()
+                lines = _refresh(D)
+                self.stats.log(
+                    "weak_gap_joins_broken", len(weak),
+                    "{-2} joins deleted for sub-curve barcode linkage",
+                    stage="scaffold",
                 )
             return D, lines
 

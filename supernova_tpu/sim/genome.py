@@ -101,18 +101,36 @@ def simulate_linked_reads(
     error_rate: float = 0.0,
     bc_error_rate: float = 0.0,
     base_qual: int = 37,
+    chromium_model: bool = False,
+    min_molecule_len: int = 1_000,
 ) -> SimReads:
     """Shred long molecules (drawn from either haplotype) into read pairs
-    sharing the molecule's barcode.  Deterministic for a fixed rng."""
+    sharing the molecule's barcode.  Deterministic for a fixed rng.
+
+    With `chromium_model=True` the GEM statistics follow the reference's
+    envelope (alarms-supernova.json:100-112; SURVEY.md §0): molecule count
+    per barcode ~ Poisson(molecules_per_barcode) and molecule length ~
+    Exponential(mean=molecule_len) clipped to [min_molecule_len, genome] —
+    the sparse-sampling regime (0.1-0.3x per molecule, ~10 molecules/GEM,
+    50-100 kb molecules) the real instrument produces.  Default (False)
+    keeps fixed-length molecules for focused unit tests."""
     sim = SimReads()
     glen = len(haplotypes[0])
     bc_idx = rng.choice(len(whitelist), size=n_barcodes, replace=False)
     for b in bc_idx:
         bc = whitelist[b]
-        for _ in range(molecules_per_barcode):
+        n_mols = (
+            max(1, int(rng.poisson(molecules_per_barcode)))
+            if chromium_model else molecules_per_barcode
+        )
+        for _ in range(n_mols):
             hap = int(rng.integers(0, 2))
             g = haplotypes[hap]
-            mlen = min(molecule_len, glen)
+            if chromium_model:
+                mlen = int(rng.exponential(molecule_len))
+                mlen = min(max(mlen, min_molecule_len), glen)
+            else:
+                mlen = min(molecule_len, glen)
             mstart = int(rng.integers(0, glen - mlen + 1))
             n_pairs = max(1, int(mlen * coverage_per_molecule / (2 * read_len)))
             for _ in range(n_pairs):

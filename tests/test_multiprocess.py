@@ -57,6 +57,7 @@ def launch_fleet(tmp_path, n_proc: int = 2, local_devices: int = 2):
     return procs, outs
 
 
+@pytest.mark.slow
 def test_two_process_hier_count_matches_single_process(tmp_path):
     procs, outs = launch_fleet(tmp_path)
     for p, out in zip(procs, outs):

@@ -77,6 +77,7 @@ def test_e2e_exit_alert(tmp_path, rng):
         pl.run(rs)
 
 
+@pytest.mark.slow
 def test_e2e_multi_device_matches_single(tmp_path, rng):
     """Pipeline(multi_device=True) shards count+build over the 8-device
     CPU mesh and must produce the identical graph and contigs."""
@@ -141,6 +142,7 @@ def test_scaffold_phase_reentry(tmp_path, rng):
     assert D2.n_edges == D1.n_edges
 
 
+@pytest.mark.slow
 def test_e2e_2d_topology_matches_single(tmp_path, rng):
     """Pipeline(multi_device=(4,2)) — the 2-D host/chip topology with the
     hierarchical count exchange — produces the identical assembly."""
@@ -171,6 +173,7 @@ def test_e2e_2d_topology_matches_single(tmp_path, rng):
         assert get(s1, k) == get(s2, k), k
 
 
+@pytest.mark.slow
 def test_e2e_value_sharded_dict_path_matches(tmp_path, rng, monkeypatch):
     """PATH_VS_DICT_ROWS forced to 0: mesh pathing must hash-shard the
     kmer dictionary (no device holds the full table) and still produce the
@@ -251,3 +254,44 @@ def test_e2e_lazy_readset_matches(tmp_path, rng, monkeypatch):
     r2 = sorted(seq for _, seq in fout.read_fasta(
         tmp_path / "lazy" / "assembly.raw.fasta.gz"))
     assert r1 == r2
+
+
+@pytest.mark.slow
+def test_e2e_mesh_1mb_identity(tmp_path, rng):
+    """Repeat-bearing 1 Mb genome through the FULL pipeline single-device
+    vs 8-virtual-device mesh: raw AND pseudohap FASTA must be identical
+    (VERDICT r3 #8 — the prior mesh e2e was a 6 kb toy, raw only).
+    PARANOID deep-validate is disabled here: this is an identity test, not
+    an invariant test, and per-edge Python validation at 1 Mb D scale
+    dominates the wall."""
+    from supernova_tpu.asm import supergraph as _sg
+
+    old_paranoid = _sg.PARANOID
+    _sg.PARANOID = False
+    try:
+        g = sim.random_genome(rng, 1_000_000, n_repeat_chunks=20,
+                              repeat_len=400)
+        _, hb = sim.diploidize(rng, g, het_rate=0.001)
+        wl = sim.make_whitelist(rng, 2048)
+        reads = sim.simulate_linked_reads(
+            rng, (g, hb), wl, n_barcodes=400, molecules_per_barcode=10,
+            molecule_len=60_000, coverage_per_molecule=0.2,
+            error_rate=0.002, bc_error_rate=0.01, chromium_model=True,
+        )
+        rs = ingest_sim(reads, wl)
+        outs = {}
+        for tag, md in (("single", False), ("mesh", True)):
+            p = Pipeline(tmp_path / tag, multi_device=md)
+            p.run_full(rs, flavors=("raw", "pseudohap"))
+            outs[tag] = {
+                fl: sorted(
+                    seq for _, seq in fout.read_fasta(
+                        tmp_path / tag / f"assembly.{fl}.fasta.gz"
+                    )
+                )
+                for fl in ("raw", "pseudohap")
+            }
+        assert outs["single"]["raw"] == outs["mesh"]["raw"]
+        assert outs["single"]["pseudohap"] == outs["mesh"]["pseudohap"]
+    finally:
+        _sg.PARANOID = old_paranoid

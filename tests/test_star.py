@@ -84,6 +84,47 @@ def test_bridge_veto_refuses_repeat_mediated_join():
     assert [(a, b) for a, b, _ in joins2] == [(0, 1)]
 
 
+def test_bridge_veto_is_the_blocking_gate():
+    """ADVICE r3 (medium): the veto test must not be vacuous — construct a
+    false join that CLEARS MIN_ADVANTAGE with zero join-point bridge
+    support.  min_bridge=0 admits it (the advantage gate alone cannot block
+    it); default params refuse it; widening bridge_view past the evidence
+    admits it again (the view knob plumbs through)."""
+    llens = np.array([100_000] * 4)
+    linv = np.array([2, 3, 0, 1])
+    lbp = {i: [] for i in range(4)}
+    # shared barcodes: spread along line 0's right third (tight mean gap),
+    # cluster on line 1 at 25 kb — OUTSIDE the 20 kb bridge window but
+    # order-informative, the repeat-leak signature at Mb separations
+    for bc in range(1, 41):
+        for j in range(20):
+            lbp[0].append((bc, 60_000 + 1_800 * j))
+        for j in range(5):
+            lbp[1].append((bc, 25_000 + 200 * j))
+    # private barcodes balancing line 1's coverage (the MAX_CN_DIFF gate
+    # must not be what rejects the join)
+    for bc in range(200, 240):
+        for j in range(20):
+            lbp[1].append((bc, 1_000 + 4_800 * j))
+    for i in range(2):
+        lbp[int(linv[i])] = [(bc, int(llens[i]) - p) for bc, p in lbp[i]]
+    assert astar.bridge_support(0, 1, lbp, llens) == 0
+    lhood = {0: [(40, 1)]}
+    rdead = {i: True for i in range(4)}
+    # without the veto the join IS made: advantage/CN/order gates all pass
+    joins_no_veto = astar.star_joins(
+        range(4), llens, linv, lbp, lhood, rdead, min_bridge=0
+    )
+    assert [(a, b) for a, b, _ in joins_no_veto] == [(0, 1)]
+    # with the default veto it is refused — the veto is the blocking gate
+    assert astar.star_joins(range(4), llens, linv, lbp, lhood, rdead) == []
+    # widening the view to cover the 25 kb cluster re-admits it
+    joins_wide = astar.star_joins(
+        range(4), llens, linv, lbp, lhood, rdead, bridge_view=30_000
+    )
+    assert [(a, b) for a, b, _ in joins_wide] == [(0, 1)]
+
+
 def test_build_scaffolds_involution_consistent():
     llens = np.array([6000] * 4)
     linv = np.array([2, 3, 0, 1])
