@@ -145,6 +145,27 @@ def _fix_columns(A: np.ndarray, x: np.ndarray, c: np.ndarray,
             break
 
 
+def _split_chimeric(A: np.ndarray) -> np.ndarray:
+    """Split same-GEM molecule collisions (not in the reference, which runs
+    at >= 100 Mb where they are rare): a positional molecule cluster that
+    merged two TRUE molecules from opposite haplotypes votes both ways —
+    >= 2 entries of each sign after orientation.  Such a column is two real
+    molecules, so split it into its sign-pure halves; leaving it merged
+    makes every bubble it touches look ugly (good:bad ~ 1:1) and the ugly
+    rule then drops well-supported het sites wholesale.  Hot barcodes
+    produce the same artifact on real data at lower rates."""
+    plus = (A > 0).sum(axis=0)
+    minus = (A < 0).sum(axis=0)
+    chim = (plus >= 2) & (minus >= 2)
+    if not chim.any():
+        return A
+    Ac = A[:, chim]
+    return np.concatenate(
+        [A[:, ~chim], np.where(Ac > 0, Ac, 0), np.where(Ac < 0, Ac, 0)],
+        axis=1,
+    )
+
+
 def _drop_ugly(A: np.ndarray, c: np.ndarray) -> np.ndarray:
     """Ugly-bubble removal (Flipper.cc:560-586): per bubble, count molecules
     agreeing/disagreeing with their own majority; drop (zero the row) when
@@ -212,6 +233,13 @@ def phase_line(
         _fix_columns(A, x, c, max_iters=max_iters)
         _rectify(A, x, c, reverse=True)
         _fix_columns(A, x, c, max_iters=max_iters)
+        # split chimeric (same-GEM collision) columns, then re-polish
+        A2 = _split_chimeric(A)
+        if A2.shape[1] != A.shape[1]:
+            A = A2
+            c = A.sum(axis=0)
+            _pivot_pass(A, x, c)
+            _fix_columns(A, x, c, max_iters=max_iters)
 
     # drop ugly (ambiguous) bubbles, then fix columns once more (gamma)
     ugly = _drop_ugly(A, c) if A.shape[1] else np.ones(nb, bool)

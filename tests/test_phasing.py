@@ -153,3 +153,36 @@ def test_empty_line():
     line = Line(elements=[Cell(paths=[np.array([7])])])
     res = ph.phase_line(line, {})
     assert len(res.bubbles) == 0
+
+
+def test_chimeric_molecule_collision_split(rng):
+    """Same-GEM molecule collisions (two true molecules from opposite
+    haplotypes merged by positional clustering — dominant at small sim
+    scale, hot-barcode noise at full scale): without splitting, every
+    bubble such a column touches looks ugly (good:bad ~ 1:1) and gets
+    dropped; _split_chimeric must recover near-full phasing."""
+    nb = 12
+    truth = rng.integers(0, 2, nb) * 2 - 1
+    clean = sim_molecules(rng, truth, 30, span=6)
+    # 20 chimeric columns: each merges a hap+ and a hap- molecule over the
+    # SAME bubble range, voting both ways bubble-by-bubble
+    chim = np.zeros((nb, 20), dtype=np.int8)
+    for m in range(20):
+        start = rng.integers(0, nb - 6 + 1)
+        for b in range(start, start + 6):
+            chim[b, m] = truth[b] * (1 if rng.random() < 0.5 else -1)
+    sgn = np.concatenate([clean, chim], axis=1)
+    line = make_line(nb)
+    res = ph.phase_line(line, counts_from_matrix(sgn))
+    x = np.asarray(res.x, int)
+    assert (x != 0).mean() >= 0.9, x  # bubbles stay phased
+    assert agreement(x, truth) >= 0.95
+
+
+def test_split_chimeric_columns():
+    A = np.array([[1, 1], [1, -1], [1, 1], [-1, -1], [0, 1]], np.int32)
+    out = ph._split_chimeric(A)
+    # column 1 (two +, two -) splits; column 0 has only one minority vote
+    assert out.shape == (5, 3)
+    assert (out[:, 1] >= 0).all() and (out[:, 2] <= 0).all()
+    assert np.array_equal(out[:, 1] + out[:, 2], A[:, 1])
