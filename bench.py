@@ -25,7 +25,7 @@ REFERENCE_KMERS_PER_SEC = 20e6
 REFERENCE_READS_PER_SEC = 40e3
 
 
-def probe_backend(total_wait_s: float = 240.0, try_s: int = 90) -> bool:
+def probe_backend(total_wait_s: float = 420.0, try_s: int = 150) -> bool:
     """The axon TPU tunnel can hang jax backend init indefinitely when it
     is down; probe it in a child process (killable) and wait up to
     total_wait_s for it to come back before giving up."""
