@@ -278,27 +278,48 @@ def gaprika(
     if not targets:
         return D, 0, {"reason": "no {-2} gap edges"}
     spans = gap_spans_by_line(D, lines)
-    # pick the largest window (>= MIN_WINDOW) for which at least a few
-    # lines can host calibration anchors at max_gap separation
+    # multi-window curves: many gap sites sit too close to line ends or to
+    # neighboring gaps for the full window (31/47 at the 30 Mb rung), so
+    # calibrate a curve per window in a 2x ladder down to MIN_WINDOW and
+    # size each gap with the LARGEST window that fits its site
+    grid = np.arange(0, max_gap + 1, GAP_DELTA)
+    curves: List[Tuple[int, np.ndarray, np.ndarray]] = []
     w = window
-    while w > MIN_WINDOW:
+    while w >= MIN_WINDOW:
         n_ok = sum(
             1 for li in arrays if int(llens[li]) >= 2 * w + max_gap
         )
-        if n_ok >= 3:
+        if n_ok >= 1:
+            gaps_w, fracs_w = calibrate(
+                arrays, llens, spans, window=w, grid=grid
+            )
+            if len(gaps_w) >= 3:  # MIN_SAMPLES in calibrate guards density
+                curves.append((w, gaps_w, fracs_w))
+        if len(curves) >= 3:
             break
         w //= 2
-    w = max(w, MIN_WINDOW)
-    grid = np.arange(0, max_gap + 1, GAP_DELTA)
-    gaps, fracs = calibrate(arrays, llens, spans, window=w, grid=grid)
     info = {
-        "window": w,
-        "curve_points": int(len(gaps)),
-        "curve": [[int(g), round(float(f), 4)] for g, f in zip(gaps, fracs)],
+        "windows": [c[0] for c in curves],
+        "curve": [
+            [[int(g), round(float(f), 4)] for g, f in zip(c[1], c[2])]
+            for c in curves
+        ],
     }
-    if len(gaps) < 3:
+    if not curves:
         return D, 0, {**info, "reason": "curve too sparse"}
-    weak_floor = fracs[-1] / 2.0
+
+    def fits(li, gpos, cur, w):
+        left1, right2 = gpos - w, gpos + cur + w
+        if left1 < 0 or right2 > int(llens[li]):
+            return False
+        gs = spans.get(li)
+        if gs is not None and len(gs):
+            others = (gs[:, 0] < right2) & (gs[:, 1] > left1)
+            self_row = (gs[:, 0] == gpos) & (gs[:, 1] == gpos + cur)
+            if bool(np.any(others & ~self_row)):
+                return False
+        return True
+
     sizes: Dict[int, int] = {}
     weak_edges: List[int] = []
     n_weak = n_offline = 0
@@ -307,20 +328,15 @@ def gaprika(
             n_offline += 1
             continue
         pos, bc = arrays[li]
-        left1 = gpos - w
-        right2 = gpos + cur + w
-        if left1 < 0 or right2 > int(llens[li]):
+        chosen = next(
+            (c for c in curves if fits(li, gpos, cur, c[0])), None
+        )
+        if chosen is None:
             n_offline += 1
             continue
-        gs = spans.get(li)
-        if gs is not None and len(gs):
-            others = (gs[:, 0] < right2) & (gs[:, 1] > left1)
-            # exclude the gap being sized itself
-            self_row = (gs[:, 0] == gpos) & (gs[:, 1] == gpos + cur)
-            if bool(np.any(others & ~self_row)):
-                n_offline += 1
-                continue
-        f = bridge_frac(pos, bc, (left1, gpos), (gpos + cur, right2))
+        w, gaps, fracs = chosen
+        weak_floor = fracs[-1] / 2.0
+        f = bridge_frac(pos, bc, (gpos - w, gpos), (gpos + cur, gpos + cur + w))
         if f is None:
             n_offline += 1
             continue
