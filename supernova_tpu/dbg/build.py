@@ -356,11 +356,25 @@ def materialize_edges(
     )
 
 
+def geom_bucket(n: int, quantum: int = 1024, ratio: float = 1.25) -> int:
+    """Round n up to a value from a fixed geometric ladder (quantum,
+    ~quantum*ratio^k).  Downstream programs are compiled per padded shape;
+    on the axon runtime each fresh shape costs minutes of remote compiles,
+    so nearby sizes (e.g. the main kmer table at 31.1M rows and the
+    patch-rebuild table at 30.4M) must land on the SAME padded shape to
+    share every compiled program (build, dictionary pathing).  Worst-case
+    padding overhead is ratio-1 (~25%) of cheap table rows."""
+    m = quantum
+    while m < n:
+        m = -(-int(m * ratio) // quantum) * quantum
+    return m
+
+
 def trim_table(table: KmerTable, pad_multiple: int = 1024) -> KmerTable:
-    """Host-side stage-boundary repack: shrink the padded table to
-    round_up(n_valid) rows (the count stage pads to #positions)."""
+    """Host-side stage-boundary repack: shrink the padded table to a
+    geometric-ladder row count (the count stage pads to #positions)."""
     n = int(table.n_valid)
-    m = max(pad_multiple, -(-n // pad_multiple) * pad_multiple)
+    m = geom_bucket(max(n, 1), pad_multiple)
     words = np.full((m, 3), kc.SENTINEL, dtype=np.uint32)
     words[:n] = kc.soa_to_np(table.words)[:n]
 
@@ -387,6 +401,6 @@ def build_graph(table: KmerTable) -> DeviceGraph:
     """Host entry: trimmed KmerTable -> DeviceGraph (two-phase)."""
     links = build_links(table)
     n_edges, flat = _edge_shape(links, int(table.n_valid))
-    e_pad = _round_up(n_edges + 1, 512)
-    flat_pad = _round_up(flat + 1, 16384)
+    e_pad = geom_bucket(n_edges + 1, 512)
+    flat_pad = geom_bucket(flat + 1, 16384)
     return materialize_edges(table, links, n_edges, e_pad, flat_pad)
