@@ -404,6 +404,11 @@ def cmd_mkoutput(args) -> int:
             oph.write_pseudohap_fasta(D, lines, scaffolds, phasings, out)
         elif flavor == "pseudohap2":
             oph.write_pseudohap2_fasta(D, lines, scaffolds, phasings, out)
+        elif flavor == "efasta":
+            from .out import efasta as oef
+
+            out = outdir / "assembly.efasta.gz"
+            oef.write_efasta(D, lines, scaffolds, phasings, out)
         else:
             print(f"ERROR: unknown flavor {flavor}", file=sys.stderr)
             return 1

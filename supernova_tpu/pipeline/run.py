@@ -1600,12 +1600,17 @@ class Pipeline:
         out = self.outdir / f"assembly.{flavor}.fasta.gz"
         if flavor == "raw":
             fout.write_raw_fasta(bg, out)
-        elif flavor in ("megabubbles", "pseudohap", "pseudohap2"):
+        elif flavor in ("megabubbles", "pseudohap", "pseudohap2", "efasta"):
             D, lines, scaffolds, phasings = ctx
             if flavor == "megabubbles":
                 ph.write_megabubbles_fasta(D, lines, scaffolds, phasings, out)
             elif flavor == "pseudohap":
                 ph.write_pseudohap_fasta(D, lines, scaffolds, phasings, out)
+            elif flavor == "efasta":
+                from ..out import efasta as oef
+
+                out = self.outdir / "assembly.efasta.gz"
+                oef.write_efasta(D, lines, scaffolds, phasings, out)
             else:
                 ph.write_pseudohap2_fasta(D, lines, scaffolds, phasings, out)
         else:
