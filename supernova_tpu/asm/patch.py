@@ -171,9 +171,21 @@ def close_gaps(bg, rs, pairs: List[GapPair]) -> List[np.ndarray]:
 def insert_patches(bg, closures: List[np.ndarray]):
     """Rebuild the K=48 graph from current edges + closures
     (StageInsertPatch / buildBigKHBVFromReads_sleek analogue: all sequences
-    re-kmerized with min_freq=1, then the standard unipath build)."""
+    re-kmerized with min_freq=1, then the standard unipath build).
+
+    Runs on the in-process CPU backend when the default backend is a
+    remote-compiling TPU runtime: the rebuild is a once-per-run program at
+    a fresh (non-uniform read length) shape whose axon compile costs
+    minutes, while its output is host numpy either way and the integer
+    count/build pipeline is bit-identical across backends (the mesh e2e
+    identity tests pin this).  The 30 Mb chip run spent 1960 s here for
+    12 closures — nearly all remote compiles."""
     if not closures:
         return bg
+    import contextlib
+
+    import jax
+
     from ..dbg import build as dbuild
     from ..dbg import graph as dgraph
     from ..ingest.reads import build_readset
@@ -192,10 +204,17 @@ def insert_patches(bg, closures: List[np.ndarray]):
         seqs, quals, np.zeros(len(seqs) // 2, np.int32), n_barcodes=0,
         barcoded=False,
     )
-    table = kcount.count_readset(prs, min_freq=1, min_read_len=K)
-    table = dbuild.trim_table(table)
-    dg = dbuild.build_graph(table)
-    return dgraph.from_device(dg, table)
+    ctx = contextlib.nullcontext()
+    if jax.default_backend() not in ("cpu",):
+        try:
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        except Exception:
+            ctx = contextlib.nullcontext()
+    with ctx:
+        table = kcount.count_readset(prs, min_freq=1, min_read_len=K)
+        table = dbuild.trim_table(table)
+        dg = dbuild.build_graph(table)
+        return dgraph.from_device(dg, table)
 
 
 def patch_graph(bg, rs, paths_edges, path_len, dup):
