@@ -195,3 +195,20 @@ def test_gaprika_end_to_end_on_synthetic_D():
     assert abs(int(row[1]) - g_true) <= 1_500, (int(row[1]), info)
     # involution partner got the same size
     assert int(D2.epaths.row(4)[1]) == int(D2.epaths.row(1)[1])
+
+
+def test_join_jaccard_floor_from_molecule_process():
+    """The admission floor equals the calibrated curve's max-gap value and
+    sits well below the zero-separation value (so true adjacent joins pass
+    and unlinked repeats fail)."""
+    rng = np.random.default_rng(11)
+    pos, bc = molecule_positions(rng, 700_000, 1400, 40_000, 2.0)
+    lp = {0: {}}
+    for p, b in zip(pos.tolist(), bc.tolist()):
+        lp[0].setdefault(b, []).append(p)
+    llens = np.array([700_000])
+    floor = agk.join_jaccard_floor(lp, llens)
+    assert floor is not None and 0.0 < floor < 1.0
+    arrays = agk.line_arrays(lp)
+    f0 = agk.bridge_frac(*arrays[0], (340_000, 350_000), (350_000, 360_000))
+    assert f0 > floor  # adjacent windows clear the floor comfortably
