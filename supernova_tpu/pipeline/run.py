@@ -1350,6 +1350,26 @@ class Pipeline:
                     "D-edges deleted at unsupported junctions",
                     stage="scaffold",
                 )
+            # interior discontinuity scan (asm/fixint.py): repeat joins
+            # glued INSIDE a D-edge have no cell to judge — find calibrated
+            # bridge-fraction dips and split the edge at the dip
+            from ..asm import fixint as afix
+
+            lpx = self._line_positions or {}
+            if lpx:
+                splits, finfo = afix.find_interior_breaks(
+                    D, lines, lpx, lines.lengths(D)
+                )
+                log.info("fixint: %s", finfo)
+                if splits:
+                    D = afix.split_edges(D, splits)
+                    D.validate()
+                    lines = _refresh(D)
+                    self.stats.log(
+                        "interior_breaks", len(splits),
+                        "D-edges split at calibrated bridge-fraction dips",
+                        stage="scaffold",
+                    )
             return D, lines
 
         def ph_invfix(D, lines):

@@ -1,0 +1,119 @@
+"""Interior barcode-discontinuity breaking (asm/fixint.py): the in-edge
+repeat-join class that junction-based killers cannot see (all 13 dis-class
+breaks of the 30 Mb rung were sequence-continuous inside one D-edge)."""
+import numpy as np
+
+from supernova_tpu.asm import fixint as afix
+from supernova_tpu.asm import lines as alines
+from supernova_tpu.asm import supergraph as asg
+from supernova_tpu.core import dna as cdna
+from supernova_tpu.core.ragged import Ragged
+from supernova_tpu.dbg.graph import BaseGraph
+
+K = 48
+
+
+def _two_part_D(rng, half=60_000):
+    """D with ONE canonical edge spelling two glued base edges (a false
+    join at the base-edge boundary), plus the rc partner."""
+    e0 = rng.integers(0, 4, half).astype(np.uint8)
+    e1 = np.concatenate([e0[-(K - 1):], rng.integers(0, 4, half).astype(np.uint8)])
+    edges = Ragged.from_rows(
+        [e0, e1, cdna.revcomp(e1), cdna.revcomp(e0)], dtype=np.uint8
+    )
+    bg = BaseGraph(
+        edges=edges,
+        inv=np.array([3, 2, 1, 0], np.int32),
+        from_v=np.array([0, 1, 3, 2], np.int32),
+        to_v=np.array([1, 2, 0, 3], np.int32),  # wiring irrelevant here
+        n_vertices=4,
+        is_circle=np.zeros(4, bool),
+    )
+    D = asg.SuperGraph(
+        epaths=Ragged.from_rows(
+            [np.array([0, 1], np.int64), np.array([2, 3], np.int64)],
+            dtype=np.int64,
+        ),
+        dinv=np.array([1, 0], np.int64),
+        from_v=np.array([0, 2], np.int32),
+        to_v=np.array([1, 3], np.int32),
+        n_vertices=4,
+        bg=bg,
+    )
+    return D
+
+
+def _positions(rng, L, boundary, disjoint):
+    """Molecule-process positions over [0, L); when disjoint, barcodes on
+    the two sides of `boundary` never mix (the false-join signature)."""
+    lp: dict = {}
+    m = 0
+    for lo, hi, bc0 in (
+        ((0, boundary, 0) if disjoint else (0, L, 0)),
+        ((boundary, L, 10_000) if disjoint else (0, L, 20_000)),
+    ):
+        span = hi - lo
+        for _ in range(span // 1_500):
+            m += 1
+            # molecules may START before the side's range and get clipped,
+            # so coverage is flat up to the boundary on both sides (a real
+            # false join sits mid-genome on both loci)
+            s = lo - 20_000 + int(rng.integers(0, max(span + 20_000 - 2_000, 1)))
+            ln = int(rng.exponential(30_000)) + 2_000
+            n = max(int(ln * 0.006), 2)
+            ps = s + rng.integers(0, max(ln, 1), n)
+            ps = ps[(ps >= lo) & (ps < hi)]
+            if len(ps) >= 2:
+                lp.setdefault(bc0 + m, []).extend(int(x) for x in ps)
+    return lp
+
+
+def _line_positions_for(D, lp):
+    lines = alines.find_lines(D)
+    # put the positions on the line carrying canonical edge 0
+    li0 = next(
+        li for li, ln in enumerate(lines.lines)
+        if 0 in [int(x) for x in ln.edges()]
+    )
+    return lines, {li0: lp}
+
+
+def test_disjoint_halves_split_at_boundary(rng):
+    D = _two_part_D(rng)
+    lines = alines.find_lines(D)
+    llens = lines.lengths(D)
+    L = int(llens.max())
+    boundary = 60_000 - (K - 1) // 2  # ~ the glued base-edge boundary
+    lp = _positions(rng, L, boundary, disjoint=True)
+    lines, line_positions = _line_positions_for(D, lp)
+    splits, info = afix.find_interior_breaks(
+        D, lines, line_positions, lines.lengths(D), window=4_000,
+        stride=2_000,
+    )
+    assert len(splits) == 1, info
+    d, j = splits[0]
+    assert j == 1  # the only interior boundary
+    D2 = afix.split_edges(D, splits)
+    D2.validate(deep=True)
+    lines2 = alines.find_lines(D2)
+    assert lines2.n_lines == 2 * lines.n_lines  # each side its own line
+    # sequence is preserved: the two halves spell the original edge
+    s_orig = D.edge_seq(0)
+    parts = sorted((D2.edge_seq(e) for e in range(D2.n_edges)), key=len)
+    joined = [p for p in parts if p in s_orig]
+    assert any(s_orig.startswith(p) for p in joined)
+    assert any(s_orig.endswith(p) for p in joined)
+
+
+def test_continuous_molecules_no_split(rng):
+    D = _two_part_D(rng)
+    lines = alines.find_lines(D)
+    llens = lines.lengths(D)
+    L = int(llens.max())
+    lp = _positions(rng, L, 0, disjoint=False)
+    lines, line_positions = _line_positions_for(D, lp)
+    splits, info = afix.find_interior_breaks(
+        D, lines, line_positions, lines.lengths(D), window=4_000,
+        stride=2_000,
+    )
+    assert splits == [], info
