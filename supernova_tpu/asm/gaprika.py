@@ -328,30 +328,38 @@ def gaprika(
             n_offline += 1
             continue
         pos, bc = arrays[li]
-        chosen = next(
-            (c for c in curves if fits(li, gpos, cur, c[0])), None
-        )
-        if chosen is None:
+        fitting = [c for c in curves if fits(li, gpos, cur, c[0])]
+        if not fitting:
             n_offline += 1
             continue
-        w, gaps, fracs = chosen
-        weak_floor = fracs[-1] / 2.0
-        f = bridge_frac(pos, bc, (gpos - w, gpos), (gpos + cur, gpos + cur + w))
-        if f is None:
-            n_offline += 1
-            continue
-        if f < weak_floor:
-            # linking weaker than half the curve's max-gap value: the
-            # reference skips sizing these as misassembly suspects
-            # (Gaprika.cc:225-229); callers may break the join here —
-            # this is the barcode-set discontinuity score at join points
+        # every fitting window contributes an estimate; the median damps
+        # single-window sampling noise (the accuracy bound at ~1 kb)
+        ests: List[int] = []
+        weak_votes = ok_votes = 0
+        for w, gaps, fracs in fitting:
+            f = bridge_frac(
+                pos, bc, (gpos - w, gpos), (gpos + cur, gpos + cur + w)
+            )
+            if f is None:
+                continue
+            if f < fracs[-1] / 2.0:
+                # linking weaker than half the curve's max-gap value:
+                # misassembly suspect (Gaprika.cc:225-229); callers may
+                # break the join (barcode-set discontinuity score)
+                weak_votes += 1
+                continue
+            ok_votes += 1
+            est = invert_curve(gaps, fracs, f)
+            if est is not None:
+                ests.append(est)
+        if weak_votes > ok_votes:
             n_weak += 1
             weak_edges.append(d)
             continue
-        est = invert_curve(gaps, fracs, f)
-        if est is None:
+        if not ests:
+            n_offline += 1
             continue
-        sizes[d] = max(min_gap, est)
+        sizes[d] = max(min_gap, int(np.median(ests)))
     D = set_bc_gap_sizes(D, sizes)
     info.update(
         n_targets=len(targets), n_sized=len(sizes),
