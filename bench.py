@@ -56,7 +56,21 @@ SMOKE = bool(int(__import__("os").environ.get("BENCH_SMOKE", "0")))
 
 def main():
     if not SMOKE and not probe_backend():
-        raise SystemExit("bench: TPU backend unreachable (tunnel down)")
+        # a parseable outage record beats a null: value 0 is unambiguous
+        # (never a real throughput), and the unit string carries the cause
+        print(
+            json.dumps(
+                {
+                    "metric": "kmer_count_throughput",
+                    "value": 0.0,
+                    "unit": "kmers/s/chip (tpu tunnel down at bench time)",
+                    "vs_baseline": 0.0,
+                    "extra": {"error": "axon backend unreachable"},
+                }
+            ),
+            flush=True,
+        )
+        raise SystemExit(3)
     import jax
 
     from supernova_tpu.core.jaxconfig import ensure_cache
