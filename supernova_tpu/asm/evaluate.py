@@ -111,6 +111,43 @@ def evaluate_contig(contig: np.ndarray, refs, idx, k: int = ANCHOR_K) -> ContigE
     return ev
 
 
+_POOL_STATE: dict = {}
+
+
+def _pool_eval(args):
+    lo, hi = args
+    refs, idx, contigs = (
+        _POOL_STATE["refs"], _POOL_STATE["idx"], _POOL_STATE["contigs"]
+    )
+    return [evaluate_contig(c, refs, idx) for c in contigs[lo:hi]]
+
+
+def _map_contigs(contigs, refs, idx, min_parallel: int = 64):
+    """Per-contig evaluation is independent; at rung scale (1000s of
+    contigs, a multi-GB kmer index) fork-based workers inherit the index
+    copy-on-write and cut the 100 Mb evaluate wall ~4x.  Serial fallback
+    for small inputs or any pool failure."""
+    import multiprocessing as mp
+    import os
+
+    n = len(contigs)
+    if n < min_parallel or os.environ.get("SN_EVAL_SERIAL"):
+        return [evaluate_contig(c, refs, idx) for c in contigs]
+    try:
+        workers = min(4, os.cpu_count() or 1)
+        _POOL_STATE.update(refs=refs, idx=idx, contigs=contigs)
+        step = -(-n // (workers * 4))
+        spans = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
+        ctx = mp.get_context("fork")
+        with ctx.Pool(workers) as pool:
+            chunks = pool.map(_pool_eval, spans)
+        return [e for ch in chunks for e in ch]
+    except Exception:
+        return [evaluate_contig(c, refs, idx) for c in contigs]
+    finally:
+        _POOL_STATE.clear()
+
+
 def evaluate_assembly(contigs: List[np.ndarray], haplotypes) -> Dict[str, float]:
     """contigs: base-code arrays; haplotypes: truth code arrays (both
     strands are derived automatically).  -> astats-style metric dict."""
@@ -119,7 +156,7 @@ def evaluate_assembly(contigs: List[np.ndarray], haplotypes) -> Dict[str, float]
         refs.append(np.asarray(h, dtype=np.uint8))
         refs.append(dna.revcomp(h).astype(np.uint8))
     idx = _ref_index(refs)
-    evs = [evaluate_contig(c, refs, idx) for c in contigs]
+    evs = _map_contigs(contigs, refs, idx)
     stretches = [s for e in evs for s in e.stretches]
     total = sum(e.length for e in evs)
     anchored = sum(e.length for e in evs if e.anchored)
