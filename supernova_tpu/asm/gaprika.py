@@ -332,10 +332,12 @@ def gaprika(
         if not fitting:
             n_offline += 1
             continue
-        # every fitting window contributes an estimate; the median damps
-        # single-window sampling noise (the accuracy bound at ~1 kb)
-        ests: List[int] = []
-        weak_votes = ok_votes = 0
+        # LARGEST fitting window wins (more barcodes -> lower variance;
+        # a median across window sizes measured WORSE on the 1 Mb rung:
+        # abs-median 1174 -> 1944); smaller windows only when the large
+        # one can't produce a value
+        est_final = None
+        weak = False
         for w, gaps, fracs in fitting:
             f = bridge_frac(
                 pos, bc, (gpos - w, gpos), (gpos + cur, gpos + cur + w)
@@ -346,20 +348,20 @@ def gaprika(
                 # linking weaker than half the curve's max-gap value:
                 # misassembly suspect (Gaprika.cc:225-229); callers may
                 # break the join (barcode-set discontinuity score)
-                weak_votes += 1
-                continue
-            ok_votes += 1
+                weak = True
+                break
             est = invert_curve(gaps, fracs, f)
             if est is not None:
-                ests.append(est)
-        if weak_votes > ok_votes:
+                est_final = est
+                break
+        if weak:
             n_weak += 1
             weak_edges.append(d)
             continue
-        if not ests:
+        if est_final is None:
             n_offline += 1
             continue
-        sizes[d] = max(min_gap, int(np.median(ests)))
+        sizes[d] = max(min_gap, est_final)
     D = set_bc_gap_sizes(D, sizes)
     info.update(
         n_targets=len(targets), n_sized=len(sizes),
