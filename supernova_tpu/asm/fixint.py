@@ -30,7 +30,11 @@ from ..core.kmer_codec import K
 from . import gaprika as agk
 
 WINDOW = 10_000
-STRIDE = 5_000
+# stride must be << window: an anchor d bases off the junction mixes d
+# bases of cross-material into one window, lifting the Jaccard by ~d/w —
+# at stride w/2 the best anchor can sit w/4 off and the dip dilutes above
+# the floor (observed at the 10 Mb rung: 2.7/6.3 Mb joins, 0 dips)
+STRIDE = 2_500
 MIN_POINTS = 2
 MIN_WINDOW_POS = 12  # positions per window for a judgment (coverage gate)
 MIN_WINDOW_BCS = 4  # distinct (>=2-point) barcodes per window
@@ -44,40 +48,81 @@ def find_interior_breaks(
     llens: np.ndarray,
     window: int = WINDOW,
     stride: int = STRIDE,
-) -> Tuple[List[Tuple[int, int]], dict]:
-    """-> ([(d, split_idx)], info): D-edges to split at epath index
-    split_idx (canonical d < dinv[d]).  A dip must score below HALF the
-    curve's max-gap value (the Gaprika weak rule applied to separation-0
-    windows) with both windows passing the coverage gates, and must lie
-    inside a non-gap D-edge whose path has an interior boundary."""
+) -> Tuple[List[Tuple[int, int]], List[int], List[int], dict]:
+    """-> (splits, gap_dels, detaches, info).
+
+    Three surgeries, all driven by the same calibrated statistic:
+      * splits [(d, j)]: dip inside a multi-base-edge D-edge — split it;
+      * gap_dels [d]: a gap edge of ANY code whose across-the-gap bridge
+        fraction fails the weak floor — delete it (generalizes the
+        weak-{-2} breaker to {-1}/{-4} junctions, which the 10 Mb rung's
+        escapee joins ran through);
+      * detaches [d]: dip at the head of a single-base-edge D-edge —
+        disconnect its head vertex (detach_edge_head).
+    A dip must score below HALF the curve's max-gap value with both
+    windows passing the coverage gates."""
     arrays = agk.line_arrays(line_positions)
     if not arrays:
-        return [], {"reason": "no positions"}
+        return [], [], [], {"reason": "no positions"}
     spans = agk.gap_spans_by_line(D, lines)
     grid = np.arange(0, agk.MAX_GAP + 1, 2_000)
     gaps, fracs = agk.calibrate(arrays, llens, spans, window=window, grid=grid)
     if len(gaps) < 3:
-        return [], {"reason": "curve too sparse"}
+        return [], [], [], {"reason": "curve too sparse"}
     weak_floor = float(fracs[-1]) / 2.0
 
+    from . import gap as agap
     from .molecules import edge_line_starts
 
     line_of, start_of = edge_line_starts(D, lines)
     gm = D.gap_mask()
-    # per line: sorted non-gap edge intervals for dip -> edge mapping
-    by_line: Dict[int, List[Tuple[int, int, int]]] = {}
+    # per line: sorted edge intervals (gap edges carried with their code)
+    by_line: Dict[int, List[Tuple[int, int, int, bool]]] = {}
     for d in range(D.n_edges):
         li = int(line_of[d])
-        if li < 0 or gm[d]:
+        if li < 0:
             continue
         s = int(start_of[d])
-        by_line.setdefault(li, []).append((s, s + D.edge_len(d), d))
+        by_line.setdefault(li, []).append(
+            (s, s + D.edge_len(d), d, bool(gm[d]))
+        )
     for li in by_line:
         by_line[li].sort()
 
     blens = D.bg.edges.lengths()
     splits: Dict[int, int] = {}
-    n_dips = 0
+    gap_dels: set = set()
+    detaches: set = set()
+    n_dips = n_gap_judged = 0
+
+    def coverage_ok(pos, bc, a, b):
+        n = int(np.searchsorted(pos, b) - np.searchsorted(pos, a))
+        W = agk._window_bcs(pos, bc, a, b, MIN_POINTS)
+        return (n >= MIN_WINDOW_POS and len(W) >= MIN_WINDOW_BCS), W
+
+    # --- pass 1: judge EVERY gap edge across its own span (any code) ----
+    for li, (pos, bc) in arrays.items():
+        L = int(llens[li])
+        for s, e, d, is_gap in by_line.get(li, ()):
+            if not is_gap:
+                continue
+            row = D.epaths.row(d)
+            if agap.is_bc_gap(row):
+                continue  # {-2}: the gaprika weak breaker owns these
+            if s - window < 0 or e + window > L:
+                continue
+            okL, Lw = coverage_ok(pos, bc, s - window, s)
+            okR, Rw = coverage_ok(pos, bc, e, e + window)
+            if not (okL and okR):
+                continue
+            n_gap_judged += 1
+            union = len(np.union1d(Lw, Rw))
+            f = len(np.intersect1d(Lw, Rw)) / union if union else None
+            if f is not None and f < weak_floor:
+                dc = min(int(d), int(D.dinv[d]))
+                gap_dels.add(dc)
+
+    # --- pass 2: in-sequence dips -> edge split or head detach ----------
     for li, (pos, bc) in arrays.items():
         L = int(llens[li])
         if L < 2 * window + 2 * EDGE_MARGIN or li not in by_line:
@@ -88,14 +133,9 @@ def find_interior_breaks(
             if gs is not None and len(gs):
                 if bool(np.any((gs[:, 0] < x + window) & (gs[:, 1] > x - window))):
                     continue
-            Lw = agk._window_bcs(pos, bc, x - window, x, MIN_POINTS)
-            Rw = agk._window_bcs(pos, bc, x, x + window, MIN_POINTS)
-            nl = int(np.searchsorted(pos, x) - np.searchsorted(pos, x - window))
-            nr = int(np.searchsorted(pos, x + window) - np.searchsorted(pos, x))
-            if (
-                nl < MIN_WINDOW_POS or nr < MIN_WINDOW_POS
-                or len(Lw) < MIN_WINDOW_BCS or len(Rw) < MIN_WINDOW_BCS
-            ):
+            okL, Lw = coverage_ok(pos, bc, x - window, x)
+            okR, Rw = coverage_ok(pos, bc, x, x + window)
+            if not (okL and okR):
                 continue
             union = len(np.union1d(Lw, Rw))
             f = len(np.intersect1d(Lw, Rw)) / union
@@ -105,18 +145,16 @@ def find_interior_breaks(
             continue
         # cluster consecutive dip anchors, take each cluster's center
         dips_a = np.asarray(dips)
-        cluster_starts = np.r_[True, np.diff(dips_a) > stride]
+        cluster_starts = np.r_[True, np.diff(dips_a) > 2 * stride]
         cid = np.cumsum(cluster_starts) - 1
         for c in range(int(cid[-1]) + 1):
             xs = dips_a[cid == c]
             center = int(xs.mean())
             n_dips += 1
-            # containing non-gap D-edge with an interior path boundary
             ivs = by_line[li]
-            lo = 0
             hit = None
-            for s, e, d in ivs:
-                if s <= center < e:
+            for s, e, d, is_gap in ivs:
+                if s <= center < e and not is_gap:
                     hit = (s, e, d)
                     break
             if hit is None:
@@ -128,6 +166,10 @@ def find_interior_breaks(
             dc = min(d, rd)
             p = np.asarray(D.epaths.row(d), np.int64)
             if len(p) < 2:
+                # no interior boundary: break at the end vertex nearer the
+                # dip (canonical form: head flag flips through dinv)
+                head = (center - s) > (e - center)
+                detaches.add((dc, head if d == dc else not head))
                 continue
             # base-edge boundaries inside d (line coords): prefix sums of
             # (len - (K-1)) steps after the first edge
@@ -140,9 +182,37 @@ def find_interior_breaks(
                 splits[dc] = len(p) - j  # mirror index on the rc row
     info = {
         "curve_points": int(len(gaps)), "weak_floor": round(weak_floor, 4),
-        "n_dips": n_dips, "n_splits": len(splits),
+        "n_dips": n_dips, "n_gap_judged": n_gap_judged,
+        "n_splits": len(splits), "n_gap_dels": len(gap_dels),
+        "n_detaches": len(detaches),
     }
-    return sorted(splits.items()), info
+    return sorted(splits.items()), sorted(gap_dels), sorted(detaches), info
+
+
+def detach_edges(D, items: List[Tuple[int, bool]]):
+    """Disconnect edge ends: (d, head=True) gives d's to-vertex (and the
+    involution partner's from-vertex) fresh private vertices — the minimal
+    break when a dip sits in a single-base-edge D-edge with no interior
+    boundary to split at.  Returns a new SuperGraph sharing epaths."""
+    from .supergraph import SuperGraph
+
+    from_v = np.asarray(D.from_v, np.int64).copy()
+    to_v = np.asarray(D.to_v, np.int64).copy()
+    nv = int(D.n_vertices)
+    for d, head in items:
+        rd = int(D.dinv[d])
+        if head:
+            to_v[d] = nv
+            from_v[rd] = nv + 1
+        else:
+            from_v[d] = nv
+            to_v[rd] = nv + 1
+        nv += 2
+    return SuperGraph(
+        epaths=D.epaths, dinv=D.dinv,
+        from_v=from_v.astype(np.int32), to_v=to_v.astype(np.int32),
+        n_vertices=nv, bg=D.bg,
+    )
 
 
 def split_edges(D, splits: List[Tuple[int, int]]):

@@ -1357,17 +1357,30 @@ class Pipeline:
 
             lpx = self._line_positions or {}
             if lpx:
-                splits, finfo = afix.find_interior_breaks(
+                splits, gap_dels, detaches, finfo = afix.find_interior_breaks(
                     D, lines, lpx, lines.lengths(D)
                 )
                 log.info("fixint: %s", finfo)
+                n_broken = 0
+                if gap_dels:
+                    dels_g = sorted(
+                        {g for d in gap_dels for g in (d, int(D.dinv[d]))}
+                    )
+                    D = del_edges(D, dels_g)
+                    n_broken += len(gap_dels)
                 if splits:
                     D = afix.split_edges(D, splits)
+                    n_broken += len(splits)
+                if detaches:
+                    D = afix.detach_edges(D, detaches)
+                    n_broken += len(detaches)
+                if n_broken:
                     D.validate()
                     lines = _refresh(D)
                     self.stats.log(
-                        "interior_breaks", len(splits),
-                        "D-edges split at calibrated bridge-fraction dips",
+                        "interior_breaks", n_broken,
+                        "breaks at calibrated bridge-fraction dips "
+                        "(gap dels + edge splits + head detaches)",
                         stage="scaffold",
                     )
             return D, lines

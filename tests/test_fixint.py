@@ -86,11 +86,11 @@ def test_disjoint_halves_split_at_boundary(rng):
     boundary = 60_000 - (K - 1) // 2  # ~ the glued base-edge boundary
     lp = _positions(rng, L, boundary, disjoint=True)
     lines, line_positions = _line_positions_for(D, lp)
-    splits, info = afix.find_interior_breaks(
+    splits, gap_dels, detaches, info = afix.find_interior_breaks(
         D, lines, line_positions, lines.lengths(D), window=4_000,
-        stride=2_000,
+        stride=1_000,
     )
-    assert len(splits) == 1, info
+    assert len(splits) == 1 and not gap_dels and not detaches, info
     d, j = splits[0]
     assert j == 1  # the only interior boundary
     D2 = afix.split_edges(D, splits)
@@ -112,8 +112,8 @@ def test_continuous_molecules_no_split(rng):
     L = int(llens.max())
     lp = _positions(rng, L, 0, disjoint=False)
     lines, line_positions = _line_positions_for(D, lp)
-    splits, info = afix.find_interior_breaks(
+    splits, gap_dels, detaches, info = afix.find_interior_breaks(
         D, lines, line_positions, lines.lengths(D), window=4_000,
-        stride=2_000,
+        stride=1_000,
     )
-    assert splits == [], info
+    assert splits == [] and gap_dels == [] and detaches == [], info
