@@ -1321,38 +1321,9 @@ class Pipeline:
         def ph_mis(D, lines):
             # KillMisassembledCells escalation over the joined lines
             # (CP.cc:942-1106), then the position-free Alt variant
-            lwml = (
-                amol.lw_mean_length(self._molecules)
-                if self._molecules else None
-            )
-            n_killed = 0
-            for (req, flk, ign) in amis2.ESCALATION_TIERS:
-                dels = amis2.kill_misassembled_cells(
-                    D, lines, self._line_positions,
-                    bc_require=req, bc_flank=flk, bc_ignore=ign,
-                    lw_mol_len=lwml,
-                )
-                if not dels:
-                    continue
-                n_killed += len(dels)
-                D = del_edges(D, dels)
-                D.validate()
-                lines = _refresh(D)
-            dels_alt = amis2.kill_misassembled_cells_alt(D, lines, ebcx)
-            if dels_alt:
-                n_killed += len(dels_alt)
-                D = del_edges(D, dels_alt)
-                D.validate()
-                lines = _refresh(D)
-            if n_killed:
-                self.stats.log(
-                    "misassembled_cells_killed", n_killed,
-                    "D-edges deleted at unsupported junctions",
-                    stage="scaffold",
-                )
-            # interior discontinuity scan (asm/fixint.py): repeat joins
-            # glued INSIDE a D-edge have no cell to judge — find calibrated
-            # bridge-fraction dips and split the edge at the dip
+            # interior discontinuity scan FIRST (asm/fixint.py): the kill
+            # tiers fragment lines near repeat joins, pushing the junction
+            # into the scanner's end margins — scan while lines are long
             from ..asm import fixint as afix
 
             lpx = self._line_positions or {}
@@ -1383,6 +1354,35 @@ class Pipeline:
                         "(gap dels + edge splits + head detaches)",
                         stage="scaffold",
                     )
+            lwml = (
+                amol.lw_mean_length(self._molecules)
+                if self._molecules else None
+            )
+            n_killed = 0
+            for (req, flk, ign) in amis2.ESCALATION_TIERS:
+                dels = amis2.kill_misassembled_cells(
+                    D, lines, self._line_positions,
+                    bc_require=req, bc_flank=flk, bc_ignore=ign,
+                    lw_mol_len=lwml,
+                )
+                if not dels:
+                    continue
+                n_killed += len(dels)
+                D = del_edges(D, dels)
+                D.validate()
+                lines = _refresh(D)
+            dels_alt = amis2.kill_misassembled_cells_alt(D, lines, ebcx)
+            if dels_alt:
+                n_killed += len(dels_alt)
+                D = del_edges(D, dels_alt)
+                D.validate()
+                lines = _refresh(D)
+            if n_killed:
+                self.stats.log(
+                    "misassembled_cells_killed", n_killed,
+                    "D-edges deleted at unsupported junctions",
+                    stage="scaffold",
+                )
             return D, lines
 
         def ph_invfix(D, lines):
