@@ -42,6 +42,21 @@ def reads_by_line(lines, dpaths: np.ndarray, dlen: np.ndarray) -> Dict[int, List
     return out
 
 
+def _fill_contradicts_estimate(fill_len: int, gap_row) -> bool:
+    """A stack bridge much SHORTER than the gap's molecule-evidence size
+    is a repeat-flank artifact: both flanks end in copies of a repeat, the
+    mini-DBG walks flank-to-flank through it, and the 'closure' skips the
+    real genome in between (observed at the 10 Mb rung: a {-2, 10000}
+    gap 'closed' by 400 bases whose window then evaluates ori-class).
+    Reject when est - fill > max(4 kb, 0.75 * est); longer-than-estimate
+    fills stay (the star-time estimator under-calls routinely)."""
+    row = np.asarray(gap_row)
+    if len(row) < 2 or row[0] != -2:
+        return False
+    est = int(row[1])
+    return (est - fill_len) > max(4_000, (3 * est) // 4)
+
+
 def stackaroo_gaps(
     D,
     rs,
@@ -123,6 +138,8 @@ def stackaroo_gaps(
         fill = _mini_dbg_walk(seqs, left, right, k)
         if fill is None or len(fill) < k:
             continue  # len >= k guarantees the tail-(K-1) equals eR's head
+        if _fill_contradicts_estimate(len(fill), D.epaths.row(d)):
+            continue
         # {-3} payload: starts with eL's last K-1 bases, ends with eR's
         # first K-1 (fill already ends with right[:k])
         gseq = seq_l[-(K - 1) :] + fill + right[k : K - 1]
@@ -185,6 +202,9 @@ def stackaroo(
             fill = _mini_dbg_walk(seqs, left, right, k)
             if fill is None:
                 continue
+            est = int(sc.gaps[i]) if sc.gaps else 0
+            if (est - len(fill)) > max(4_000, (3 * est) // 4):
+                continue  # repeat-flank artifact (see stackaroo_gaps)
             sc.fills[i] = fill
             n_filled += 1
     return n_filled

@@ -101,3 +101,19 @@ def test_pseudohap_busts_many_arm_cells():
     assert tags[0] == "main" and tags[-1] == "main"
     assert recs[0][1] == "A" * 60
     assert recs[-1][1] == "AC" * 30
+
+
+def test_fill_size_guard_rejects_repeat_flank_bridge():
+    """A 400-base stack 'closure' of a {-2, 10000} gap contradicts the
+    molecule evidence (the 10 Mb rung's ori-class defect) and is refused;
+    fills consistent with the estimate pass, as do fills longer than it."""
+    import numpy as np
+
+    from supernova_tpu.asm.stackaroo import _fill_contradicts_estimate
+
+    assert _fill_contradicts_estimate(400, np.array([-2, 10_000]))
+    assert not _fill_contradicts_estimate(400, np.array([-2, 3_000]))
+    assert not _fill_contradicts_estimate(9_000, np.array([-2, 10_000]))
+    assert not _fill_contradicts_estimate(15_000, np.array([-2, 10_000]))
+    assert not _fill_contradicts_estimate(400, np.array([-2]))  # sizeless
+    assert not _fill_contradicts_estimate(400, np.array([7, 8]))  # non-gap
