@@ -587,9 +587,13 @@ def unvoid(
         seq_r = dna.codes_to_seq(D.edge_head_bases(eR, K))
         if len(seq_l) < K or len(seq_r) < K:
             return None
+        from .stackaroo import _fill_contradicts_estimate
+
         seqs = [rs.read(int(r)) for r in rids]
         cl = closure_graph(seqs, seq_l, seq_r)
         if cl is not None and len(cl) == 1 and cl[0][0] == "L" and cl[0][1] == "R":
+            if _fill_contradicts_estimate(len(cl[0][2]), D.epaths.row(d)):
+                return None  # repeat-flank bridge skipping real genome
             return ("linear", d, cl[0][2])
         if cl is not None:
             rd = int(D.dinv[d])
@@ -612,6 +616,8 @@ def unvoid(
         )
         if fill is None or len(fill) < k:
             return None
+        if _fill_contradicts_estimate(len(fill), D.epaths.row(d)):
+            return None  # repeat-flank bridge skipping real genome
         gseq = seq_l[-(K - 1) :] + fill + seq_r[k : K - 1]
         return ("linear0", d, gseq)
 
