@@ -248,7 +248,9 @@ def set_bc_gap_sizes(D, sizes: Dict[int, int]):
     rows = []
     for d in range(D.n_edges):
         if d in full:
-            rows.append(np.array([-2, full[d]], np.int64))
+            # third element 1 = CALIBRATED size (vs the crude star-time
+            # estimate): downstream fill guards only trust flagged sizes
+            rows.append(np.array([-2, full[d], 1], np.int64))
         else:
             rows.append(D.epaths.row(d))
     D.epaths = Ragged.from_rows(rows, dtype=np.int64)

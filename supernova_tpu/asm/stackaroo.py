@@ -49,9 +49,12 @@ def _fill_contradicts_estimate(fill_len: int, gap_row) -> bool:
     real genome in between (observed at the 10 Mb rung: a {-2, 10000}
     gap 'closed' by 400 bases whose window then evaluates ori-class).
     Reject when est - fill > max(4 kb, 0.75 * est); longer-than-estimate
-    fills stay (the star-time estimator under-calls routinely)."""
+    fills stay.  Only CALIBRATED sizes are trusted (row [-2, size, 1],
+    written by the gaprika presize phase) — judging against the crude
+    star-time cap rejected ~240 mostly-good fills at the 10 Mb rung and
+    pushed them to worse unvoid grafts (ori 0.23% -> 4.0%)."""
     row = np.asarray(gap_row)
-    if len(row) < 2 or row[0] != -2:
+    if len(row) < 3 or row[0] != -2 or row[2] != 1:
         return False
     est = int(row[1])
     return (est - fill_len) > max(4_000, (3 * est) // 4)
@@ -202,9 +205,6 @@ def stackaroo(
             fill = _mini_dbg_walk(seqs, left, right, k)
             if fill is None:
                 continue
-            est = int(sc.gaps[i]) if sc.gaps else 0
-            if (est - len(fill)) > max(4_000, (3 * est) // 4):
-                continue  # repeat-flank artifact (see stackaroo_gaps)
             sc.fills[i] = fill
             n_filled += 1
     return n_filled

@@ -1179,8 +1179,9 @@ class Pipeline:
     # CP.cc:196-198, with a.sup writes at CP.cc:365-471).  --resume
     # restores the NEWEST matching snapshot and re-runs only later phases.
     SUP_PHASES = (
-        "splay", "star", "fix", "starstar", "stackaroo", "unvoid", "void",
-        "patch", "mis", "invfix", "canon", "gaprika", "fase",
+        "splay", "star", "fix", "starstar", "presize", "stackaroo",
+        "unvoid", "void", "patch", "mis", "invfix", "canon", "gaprika",
+        "fase",
     )
 
     def _scaffold_star_phases(self, D, lines, rs, edges, plen, ebcx):
@@ -1424,6 +1425,9 @@ class Pipeline:
             # discontinuity score at join points
             from ..asm import gaprika as agk
 
+            # line ids must match the CURRENT lines (as the presize phase
+            # this runs right after starstar's joins changed them)
+            self._refresh_positions(D, lines, rs)
             for _ in range(2):  # second pass re-sizes after any breaks
                 lp = self._line_positions or {}
                 if not lp:
@@ -1461,7 +1465,8 @@ class Pipeline:
 
         fns = {
             "splay": ph_splay, "star": ph_star, "fix": ph_fix,
-            "starstar": ph_starstar, "stackaroo": ph_stackaroo,
+            "starstar": ph_starstar, "presize": ph_gaprika,
+            "stackaroo": ph_stackaroo,
             "unvoid": ph_unvoid, "void": ph_void, "patch": ph_patch,
             "mis": ph_mis, "invfix": ph_invfix, "canon": ph_canon,
             "gaprika": ph_gaprika, "fase": ph_fase,

@@ -191,7 +191,7 @@ def test_gaprika_end_to_end_on_synthetic_D():
         if len(r) and r[0] == -2:
             row = r
             break
-    assert row is not None and len(row) == 2
+    assert row is not None and len(row) >= 2
     assert abs(int(row[1]) - g_true) <= 1_500, (int(row[1]), info)
     # involution partner got the same size
     assert int(D2.epaths.row(4)[1]) == int(D2.epaths.row(1)[1])

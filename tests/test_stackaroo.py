@@ -111,9 +111,13 @@ def test_fill_size_guard_rejects_repeat_flank_bridge():
 
     from supernova_tpu.asm.stackaroo import _fill_contradicts_estimate
 
-    assert _fill_contradicts_estimate(400, np.array([-2, 10_000]))
-    assert not _fill_contradicts_estimate(400, np.array([-2, 3_000]))
-    assert not _fill_contradicts_estimate(9_000, np.array([-2, 10_000]))
-    assert not _fill_contradicts_estimate(15_000, np.array([-2, 10_000]))
+    cal = lambda v: np.array([-2, v, 1])
+    assert _fill_contradicts_estimate(400, cal(10_000))
+    assert not _fill_contradicts_estimate(400, cal(3_000))
+    assert not _fill_contradicts_estimate(9_000, cal(10_000))
+    assert not _fill_contradicts_estimate(15_000, cal(10_000))
+    # UNCALIBRATED star-time sizes are not trusted (judging against the
+    # crude cap rejected mostly-good fills and made quality worse)
+    assert not _fill_contradicts_estimate(400, np.array([-2, 10_000]))
     assert not _fill_contradicts_estimate(400, np.array([-2]))  # sizeless
     assert not _fill_contradicts_estimate(400, np.array([7, 8]))  # non-gap
