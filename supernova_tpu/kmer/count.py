@@ -22,6 +22,7 @@ never (N,3), to avoid TPU minor-dim tile padding.
 from __future__ import annotations
 
 import logging
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -767,6 +768,20 @@ def count_readset_blocked(
         )
     )
     dispatch = dispatch_packed if packed else dispatch_full
+    # Spill block results to disk and memory-map them for the merge: at
+    # 100 Mb the 50 blocks hold ~2.5G raw rows (~50 GB) and keeping them
+    # host-resident OOM-killed the run at the merge endgame (130 GB RSS).
+    # Small runs pay trivial I/O; the OS page cache keeps hot slices warm.
+    import shutil
+    import tempfile
+
+    spill_dir = tempfile.mkdtemp(prefix="snb_spill_")
+
+    def _spill(i, j, arr):
+        path = os.path.join(spill_dir, f"b{i}_{j}.npy")
+        np.save(path, arr)
+        return np.load(path, mmap_mode="r")
+
     for i in range(len(blocks)):
         raw = dispatch(inp)  # async dispatch
         if i + 1 < len(blocks):
@@ -778,11 +793,11 @@ def count_readset_blocked(
         # Bucket the slice length so the tiny slice programs get reused
         # across blocks (axon pays a compile per distinct shape).
         nv_b = min(_round_up(max(nv, 1), 4 << 20), raw.words.a.shape[0])
-        was.append(np.asarray(raw.words.a[:nv_b])[:nv])
-        wbs.append(np.asarray(raw.words.b[:nv_b])[:nv])
-        wcs.append(np.asarray(raw.words.c[:nv_b])[:nv])
-        cnts.append(np.asarray(raw.count[:nv_b])[:nv])
-        sts.append(np.asarray(raw.stats[:nv_b])[:nv])
+        was.append(_spill(i, 0, np.asarray(raw.words.a[:nv_b])[:nv]))
+        wbs.append(_spill(i, 1, np.asarray(raw.words.b[:nv_b])[:nv]))
+        wcs.append(_spill(i, 2, np.asarray(raw.words.c[:nv_b])[:nv]))
+        cnts.append(_spill(i, 3, np.asarray(raw.count[:nv_b])[:nv]))
+        sts.append(_spill(i, 4, np.asarray(raw.stats[:nv_b])[:nv]))
         log.info("blocked count: block %d/%d -> %d rows", i + 1, len(blocks), nv)
     del raw, inp  # drop the last block's device buffers before the merge
     tot = sum(len(x) for x in was)
@@ -790,27 +805,31 @@ def count_readset_blocked(
         "blocked count: merging %d raw rows (%s) — %s",
         tot, "one-shot" if tot <= MERGE_ROWS else "partitioned", _hbm_in_use(),
     )
-    if tot <= MERGE_ROWS:
-        m = _round_up(tot, 8192)
+    try:
+        if tot <= MERGE_ROWS:
+            m = _round_up(tot, 8192)
 
-        def cat(parts, fill, dt):
-            out = np.full(m, fill, dt)
-            out[:tot] = np.concatenate(parts)
-            return jnp.asarray(out)
+            def cat(parts, fill, dt):
+                out = np.full(m, fill, dt)
+                out[:tot] = np.concatenate(parts)
+                return jnp.asarray(out)
 
-        table = merge_raw_blocks(
-            cat(was, kc.SENTINEL, np.uint32),
-            cat(wbs, kc.SENTINEL, np.uint32),
-            cat(wcs, kc.SENTINEL, np.uint32),
-            cat(cnts, 0, np.int32),
-            cat(sts, 0, np.uint32),
-            min_freq=min_freq,
-            min_bc=min_bc,
-        )
-    else:
-        table = _merge_blocks_partitioned(
-            was, wbs, wcs, cnts, sts, min_freq, min_bc
-        )
+            table = merge_raw_blocks(
+                cat(was, kc.SENTINEL, np.uint32),
+                cat(wbs, kc.SENTINEL, np.uint32),
+                cat(wcs, kc.SENTINEL, np.uint32),
+                cat(cnts, 0, np.int32),
+                cat(sts, 0, np.uint32),
+                min_freq=min_freq,
+                min_bc=min_bc,
+            )
+        else:
+            table = _merge_blocks_partitioned(
+                was, wbs, wcs, cnts, sts, min_freq, min_bc
+            )
+    finally:
+        del was, wbs, wcs, cnts, sts  # release the mmap handles
+        shutil.rmtree(spill_dir, ignore_errors=True)
     return recompute_adjacencies(trim_table(table))
 
 
