@@ -24,9 +24,9 @@ def _two_part_D(rng, half=60_000):
     bg = BaseGraph(
         edges=edges,
         inv=np.array([3, 2, 1, 0], np.int32),
-        from_v=np.array([0, 1, 3, 2], np.int32),
-        to_v=np.array([1, 2, 0, 3], np.int32),  # wiring irrelevant here
-        n_vertices=4,
+        from_v=np.array([0, 1, 3, 4], np.int32),
+        to_v=np.array([1, 2, 4, 5], np.int32),
+        n_vertices=6,
         is_circle=np.zeros(4, bool),
     )
     D = asg.SuperGraph(
@@ -117,3 +117,68 @@ def test_continuous_molecules_no_split(rng):
         stride=1_000,
     )
     assert splits == [] and gap_dels == [] and detaches == [], info
+
+
+def test_detach_edges_involution_consistent(rng):
+    D = _two_part_D(rng)
+    D2 = afix.detach_edges(D, [(0, True)])
+    D2.validate(deep=True)
+    # edge 0's head and its rc partner's tail moved to fresh vertices
+    assert int(D2.to_v[0]) != int(D.to_v[0])
+    assert int(D2.from_v[1]) != int(D.from_v[1])
+    assert int(D2.to_v[0]) != int(D2.from_v[1])  # genuinely disconnected
+    lines2 = alines.find_lines(D2)
+    assert lines2.n_lines >= alines.find_lines(D).n_lines
+
+
+def test_weak_pair_gap_judged_and_deleted(rng):
+    """Pass 1: a {-1} pair-gap junction with NO spanning barcodes must be
+    returned in gap_dels (the weak-{-2} breaker generalized to all gap
+    codes); a well-bridged one must survive."""
+    from supernova_tpu.asm import gap as agap
+    from supernova_tpu.asm import supergraph as asg
+
+    half = 60_000
+    e0 = rng.integers(0, 4, half).astype(np.uint8)
+    e1 = rng.integers(0, 4, half).astype(np.uint8)
+    edges = Ragged.from_rows(
+        [e0, e1, cdna.revcomp(e1), cdna.revcomp(e0)], dtype=np.uint8
+    )
+    bg = BaseGraph(
+        edges=edges,
+        inv=np.array([3, 2, 1, 0], np.int32),
+        from_v=np.array([0, 1, 3, 4], np.int32),
+        to_v=np.array([1, 2, 4, 5], np.int32),
+        n_vertices=6,
+        is_circle=np.zeros(4, bool),
+    )
+    D = asg.SuperGraph(
+        epaths=Ragged.from_rows(
+            [
+                np.array([0], np.int64), agap.pair_gap(),
+                np.array([1], np.int64),
+                np.array([2], np.int64), agap.pair_gap(),
+                np.array([3], np.int64),
+            ],
+            dtype=np.int64,
+        ),
+        dinv=np.array([5, 4, 3, 2, 1, 0], np.int64),
+        from_v=np.array([0, 1, 2, 4, 5, 6], np.int32),
+        to_v=np.array([1, 2, 3, 5, 6, 7], np.int32),
+        n_vertices=8,
+        bg=bg,
+    )
+    lines = alines.find_lines(D)
+    L = int(lines.lengths(D).max())
+    boundary = half  # the gap sits between the two sequence edges
+    for disjoint, expect_del in ((True, True), (False, False)):
+        lp = _positions(rng, L, boundary if disjoint else 0, disjoint)
+        lines2, line_positions = _line_positions_for(D, lp)
+        splits, gap_dels, detaches, info = afix.find_interior_breaks(
+            D, lines2, line_positions, lines2.lengths(D), window=4_000,
+            stride=1_000,
+        )
+        if expect_del:
+            assert gap_dels, info
+        else:
+            assert not gap_dels, info
