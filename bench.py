@@ -141,21 +141,42 @@ def main():
     print(count_line({"pather": "pending"}), flush=True)
 
     # --- second north-star metric: reads aligned/s (pather, warm) --------
-    import signal
+    # Run in a KILLABLE child: SIGALRM only fires between bytecodes in the
+    # main thread, so a pather wedged inside a blocking C call (an XLA/axon
+    # remote compile — the round-3 failure) would ignore it.  subprocess
+    # timeout kills the child unconditionally (ADVICE r4 #3).
+    import subprocess
+    import sys
 
-    def _alarm(signum, frame):
-        raise TimeoutError("pather bench budget exceeded")
-
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(60 if SMOKE else 900)
     try:
-        extra = bench_pather(genome, rng)
+        r = subprocess.run(
+            [sys.executable, __file__, "--pather-child"],
+            capture_output=True, timeout=60 if SMOKE else 900,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            extra = json.loads(r.stdout.strip().splitlines()[-1])
+        else:
+            extra = {
+                "pather_error":
+                    (r.stderr.decode(errors="replace")[-200:] or
+                     f"rc={r.returncode}")
+            }
+    except subprocess.TimeoutExpired:
+        extra = {"pather_error": "pather bench budget exceeded (killed)"}
     except Exception as e:  # noqa: BLE001 — never lose the count line
         extra = {"pather_error": repr(e)[:200]}
-    finally:
-        signal.alarm(0)
 
     print(count_line(extra), flush=True)
+
+
+def pather_child():
+    """Child-process entry: run the pather bench alone, print ONE JSON line."""
+    from supernova_tpu.core.jaxconfig import ensure_cache
+
+    ensure_cache()
+    rng = np.random.default_rng(12345)
+    genome = rng.integers(0, 4, 1_000_000 if not SMOKE else 12_000)
+    print(json.dumps(bench_pather(genome, rng)), flush=True)
 
 
 def bench_pather(genome, rng):
@@ -204,4 +225,9 @@ def bench_pather(genome, rng):
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--pather-child" in _sys.argv:
+        pather_child()
+    else:
+        main()

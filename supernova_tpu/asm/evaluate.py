@@ -140,8 +140,15 @@ def _map_contigs(contigs, refs, idx, min_parallel: int = 64):
         spans = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
         ctx = mp.get_context("fork")
         with ctx.Pool(workers) as pool:
-            chunks = pool.map(_pool_eval, spans)
+            # Forking a JAX-initialized (multithreaded) parent can deadlock
+            # a child on locks held at fork time; a hang isn't an exception,
+            # so bound the wait and fall back to serial (ADVICE r4 #4).
+            # Budget: generous per-contig allowance, never less than 10 min.
+            budget = max(600.0, 0.5 * n)
+            chunks = pool.map_async(_pool_eval, spans).get(timeout=budget)
         return [e for ch in chunks for e in ch]
+    except mp.TimeoutError:
+        return [evaluate_contig(c, refs, idx) for c in contigs]
     except Exception:
         return [evaluate_contig(c, refs, idx) for c in contigs]
     finally:

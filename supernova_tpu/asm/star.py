@@ -400,6 +400,9 @@ def star_joins(
     min_bridge: int | None = None,     # None -> MIN_BRIDGE (addin-able)
     bridge_view: int | None = None,    # None -> BRIDGE_VIEW (addin-able)
     jaccard_floor: float | None = None,  # calibrated curve floor (run.py)
+    jaccard_view: int | None = None,   # None -> bridge_view; MUST match the
+    # window join_jaccard_floor calibrated with, or the veto measures a
+    # systematically different statistic than the floor predicts
 ) -> List[Tuple[int, int, float]]:
     """One star pass -> [(L1, R, advantage)] right-joins.  `right_dead[li]`
     marks lines whose right end extends nowhere in D (oriented line ids).
@@ -467,7 +470,10 @@ def star_joins(
         if bridge_support(L1, R, lbp, llens, view=bridge_view) < min_bridge:
             continue
         if jaccard_floor is not None:
-            bj = bridge_jaccard(L1, R, lbp, llens, view=bridge_view)
+            bj = bridge_jaccard(
+                L1, R, lbp, llens,
+                view=bridge_view if jaccard_view is None else jaccard_view,
+            )
             if bj is None or bj < jaccard_floor:
                 continue
         joins.append((L1, R, float(ad)))

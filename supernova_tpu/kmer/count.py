@@ -325,6 +325,149 @@ def recompute_adjacencies(table: KmerTable) -> KmerTable:
     return table._replace(left_mask=lmask & new_l, right_mask=rmask & new_r)
 
 
+# ------------------------------------------- host adjacency twin (numpy)
+# The 100 Mb count endgame OOM'd at 130 GB anon RSS inside the one jitted
+# recompute_adjacencies program over the full ~100M-row table on the CPU
+# backend (XLA holds the intermediates of all 8 sort-merge lookups live).
+# The numpy twin below runs the same intersection chunked with bounded
+# workspace; bit-identity with the jit version is tested
+# (tests/test_kmer_count.py::test_recompute_adjacencies_host_twin).
+
+def _rev16_np(w):
+    w = ((w & np.uint32(0x33333333)) << np.uint32(2)) | (
+        (w >> np.uint32(2)) & np.uint32(0x33333333)
+    )
+    w = ((w & np.uint32(0x0F0F0F0F)) << np.uint32(4)) | (
+        (w >> np.uint32(4)) & np.uint32(0x0F0F0F0F)
+    )
+    w = ((w & np.uint32(0x00FF00FF)) << np.uint32(8)) | (
+        (w >> np.uint32(8)) & np.uint32(0x00FF00FF)
+    )
+    return (w << np.uint32(16)) | (w >> np.uint32(16))
+
+
+def _canon_np(a, b, c):
+    """Numpy twin of kc.canonicalize on (a, b, c) uint32 columns."""
+    ra, rb, rcw = _rev16_np(~c), _rev16_np(~b), _rev16_np(~a)
+    flip = (ra < a) | ((ra == a) & ((rb < b) | ((rb == b) & (rcw < c))))
+    return (
+        np.where(flip, ra, a), np.where(flip, rb, b), np.where(flip, rcw, c)
+    )
+
+
+def _succ_np(a, b, c, base: int):
+    bb = np.uint32(base)
+    return (
+        (a << np.uint32(2)) | (b >> np.uint32(30)),
+        (b << np.uint32(2)) | (c >> np.uint32(30)),
+        (c << np.uint32(2)) | bb,
+    )
+
+
+def _pred_np(a, b, c, base: int):
+    hi = np.uint32(np.uint32(base) << np.uint32(30))
+    return (
+        (a >> np.uint32(2)) | hi,
+        (b >> np.uint32(2)) | ((a & np.uint32(3)) << np.uint32(30)),
+        (c >> np.uint32(2)) | ((b & np.uint32(3)) << np.uint32(30)),
+    )
+
+
+def _member_sorted_np(t1, tc, q1, qc):
+    """Exact membership of query kmers in a lexicographically sorted table.
+
+    t1 = (a<<32)|b of the table (ascending; ties sorted by ascending tc=c).
+    Spans of equal t1 are walked in lockstep (64-bit prefix collisions are
+    rare, so the walk is ~1 step)."""
+    lo = np.searchsorted(t1, q1, side="left")
+    hi = np.searchsorted(t1, q1, side="right")
+    found = np.zeros(len(q1), bool)
+    cur = lo
+    active = np.flatnonzero(cur < hi)
+    while len(active):
+        cv = tc[cur[active]]
+        qv = qc[active]
+        hit = cv == qv
+        found[active[hit]] = True
+        step = active[(~hit) & (cv < qv)]
+        cur[step] += 1
+        active = step[cur[step] < hi[step]]
+    return found
+
+
+def recompute_adjacencies_host(
+    wa, wb, wc, lmask, rmask, chunk: int = 16_000_000
+):
+    """Numpy twin of recompute_adjacencies over host columns.
+
+    wa/wb/wc: sorted canonical kmer words (REAL rows only, no sentinel
+    padding).  Returns (new_left_mask, new_right_mask) = observed context
+    masks intersected with table membership
+    (KmerDict::recomputeAdjacencies, kmers/ReadPather.h:346-380)."""
+    t1 = (wa.astype(np.uint64) << np.uint64(32)) | wb
+    new_l = np.zeros_like(lmask)
+    new_r = np.zeros_like(rmask)
+    for s in range(0, len(wa), chunk):
+        e = min(s + chunk, len(wa))
+        ca, cb, cc = wa[s:e], wb[s:e], wc[s:e]
+        for base in range(4):
+            for into, neigh in (
+                (new_r, _succ_np(ca, cb, cc, base)),
+                (new_l, _pred_np(ca, cb, cc, base)),
+            ):
+                qa, qb, qc_ = _canon_np(*neigh)
+                q1 = (qa.astype(np.uint64) << np.uint64(32)) | qb
+                f = _member_sorted_np(t1, wc, q1, qc_)
+                into[s:e] |= f.astype(np.uint32) << np.uint32(base)
+    return lmask & new_l, rmask & new_r
+
+
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except Exception:
+        pass
+    return -1.0
+
+
+def _finalize_table_host(cols, pad_multiple: int = 1024) -> KmerTable:
+    """Host columns (7-tuple from the partitioned merge) -> final KmerTable:
+    adjacency recompute + geometric-ladder padding, all in numpy — the
+    bounded-memory twin of recompute_adjacencies(trim_table(...)).  The
+    returned table is numpy-backed (the count checkpoint serializes it
+    host-side; downstream jnp ops lift lazily, same as a --resume load)."""
+    from ..dbg.build import geom_bucket
+
+    wa, wb, wc, cnt, nbc, lm, rm = (np.ascontiguousarray(x) for x in cols)
+    log = logging.getLogger("supernova_tpu")
+    log.info("blocked count: host adjacency recompute — rss=%.1f GB", _rss_gb())
+    lm2, rm2 = recompute_adjacencies_host(wa, wb, wc, lm, rm)
+    n = len(wa)
+    m = geom_bucket(max(n, 1), pad_multiple)
+
+    def pad(x, fill, dt):
+        buf = np.full(m, fill, dt)
+        buf[:n] = x
+        return buf
+
+    log.info("blocked count: finalized %d kmers — rss=%.1f GB", n, _rss_gb())
+    return KmerTable(
+        W3(
+            pad(wa, kc.SENTINEL, np.uint32),
+            pad(wb, kc.SENTINEL, np.uint32),
+            pad(wc, kc.SENTINEL, np.uint32),
+        ),
+        pad(cnt, 0, np.int32),
+        pad(nbc, 0, np.int32),
+        pad(lm2, 0, np.uint32),
+        pad(rm2, 0, np.uint32),
+        np.int32(n),
+    )
+
+
 # ------------------------------------------------------- blocked counting
 
 class RawBlockTable(NamedTuple):
@@ -705,11 +848,17 @@ def split_readset_blocks(rs, max_positions: int):
 def count_readset_blocked(
     rs, min_freq: int | None = None, min_bc: int | None = None,
     min_read_len: int = K + 1, max_positions: int = BLOCK_POSITIONS,
+    spill_dir: str | None = None,
 ) -> KmerTable:
     """Blocked count for readsets whose occurrence arrays exceed HBM:
     per-block unfiltered reduced tables (distinct-kmer scale), one device
     merge + filter.  Bit-identical to the single-program count.
-    min_freq/min_bc=None read MIN_FREQ/MIN_BC at call time (--addin)."""
+    min_freq/min_bc=None read MIN_FREQ/MIN_BC at call time (--addin).
+
+    spill_dir: when given, block results spill THERE with per-block done
+    markers and a meta guard — a killed run resumes at block granularity
+    instead of recounting everything (the 100 Mb rung lost 2x ~75-minute
+    block phases to OOM kills before this).  The caller owns cleanup."""
     from ..dbg.build import trim_table
 
     if min_freq is None:
@@ -772,38 +921,96 @@ def count_readset_blocked(
     # 100 Mb the 50 blocks hold ~2.5G raw rows (~50 GB) and keeping them
     # host-resident OOM-killed the run at the merge endgame (130 GB RSS).
     # Small runs pay trivial I/O; the OS page cache keeps hot slices warm.
+    import json as _json
     import shutil
     import tempfile
 
-    spill_dir = tempfile.mkdtemp(prefix="snb_spill_")
+    persistent = spill_dir is not None
+    if persistent:
+        meta = {
+            "n_blocks": len(blocks), "pad_pos": pad_pos, "pad_rd": pad_rd,
+            "n_reads": int(rs.n_reads), "min_freq": int(min_freq),
+            "min_bc": int(min_bc), "packed": bool(packed),
+        }
+        meta_path = os.path.join(spill_dir, "meta.json")
+        os.makedirs(spill_dir, exist_ok=True)
+        stale = True
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    stale = _json.load(f) != meta
+            except Exception:
+                stale = True
+        if stale:
+            shutil.rmtree(spill_dir, ignore_errors=True)
+            os.makedirs(spill_dir, exist_ok=True)
+            with open(meta_path, "w") as f:
+                _json.dump(meta, f)
+    else:
+        spill_dir = tempfile.mkdtemp(prefix="snb_spill_")
+
+    def _bpath(i, j):
+        return os.path.join(spill_dir, f"b{i}_{j}.npy")
+
+    def _ok(i):
+        return os.path.join(spill_dir, f"b{i}.ok")
 
     def _spill(i, j, arr):
-        path = os.path.join(spill_dir, f"b{i}_{j}.npy")
-        np.save(path, arr)
-        return np.load(path, mmap_mode="r")
+        np.save(_bpath(i, j), arr)
+        return np.load(_bpath(i, j), mmap_mode="r")
 
+    slots: dict = {}
+    pending = []
     for i in range(len(blocks)):
-        raw = dispatch(inp)  # async dispatch
-        if i + 1 < len(blocks):
-            # overlap the next block's host prep with this device program
-            inp = prep(blocks[i + 1])
-        nv = int(raw.n_valid)  # sync point
-        # slice on DEVICE before pulling: the padded arrays are ~2.5x the
-        # kept rows and the device->host link is the per-block bottleneck.
-        # Bucket the slice length so the tiny slice programs get reused
-        # across blocks (axon pays a compile per distinct shape).
-        nv_b = min(_round_up(max(nv, 1), 4 << 20), raw.words.a.shape[0])
-        was.append(_spill(i, 0, np.asarray(raw.words.a[:nv_b])[:nv]))
-        wbs.append(_spill(i, 1, np.asarray(raw.words.b[:nv_b])[:nv]))
-        wcs.append(_spill(i, 2, np.asarray(raw.words.c[:nv_b])[:nv]))
-        cnts.append(_spill(i, 3, np.asarray(raw.count[:nv_b])[:nv]))
-        sts.append(_spill(i, 4, np.asarray(raw.stats[:nv_b])[:nv]))
-        log.info("blocked count: block %d/%d -> %d rows", i + 1, len(blocks), nv)
-    del raw, inp  # drop the last block's device buffers before the merge
+        if persistent and os.path.exists(_ok(i)):
+            slots[i] = tuple(
+                np.load(_bpath(i, j), mmap_mode="r") for j in range(5)
+            )
+        else:
+            pending.append(i)
+    if len(pending) < len(blocks):
+        log.info(
+            "blocked count: resume — %d/%d blocks already spilled",
+            len(blocks) - len(pending), len(blocks),
+        )
+    if pending:
+        inp = prep(blocks[pending[0]])
+        for k, i in enumerate(pending):
+            raw = dispatch(inp)  # async dispatch
+            if k + 1 < len(pending):
+                # overlap the next block's host prep with this device program
+                inp = prep(blocks[pending[k + 1]])
+            nv = int(raw.n_valid)  # sync point
+            # slice on DEVICE before pulling: the padded arrays are ~2.5x the
+            # kept rows and the device->host link is the per-block bottleneck.
+            # Bucket the slice length so the tiny slice programs get reused
+            # across blocks (axon pays a compile per distinct shape).
+            nv_b = min(_round_up(max(nv, 1), 4 << 20), raw.words.a.shape[0])
+            slots[i] = (
+                _spill(i, 0, np.asarray(raw.words.a[:nv_b])[:nv]),
+                _spill(i, 1, np.asarray(raw.words.b[:nv_b])[:nv]),
+                _spill(i, 2, np.asarray(raw.words.c[:nv_b])[:nv]),
+                _spill(i, 3, np.asarray(raw.count[:nv_b])[:nv]),
+                _spill(i, 4, np.asarray(raw.stats[:nv_b])[:nv]),
+            )
+            if persistent:
+                with open(_ok(i), "w") as f:
+                    f.write(str(nv))
+            log.info(
+                "blocked count: block %d/%d -> %d rows — rss=%.1f GB",
+                i + 1, len(blocks), nv, _rss_gb(),
+            )
+        del raw, inp  # drop the last block's device buffers before the merge
+    for i in range(len(blocks)):
+        wa_, wb_, wc_, cn_, st_ = slots[i]
+        was.append(wa_); wbs.append(wb_); wcs.append(wc_)
+        cnts.append(cn_); sts.append(st_)
+    del slots
     tot = sum(len(x) for x in was)
     log.info(
-        "blocked count: merging %d raw rows (%s) — %s",
-        tot, "one-shot" if tot <= MERGE_ROWS else "partitioned", _hbm_in_use(),
+        "blocked count: merging %d raw rows (%s) — %s, rss=%.1f GB",
+        tot, "one-shot" if tot <= MERGE_ROWS else "partitioned",
+        _hbm_in_use(), _rss_gb(),
     )
     try:
         if tot <= MERGE_ROWS:
@@ -823,14 +1030,19 @@ def count_readset_blocked(
                 min_freq=min_freq,
                 min_bc=min_bc,
             )
-        else:
-            table = _merge_blocks_partitioned(
-                was, wbs, wcs, cnts, sts, min_freq, min_bc
-            )
+            return recompute_adjacencies(trim_table(table))
+        # Partitioned path: host columns all the way out.  The old endgame
+        # built a ~100M-row device table and ran the one-program jit
+        # adjacency recompute over it — 130 GB anon RSS on the CPU backend
+        # (all 8 sort-merge lookups' intermediates live at once).
+        cols = _merge_blocks_partitioned(
+            was, wbs, wcs, cnts, sts, min_freq, min_bc
+        )
+        return _finalize_table_host(cols)
     finally:
         del was, wbs, wcs, cnts, sts  # release the mmap handles
-        shutil.rmtree(spill_dir, ignore_errors=True)
-    return recompute_adjacencies(trim_table(table))
+        if not persistent:
+            shutil.rmtree(spill_dir, ignore_errors=True)
 
 
 # Rows per device merge partition: the merge sorts 5 arrays of this many
@@ -844,8 +1056,9 @@ MERGE_ROWS = 48_000_000
 
 def _merge_blocks_partitioned(
     was, wbs, wcs, cnts, sts, min_freq: int, min_bc: int
-) -> KmerTable:
-    """Bounded-memory merge of per-block raw tables.
+):
+    """Bounded-memory merge of per-block raw tables -> 7 host columns
+    (wa, wb, wc, count, nbc, left_mask, right_mask), kept rows only.
 
     Each block's rows are already sorted by (a, b, c), so the kmer space is
     range-partitioned on the leading word `a`: splitters are data quantiles
@@ -941,31 +1154,18 @@ def _merge_blocks_partitioned(
         lo = hi
 
     if out_parts is None:
-        return KmerTable(
-            W3(*(jnp.full(8192, kc.SENTINEL, jnp.uint32) for _ in range(3))),
-            jnp.zeros(8192, jnp.int32), jnp.zeros(8192, jnp.int32),
-            jnp.zeros(8192, U32), jnp.zeros(8192, U32), jnp.int32(0),
+        z = np.zeros(0, np.uint32)
+        return (
+            z, z.copy(), z.copy(),
+            np.zeros(0, np.int32), np.zeros(0, np.int32), z.copy(), z.copy(),
         )
-    merged = [np.concatenate(p) for p in out_parts]
-    nv = len(merged[0])
-    m = _round_up(nv, 8192)
-
-    def pad(x, fill, dt):
-        buf = np.full(m, fill, dt)
-        buf[:nv] = x
-        return jnp.asarray(buf)
-
-    return KmerTable(
-        W3(
-            pad(merged[0], kc.SENTINEL, np.uint32),
-            pad(merged[1], kc.SENTINEL, np.uint32),
-            pad(merged[2], kc.SENTINEL, np.uint32),
-        ),
-        pad(merged[3], 0, np.int32),
-        pad(merged[4], 0, np.int32),
-        pad(merged[5], 0, np.uint32),
-        pad(merged[6], 0, np.uint32),
-        jnp.asarray(nv, jnp.int32),
+    dts = (
+        np.uint32, np.uint32, np.uint32,
+        np.int32, np.int32, np.uint32, np.uint32,
+    )
+    return tuple(
+        np.concatenate(p).astype(dt, copy=False)
+        for p, dt in zip(out_parts, dts)
     )
 
 
@@ -1111,7 +1311,7 @@ def estimate_coverage(table: KmerTable, read_len: float = 150.0):
 
 def count_readset(
     rs, min_freq: int | None = None, min_bc: int | None = None,
-    min_read_len: int = K + 1,
+    min_read_len: int = K + 1, spill_dir: str | None = None,
 ) -> KmerTable:
     """End-to-end host entry: ReadSet -> filtered, adjacency-true KmerTable.
 
@@ -1135,6 +1335,7 @@ def count_readset(
                 return count_readset_blocked(
                     rs, min_freq=min_freq, min_bc=min_bc,
                     min_read_len=min_read_len, max_positions=max_pos,
+                    spill_dir=spill_dir,
                 )
             except Exception as e:  # noqa: BLE001 — OOM-retry boundary
                 if not _is_oom(e) or max_pos // 2 < MIN_BLOCK_POSITIONS:

@@ -251,7 +251,11 @@ class Pipeline:
         if ndev:
             table = self._count_sharded(rs, ndev)
         else:
-            table = kcount.count_readset(rs)
+            # persistent block spills: an OOM-killed count resumes at block
+            # granularity (the 100 Mb rung lost two ~75-min block phases)
+            table = kcount.count_readset(
+                rs, spill_dir=str(self.outdir / "count_spill")
+            )
         table = dbuild.trim_table(table)
         n = int(table.n_valid)
         self.stats.log("kmers_distinct", n, "distinct filtered 48-mers", stage="count")
@@ -272,6 +276,10 @@ class Pipeline:
             right_mask=np.asarray(table.right_mask),
             n_valid=np.int64(n),
         )
+        # block spills are superseded by the checkpoint just written
+        import shutil
+
+        shutil.rmtree(self.outdir / "count_spill", ignore_errors=True)
         return table
 
     def _glue_mesh(self):
@@ -954,10 +962,17 @@ class Pipeline:
             lp_cal: dict = {}
             for (b, li), ps in positions.items():
                 lp_cal.setdefault(li, {})[b] = ps
-            floor = agk.join_jaccard_floor(lp_cal, llens, D, lines)
+            # one window for calibration AND measurement: the floor is the
+            # curve value at max_gap computed with window jwin, so the veto
+            # must measure bridge_jaccard at the same view (ADVICE r4 #2 —
+            # a 20 kb view vs a 10 kb-calibrated floor over-rejects joins)
+            jwin = min(agk.WINDOW, astar.BRIDGE_VIEW)
+            floor = agk.join_jaccard_floor(
+                lp_cal, llens, D, lines, window=jwin
+            )
             joins = astar.star_joins(
                 canon, llens, lines.linv, lbp, lhood, rdead,
-                jaccard_floor=floor,
+                jaccard_floor=floor, jaccard_view=jwin,
             )
             joins = astar.filter_joins(joins, lines.linv)
             if not joins:
@@ -1333,19 +1348,24 @@ class Pipeline:
                     D, lines, lpx, lines.lengths(D)
                 )
                 log.info("fixint: %s", finfo)
+                # Surgery order matters: split_edges/detach_edges preserve
+                # existing edge IDs (they only append edges / adjust the
+                # split pair's dinv), while del_edges COMPACTS and renumbers
+                # D-edges — so all three lists, computed on one graph, stay
+                # valid only if deletions run LAST.
                 n_broken = 0
-                if gap_dels:
-                    dels_g = sorted(
-                        {g for d in gap_dels for g in (d, int(D.dinv[d]))}
-                    )
-                    D = del_edges(D, dels_g)
-                    n_broken += len(gap_dels)
                 if splits:
                     D = afix.split_edges(D, splits)
                     n_broken += len(splits)
                 if detaches:
                     D = afix.detach_edges(D, detaches)
                     n_broken += len(detaches)
+                if gap_dels:
+                    dels_g = sorted(
+                        {g for d in gap_dels for g in (d, int(D.dinv[d]))}
+                    )
+                    D = del_edges(D, dels_g)
+                    n_broken += len(gap_dels)
                 if n_broken:
                     D.validate()
                     lines = _refresh(D)

@@ -193,3 +193,59 @@ def test_packed_block_path_bit_identical(rng):
             np.asarray(getattr(t_b.words, w))[:nv],
             np.asarray(getattr(t_s.words, w))[:nv],
         )
+
+
+def test_partitioned_merge_spill_resume(rng, tmp_path, monkeypatch):
+    """Persistent spill dir: completed blocks are reused on resume, the meta
+    guard invalidates stale spills, and results stay bit-identical."""
+    rs = _readset(rng)
+    single = kcount.count_readset(rs)
+    monkeypatch.setattr(kcount, "MERGE_ROWS", 20_000)
+    sd = tmp_path / "spill"
+    b1 = kcount.count_readset_blocked(
+        rs, max_positions=150_000, spill_dir=str(sd)
+    )
+    _tables_equal(single, b1)
+    assert (sd / "meta.json").exists()
+    oks = sorted(sd.glob("b*.ok"))
+    assert len(oks) >= 2
+    # simulate a partial run: drop one marker, resume re-counts only that one
+    oks[1].unlink()
+    b2 = kcount.count_readset_blocked(
+        rs, max_positions=150_000, spill_dir=str(sd)
+    )
+    _tables_equal(single, b2)
+    # different block size -> meta mismatch -> spills cleared, still identical
+    b3 = kcount.count_readset_blocked(
+        rs, max_positions=100_000, spill_dir=str(sd)
+    )
+    _tables_equal(single, b3)
+
+
+def test_recompute_adjacencies_host_twin(rng):
+    """The numpy adjacency recompute (bounded-memory 100 Mb endgame) is
+    bit-identical to the jitted one — including pruning mask bits whose
+    neighbor kmer is NOT in the table."""
+    import jax.numpy as jnp
+
+    from supernova_tpu.core import kmer_codec as kc
+
+    rs = _readset(rng)
+    t = kcount.count_readset(rs)
+    n = int(t.n_valid)
+    assert n > 500
+    # corrupt the masks with extra bits so the recompute has real work
+    lm = np.asarray(t.left_mask).copy()
+    rm = np.asarray(t.right_mask).copy()
+    lm[:n] |= rng.integers(0, 16, n).astype(np.uint32)
+    rm[:n] |= rng.integers(0, 16, n).astype(np.uint32)
+    t2 = t._replace(left_mask=jnp.asarray(lm), right_mask=jnp.asarray(rm))
+    want = kcount.recompute_adjacencies(t2)
+    wa = np.asarray(t.words.a)[:n]
+    wb = np.asarray(t.words.b)[:n]
+    wc = np.asarray(t.words.c)[:n]
+    got_l, got_r = kcount.recompute_adjacencies_host(
+        wa, wb, wc, lm[:n], rm[:n], chunk=257
+    )
+    assert np.array_equal(got_l, np.asarray(want.left_mask)[:n])
+    assert np.array_equal(got_r, np.asarray(want.right_mask)[:n])
