@@ -1,0 +1,184 @@
+"""Fill-content verification by spanning read PAIRS.
+
+The 10 Mb realistic rung's one residual misassembly class (pseudohap ori
+0.23-0.49% across round-4 rephases) was wrong-copy gap fills: local
+assembly at a repeat-flanked gap spells the OTHER repeat copy's
+continuation, or bridges flank-to-flank through the repeat and skips real
+genome.  Those fills are position-correct and barcode-continuous, so no
+linking or discontinuity statistic can see them (asm/fixint.py measured a
+healthy bridge fraction 0.66 at a known-wrong fill).  What does
+distinguish them is read-pair CONTENT through the fill:
+
+  * a CORRECT fill collects proper pairs (FR orientation, sane fragment
+    length) whose fragments cross each flank/fill junction — the reads
+    that spell the junction pair with mates anchored in unique flank;
+  * against a WRONG fill, reads anchored in the unique flank have mates
+    that spell the TRUE gap content — those mates fail to place anywhere
+    in the filled junction, showing up as one-mate-mapped contradictions
+    whose expected mate window lies inside the fill.
+
+The reference never emits a fill without consensus support from the reads
+it stacked (10X/Stackaroo.cc, 10X/BuildLocal.cc:192); this module is the
+pair-resolution version of that rule: verify the CONTENT, reject on mixed
+support, and let rejected gaps stay open as calibrated {-2} rows.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..core import dna
+
+SEED_K = 21  # mapping seed length (fills are built at PATCH_K=25)
+MIN_MAP_FRAC = 0.88  # a read "places" when >= this fraction matches
+CONTRA_FRAC = 0.60  # an expected mate matching below this contradicts
+FRAG_MIN = 120  # proper-pair fragment bounds (sim inserts ~350;
+FRAG_MAX = 1200  # reference ideal 350-400, alarms at <300/>100 extremes)
+ANCHOR = 50  # bases a crossing fragment must extend past a junction
+MIN_OVERLAP = 60  # min read/J overlap for a frac to be meaningful
+
+
+def _seed_index(J: np.ndarray, k: int = SEED_K) -> Dict[bytes, List[int]]:
+    idx: Dict[bytes, List[int]] = {}
+    jb = J.tobytes()
+    for i in range(0, len(J) - k + 1):
+        idx.setdefault(jb[i : i + k], []).append(i)
+    return idx
+
+
+def _best_placement(
+    J: np.ndarray, idx: Dict[bytes, List[int]], read: np.ndarray,
+    k: int = SEED_K,
+) -> Tuple[int, int, float]:
+    """-> (start, strand, frac): best ungapped placement of `read` on J
+    over both strands; start is the (possibly negative) offset of the
+    read's first base, frac the match fraction over the J-overlapping
+    part (0.0 when overlap < MIN_OVERLAP or no seed hits)."""
+    n = len(J)
+    best = (0, 0, 0.0)
+    for strand, rc in ((1, read), (-1, dna.revcomp(read))):
+        rl = len(rc)
+        if rl < k:
+            continue
+        rb = rc.tobytes()
+        votes: Dict[int, int] = {}
+        for off in (0, rl // 2, rl - k):
+            for p in idx.get(rb[off : off + k], ()):
+                s = p - off
+                votes[s] = votes.get(s, 0) + 1
+        for s in sorted(votes, key=lambda t: -votes[t])[:3]:
+            lo = max(0, s)
+            hi = min(n, s + rl)
+            ovl = hi - lo
+            if ovl < MIN_OVERLAP:
+                continue
+            frac = float(np.mean(rc[lo - s : hi - s] == J[lo:hi]))
+            if frac > best[2]:
+                best = (s, strand, frac)
+    return best
+
+
+def verify_fill(
+    left_ctx: np.ndarray,
+    novel: np.ndarray,
+    right_ctx: np.ndarray,
+    rs,
+    rids: Sequence[int],
+    min_junction_pairs: int = 1,
+    frag_max: int = FRAG_MAX,
+) -> Tuple[bool, dict]:
+    """Judge a candidate gap fill by read-pair support.
+
+    left_ctx/right_ctx: flank base codes abutting the gap (a few hundred
+    bases each); novel: the inserted fill content between them (may be
+    empty for a butt join).  rids: the read ids the local assembly drew
+    from; mates are rid^1 (ingest preserves pair adjacency).
+
+    Accept iff proper pairs cross BOTH junctions (>= min_junction_pairs
+    each) and one-mate contradictions pointing into the fill do not
+    outnumber the supporting pairs.  -> (ok, info)."""
+    J = np.concatenate([left_ctx, novel, right_ctx]).astype(np.uint8)
+    fill_lo = len(left_ctx)
+    fill_hi = fill_lo + len(novel)
+    n = len(J)
+    if n < 2 * SEED_K:
+        return False, {"reason": "context too short"}
+    idx = _seed_index(J)
+
+    pair_ids = sorted({int(r) // 2 for r in rids})
+    if len(pair_ids) > 2000:  # judgment is ratio-based; a sample suffices
+        pair_ids = pair_ids[:2000]
+    placements: Dict[int, Tuple[int, int, float, int]] = {}
+
+    def place(rid: int):
+        if rid not in placements:
+            read = rs.read(rid)
+            s, st, f = _best_placement(J, idx, read)
+            placements[rid] = (s, st, f, len(read))
+        return placements[rid]
+
+    left_cross = right_cross = interior = 0
+    contra = 0
+    for p in pair_ids:
+        r1, r2 = 2 * p, 2 * p + 1
+        s1, st1, f1, l1 = place(r1)
+        s2, st2, f2, l2 = place(r2)
+        m1, m2 = f1 >= MIN_MAP_FRAC, f2 >= MIN_MAP_FRAC
+        # single well-placed reads crossing a junction are content
+        # evidence too (a wrong-copy switch breaks read continuity at
+        # some point; a full read matching across the boundary vouches
+        # for it even when its mate falls outside J)
+        for s, m, ln in ((s1, m1, l1), (s2, m2, l2)):
+            if not m or s < 0 or s + ln > n:
+                continue
+            if s <= fill_lo - ANCHOR and s + ln >= min(fill_lo + ANCHOR, fill_hi):
+                left_cross += 1
+            if s + ln >= fill_hi + ANCHOR and s <= max(fill_hi - ANCHOR, fill_lo):
+                right_cross += 1
+        if m1 and m2:
+            if st1 == st2:
+                continue  # same-strand: not a proper pair
+            # plus-strand mate must be leftmost (FR)
+            (sp, lp), (sm, lm) = (
+                ((s1, l1), (s2, l2)) if st1 == 1 else ((s2, l2), (s1, l1))
+            )
+            fs, fe = sp, sm + lm
+            if fe <= fs or not (FRAG_MIN <= fe - fs <= frag_max):
+                continue
+            crossed = False
+            if fs <= fill_lo - ANCHOR and fe >= min(fill_lo + ANCHOR, fill_hi):
+                left_cross += 1
+                crossed = True
+            if fe >= fill_hi + ANCHOR and fs <= max(fill_hi - ANCHOR, fill_lo):
+                right_cross += 1
+                crossed = True
+            if not crossed and fs >= fill_lo and fe <= fill_hi:
+                interior += 1
+        elif m1 != m2:
+            # one mate placed: does its expected mate window sit fully
+            # inside J and intersect the fill?  then the unplaced mate
+            # CONTRADICTS the fill content.
+            s, st, _f, ln = (s1, st1, f1, l1) if m1 else (s2, st2, f2, l2)
+            fo = f2 if m1 else f1
+            if fo >= CONTRA_FRAC:
+                continue  # weakly places — ambiguous, don't count
+            if st == 1:
+                w_lo, w_hi = s, s + frag_max
+            else:
+                w_lo, w_hi = s + ln - frag_max, s + ln
+            if w_lo < 0 or w_hi > n:
+                continue  # window exits J: mate may be legitimately outside
+            if w_hi <= fill_lo or w_lo >= fill_hi:
+                continue  # expected mate is pure flank — not a fill verdict
+            contra += 1
+    support = left_cross + right_cross + interior
+    ok = (
+        left_cross >= min_junction_pairs
+        and right_cross >= min_junction_pairs
+        and contra <= max(1, support // 4)
+    )
+    return ok, {
+        "left_cross": left_cross, "right_cross": right_cross,
+        "interior": interior, "contra": contra, "fill_len": len(novel),
+    }

@@ -590,10 +590,28 @@ def unvoid(
         from .stackaroo import _fill_contradicts_estimate
 
         seqs = [rs.read(int(r)) for r in rids]
+
+        def _pairs_ok(novel_seq: str) -> bool:
+            # content fills must carry read-PAIR support through the fill
+            # (wrong-copy fills are linking-invisible; asm/fillcheck.py)
+            if not novel_seq:
+                return True  # overlap/butt join: no novel content to judge
+            from . import fillcheck as afc
+
+            ok, _info = afc.verify_fill(
+                D.edge_tail_bases(eL, 400),
+                dna.seq_to_codes(novel_seq),
+                D.edge_head_bases(eR, 400),
+                rs, [int(r) for r in rids],
+            )
+            return ok
+
         cl = closure_graph(seqs, seq_l, seq_r)
         if cl is not None and len(cl) == 1 and cl[0][0] == "L" and cl[0][1] == "R":
             if _fill_contradicts_estimate(len(cl[0][2]), D.epaths.row(d)):
                 return None  # repeat-flank bridge skipping real genome
+            if not _pairs_ok(cl[0][2][K - 1 : max(K - 1, len(cl[0][2]) - (K - 1))]):
+                return None
             return ("linear", d, cl[0][2])
         if cl is not None:
             rd = int(D.dinv[d])
@@ -618,6 +636,8 @@ def unvoid(
             return None
         if _fill_contradicts_estimate(len(fill), D.epaths.row(d)):
             return None  # repeat-flank bridge skipping real genome
+        if not _pairs_ok(fill[:-k]):
+            return None
         gseq = seq_l[-(K - 1) :] + fill + seq_r[k : K - 1]
         return ("linear0", d, gseq)
 
@@ -814,6 +834,21 @@ def unvoid_voids(
         if win is None:
             return None
         s2, cl = win
+        if len(cl) == 1 and cl[0][0] == "L" and cl[0][1] == "R":
+            # linear void closure inserts novel sequence between two line
+            # ends: demand read-pair support through it (asm/fillcheck.py)
+            novel = cl[0][2][K - 1 : max(K - 1, len(cl[0][2]) - (K - 1))]
+            if novel:
+                from . import fillcheck as afc
+
+                ok, _info = afc.verify_fill(
+                    D.edge_tail_bases(s1, 400),
+                    dna.seq_to_codes(novel),
+                    D.edge_head_bases(s2, 400),
+                    rs, [int(r) for r in rids],
+                )
+                if not ok:
+                    return None
         return (
             v,
             int(D.from_v[s2]),

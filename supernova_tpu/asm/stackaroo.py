@@ -119,6 +119,7 @@ def stackaroo_gaps(
     ctx = max(FLANK_BASES, K)
     replacements: Dict[int, np.ndarray] = {}
     n_filled = 0
+    n_rejected = 0
     for d in gap_ids:
         lefts = [e for e in into.get(int(D.from_v[d]), []) if not D.is_gap(e)]
         rights = [e for e in outof.get(int(D.to_v[d]), []) if not D.is_gap(e)]
@@ -126,8 +127,10 @@ def stackaroo_gaps(
             continue  # {-3} requires exactly one abutting edge per side
         eL, eR = lefts[0], rights[0]
         # flank-sized context only — full edge_seq is O(edge length)
-        seq_l = _dna.codes_to_seq(D.edge_tail_bases(eL, ctx))
-        seq_r = _dna.codes_to_seq(D.edge_head_bases(eR, ctx))
+        codes_l = D.edge_tail_bases(eL, ctx)
+        codes_r = D.edge_head_bases(eR, ctx)
+        seq_l = _dna.codes_to_seq(codes_l)
+        seq_r = _dna.codes_to_seq(codes_r)
         if len(seq_l) < K or len(seq_r) < K:
             continue
         rids = reads_on([eL, eR, int(D.dinv[eL]), int(D.dinv[eR])])
@@ -143,6 +146,18 @@ def stackaroo_gaps(
             continue  # len >= k guarantees the tail-(K-1) equals eR's head
         if _fill_contradicts_estimate(len(fill), D.epaths.row(d)):
             continue
+        if len(fill) > k:
+            # content fill: demand read-PAIR support through it — wrong-copy
+            # fills are barcode-continuous and position-correct, only the
+            # pair content betrays them (asm/fillcheck.py)
+            from . import fillcheck as afc
+
+            ok, vinfo = afc.verify_fill(
+                codes_l, dna.seq_to_codes(fill[:-k]), codes_r, rs, rids
+            )
+            if not ok:
+                n_rejected += 1
+                continue
         # {-3} payload: starts with eL's last K-1 bases, ends with eR's
         # first K-1 (fill already ends with right[:k])
         gseq = seq_l[-(K - 1) :] + fill + right[k : K - 1]
@@ -151,6 +166,13 @@ def stackaroo_gaps(
         replacements[int(D.dinv[d])] = agap.rc_gap(row)
         n_filled += 1
 
+    if n_rejected:
+        import logging
+
+        logging.getLogger("supernova_tpu").info(
+            "stackaroo: %d fills rejected by pair-content check (kept {-2})",
+            n_rejected,
+        )
     if not replacements:
         return D, 0
     rows = [replacements.get(d, D.epaths.row(d)) for d in range(D.n_edges)]

@@ -1,0 +1,81 @@
+"""Fill-content verification by read pairs (asm/fillcheck.py): the
+wrong-copy fill class is linking-invisible (barcode-continuous,
+position-correct) — only pair CONTENT through the fill betrays it."""
+import numpy as np
+
+from supernova_tpu.asm import fillcheck as afc
+from supernova_tpu.core import dna
+
+
+class _FakeRS:
+    def __init__(self, reads):
+        self._reads = reads
+
+    def read(self, i):
+        return self._reads[i]
+
+
+def _mk_reads(rng, region, n_pairs, frag=350, rl=150, err=0.002):
+    """FR pairs tiling `region` (the sim's convention: R1 fwd, R2 rc)."""
+    reads = []
+    for _ in range(n_pairs):
+        fs = int(rng.integers(0, len(region) - frag))
+        fragment = region[fs : fs + frag]
+        r1 = fragment[:rl].copy()
+        r2 = dna.revcomp(fragment[-rl:]).copy()
+        for r in (r1, r2):
+            ne = rng.random(rl) < err
+            r[ne] = (r[ne] + rng.integers(1, 4, ne.sum())) % 4
+        reads.extend([r1, r2])
+    return reads
+
+
+def test_correct_fill_accepted(rng):
+    g = rng.integers(0, 4, 4800).astype(np.uint8)
+    left, novel, right = g[:2000], g[2000:2800], g[2800:]
+    reads = _mk_reads(rng, g, 160)
+    ok, info = afc.verify_fill(
+        left[-400:], novel, right[:400], _FakeRS(reads), range(len(reads))
+    )
+    assert ok, info
+    assert info["left_cross"] >= 1 and info["right_cross"] >= 1
+    assert info["contra"] <= 1
+
+
+def test_wrong_copy_fill_rejected(rng):
+    g = rng.integers(0, 4, 4800).astype(np.uint8)
+    left, right = g[:2000], g[2800:]
+    wrong = rng.integers(0, 4, 800).astype(np.uint8)  # other repeat copy
+    reads = _mk_reads(rng, g, 160)  # reads spell the TRUE locus
+    ok, info = afc.verify_fill(
+        left[-400:], wrong, right[:400], _FakeRS(reads), range(len(reads))
+    )
+    assert not ok, info
+    # flank-anchored mates that should land in the fill cannot place
+    assert info["contra"] >= 2
+
+
+def test_unsupported_fill_rejected(rng):
+    """Reads that never touch the junction leave it unverified -> reject
+    (the contested gap stays open as a calibrated {-2})."""
+    g = rng.integers(0, 4, 4800).astype(np.uint8)
+    left, novel, right = g[:2000], g[2000:2800], g[2800:]
+    far = rng.integers(0, 4, 3000).astype(np.uint8)
+    reads = _mk_reads(rng, far, 120)  # unrelated reads
+    ok, info = afc.verify_fill(
+        left[-400:], novel, right[:400], _FakeRS(reads), range(len(reads))
+    )
+    assert not ok, info
+
+
+def test_long_fill_interior_pairs(rng):
+    """Fills longer than the fragment length verify through chained
+    interior pairs plus one crossing pair per junction."""
+    g = rng.integers(0, 4, 8000).astype(np.uint8)
+    left, novel, right = g[:2000], g[2000:6000], g[6000:]
+    reads = _mk_reads(rng, g, 400)
+    ok, info = afc.verify_fill(
+        left[-400:], novel, right[:400], _FakeRS(reads), range(len(reads))
+    )
+    assert ok, info
+    assert info["interior"] >= 1

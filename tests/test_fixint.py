@@ -182,3 +182,97 @@ def test_weak_pair_gap_judged_and_deleted(rng):
             assert gap_dels, info
         else:
             assert not gap_dels, info
+
+
+def test_combined_gap_del_and_split_one_graph(rng):
+    """Pass-1 gap deletions and pass-2 splits firing on the SAME graph must
+    compose: the pipeline applies splits/detaches FIRST (edge-ID preserving)
+    and deletions LAST (del_edges renumbers) — ADVICE r4 #1."""
+    from supernova_tpu.asm import gap as agap
+    from supernova_tpu.asm.inversion import delete_edges
+
+    half = 60_000
+    e0 = rng.integers(0, 4, half).astype(np.uint8)
+    e1 = np.concatenate(
+        [e0[-(K - 1):], rng.integers(0, 4, half).astype(np.uint8)]
+    )
+    e2 = rng.integers(0, 4, half).astype(np.uint8)
+    edges = Ragged.from_rows(
+        [e0, e1, e2, cdna.revcomp(e2), cdna.revcomp(e1), cdna.revcomp(e0)],
+        dtype=np.uint8,
+    )
+    bg = BaseGraph(
+        edges=edges,
+        inv=np.array([5, 4, 3, 2, 1, 0], np.int32),
+        from_v=np.array([0, 1, 3, 5, 7, 8], np.int32),
+        to_v=np.array([1, 2, 4, 6, 8, 9], np.int32),
+        n_vertices=10,
+        is_circle=np.zeros(6, bool),
+    )
+    D = asg.SuperGraph(
+        epaths=Ragged.from_rows(
+            [
+                np.array([0, 1], np.int64),  # glued two-part edge (split me)
+                agap.pair_gap(),             # weak {-1} (delete me)
+                np.array([2], np.int64),
+                np.array([3], np.int64),
+                agap.pair_gap(),
+                np.array([4, 5], np.int64),
+            ],
+            dtype=np.int64,
+        ),
+        dinv=np.array([5, 4, 3, 2, 1, 0], np.int64),
+        from_v=np.array([0, 1, 2, 4, 5, 6], np.int32),
+        to_v=np.array([1, 2, 3, 5, 6, 7], np.int32),
+        n_vertices=8,
+        bg=bg,
+    )
+    lines = alines.find_lines(D)
+    llens = lines.lengths(D)
+    L = int(llens.max())
+    # three barcode-disjoint segments: the glue boundary inside D-edge 0
+    # and the gap junction both look unspanned
+    glue_b = half - (K - 1) // 2
+    seq_end = 2 * half - (K - 1)  # end of D-edge 0 in line coords
+    lp: dict = {}
+    m = 0
+    segs = [(0, glue_b, 0), (glue_b, seq_end, 10_000), (seq_end, L, 20_000)]
+    for lo, hi, bc0 in segs:
+        span = hi - lo
+        for _ in range(span // 1_200):
+            m += 1
+            s = lo - 20_000 + int(rng.integers(0, max(span + 20_000 - 2_000, 1)))
+            ln = int(rng.exponential(30_000)) + 2_000
+            n = max(int(ln * 0.008), 2)
+            ps = s + rng.integers(0, max(ln, 1), n)
+            ps = ps[(ps >= lo) & (ps < hi)]
+            if len(ps) >= 2:
+                lp.setdefault(bc0 + m, []).extend(int(x) for x in ps)
+    li0 = next(
+        li for li, ln in enumerate(lines.lines)
+        if 0 in [int(x) for x in ln.edges()]
+    )
+    splits, gap_dels, detaches, info = afix.find_interior_breaks(
+        D, lines, {li0: lp}, llens, window=4_000, stride=1_000
+    )
+    assert splits and gap_dels, info
+    # pipeline order: splits -> detaches -> deletions (run.py ph_mis)
+    D2 = afix.split_edges(D, splits)
+    D2.validate(deep=True)
+    if detaches:
+        D2 = afix.detach_edges(D2, detaches)
+        D2.validate(deep=True)
+    dels_g = sorted({g for d in gap_dels for g in (d, int(D2.dinv[d]))})
+    # the gap-del ids must still point at gap edges after the splits
+    gm2 = D2.gap_mask()
+    assert all(bool(gm2[g]) for g in dels_g)
+    D3 = delete_edges(D2, dels_g)
+    D3.validate(deep=True)
+    # both surgeries took: gap pair gone (-2), split appended d2+rd2 (+2)
+    assert D3.n_edges == 6
+    assert not D3.gap_mask().any()
+    # all original sequence still spelled by some edge
+    s_orig = D.edge_seq(0)
+    seqs3 = [D3.edge_seq(e) for e in range(D3.n_edges)]
+    assert any(s_orig.startswith(p) for p in seqs3 if p)
+    assert any(s_orig.endswith(p) for p in seqs3 if p)

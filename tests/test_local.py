@@ -38,7 +38,9 @@ def _gap_scenario(rng):
     # filter needs >=2 distinct barcodes per kmer) + barcode-1 molecule
     # reads tiling straight across the gap
     dense = _tiles(gA, 47) + _tiles(gB, 47)
-    sparse = _tiles(G, 125)
+    # step 40 ~ realistic molecule read density: the pair-content check
+    # (asm/fillcheck.py) demands reads genuinely crossing each junction
+    sparse = _tiles(G, 40)
     reads = dense + dense + sparse
     bc = np.concatenate(
         [
