@@ -147,7 +147,11 @@ def calibrate(
     for g in grid:
         g = int(g)
         span = 2 * window + g
-        stride = max(window // 2, (total_len - span * len(usable)) // max(target_samples, 1))
+        # small separations get ~2x the anchors: the inverse is consumed
+        # most often near small gaps and the curve is steepest there, so
+        # sampling noise at the head costs the most estimate accuracy
+        tgt = int(target_samples * (2.0 - g / max(int(grid[-1]), 1)))
+        stride = max(window // 2, (total_len - span * len(usable)) // max(tgt, 1))
         samples: List[float] = []
         for li in usable:
             n = int(llens[li])
@@ -193,6 +197,91 @@ def invert_curve(gaps: np.ndarray, fracs: np.ndarray, f: float) -> int | None:
         return int(round((g0 + g1) / 2))
     t = (f0 - f) / (f0 - f1)
     return int(round(g0 + t * (g1 - g0)))
+
+
+def _skip_window(
+    edge: int,
+    direction: int,
+    w: int,
+    spans: np.ndarray | None,
+    self_span: Tuple[int, int],
+    line_len: int,
+    phys: Dict[Tuple[int, int], int],
+) -> Tuple[List[Tuple[int, int]], float] | None:
+    """Collect clean [a, b) segments totalling up to `w` SEQUENCE bases
+    walking from `edge` (a line coordinate) in `direction` (-1 left, +1
+    right), skipping over neighbor gap spans.
+
+    Crowded sites (neighbor gaps within the flanking window) defeated the
+    symmetric clean-window ladder at the 30 Mb rung (25/47 sized); a
+    window that hops the neighbors keeps the full statistic power there.
+    Returns (segments, inflation) — inflation is the expected extra
+    PHYSICAL separation contributed by the skipped gaps (each neighbor's
+    estimated size weighted by the fraction of window positions beyond
+    it), to subtract from the inverted estimate — or None when less than
+    half the window's sequence is reachable."""
+    segs: List[Tuple[int, int]] = []
+    inflation = 0.0
+    got = 0
+    cur = edge
+    rel = []  # neighbor spans sorted by distance from the gap
+    if spans is not None and len(spans):
+        for s, e in spans:
+            s, e = int(s), int(e)
+            if (s, e) == self_span:
+                continue
+            if direction < 0 and e <= edge:
+                rel.append((edge - e, s, e))
+            elif direction > 0 and s >= edge:
+                rel.append((s - edge, s, e))
+        rel.sort()
+    ri = 0
+    while got < w:
+        if direction < 0:
+            nxt_e = rel[ri][2] if ri < len(rel) else 0
+            take = min(cur - nxt_e, w - got)
+            if take > 0:
+                segs.append((cur - take, cur))
+                got += take
+            if got >= w or ri >= len(rel):
+                break
+            _dist, s, e = rel[ri]
+            inflation += phys.get((s, e), e - s) * (1.0 - got / w)
+            cur = s
+            ri += 1
+        else:
+            nxt_s = rel[ri][1] if ri < len(rel) else line_len
+            take = min(nxt_s - cur, w - got)
+            if take > 0:
+                segs.append((cur, cur + take))
+                got += take
+            if got >= w or ri >= len(rel):
+                break
+            _dist, s, e = rel[ri]
+            inflation += phys.get((s, e), e - s) * (1.0 - got / w)
+            cur = e
+            ri += 1
+    if got < w // 2:
+        return None
+    return segs, inflation
+
+
+def _window_bcs_multi(
+    pos: np.ndarray, bc: np.ndarray, segs: List[Tuple[int, int]],
+    min_points: int,
+) -> np.ndarray:
+    parts = []
+    for a, b in segs:
+        lo, hi = np.searchsorted(pos, [a, b])
+        if hi > lo:
+            parts.append(bc[lo:hi])
+    if not parts:
+        return np.zeros(0, np.int64)
+    w = np.concatenate(parts)
+    if len(w) < min_points:
+        return np.zeros(0, np.int64)
+    u, c = np.unique(w, return_counts=True)
+    return u[c >= min_points]
 
 
 def find_gap_edges(D, lines) -> List[Tuple[int, int, int, int]]:
@@ -324,7 +413,7 @@ def gaprika(
 
     sizes: Dict[int, int] = {}
     weak_edges: List[int] = []
-    n_weak = n_offline = 0
+    n_weak = n_offline = n_skipwin = 0
     for d, li, gpos, cur in targets:
         if li not in arrays:
             n_offline += 1
@@ -361,13 +450,41 @@ def gaprika(
             weak_edges.append(d)
             continue
         if est_final is None:
+            # crowded site: no clean symmetric window at any ladder size.
+            # Hop the neighbor gaps with skip-windows at the LARGEST
+            # calibrated window and correct the inverted estimate by the
+            # skipped gaps' expected physical contribution.  NOT used for
+            # weak-join judgments (inflation legitimately depresses the
+            # fraction, which would false-positive the weak rule).
+            wbig, gaps_b, fracs_b = curves[0]
+            self_span = (gpos, gpos + cur)
+            Lw = _skip_window(
+                gpos, -1, wbig, spans.get(li), self_span, int(llens[li]), {}
+            )
+            Rw = _skip_window(
+                gpos + cur, +1, wbig, spans.get(li), self_span,
+                int(llens[li]), {},
+            )
+            if Lw is not None and Rw is not None:
+                Lb = _window_bcs_multi(pos, bc, Lw[0], MIN_POINTS)
+                Rb = _window_bcs_multi(pos, bc, Rw[0], MIN_POINTS)
+                union = len(np.union1d(Lb, Rb))
+                if union:
+                    f = len(np.intersect1d(Lb, Rb)) / union
+                    if f >= fracs_b[-1] / 2.0:
+                        est = invert_curve(gaps_b, fracs_b, f)
+                        if est is not None:
+                            est_final = est - int(round(Lw[1] + Rw[1]))
+                            n_skipwin += 1
+        if est_final is None:
             n_offline += 1
             continue
         sizes[d] = max(min_gap, est_final)
     D = set_bc_gap_sizes(D, sizes)
     info.update(
         n_targets=len(targets), n_sized=len(sizes),
-        n_weak=n_weak, n_offline=n_offline, weak_edges=weak_edges,
+        n_weak=n_weak, n_offline=n_offline, n_skipwin=n_skipwin,
+        weak_edges=weak_edges,
     )
     return D, len(sizes), info
 

@@ -212,3 +212,45 @@ def test_join_jaccard_floor_from_molecule_process():
     arrays = agk.line_arrays(lp)
     f0 = agk.bridge_frac(*arrays[0], (340_000, 350_000), (350_000, 360_000))
     assert f0 > floor  # adjacent windows clear the floor comfortably
+
+
+def test_crowded_site_skip_window_sizing():
+    """A target gap hemmed in by neighbor gaps (no clean symmetric window
+    at any ladder size) must still size via skip-windows with inflation
+    correction — the 30 Mb rung left 22/47 gaps unsized this way."""
+    rng = np.random.default_rng(99)
+    genome_len = 800_000
+    pos, bc = molecule_positions(rng, genome_len, 1600, 40_000, 2.0)
+    # rightmost first so earlier cuts don't shift later coordinates
+    p, b = cut_gap(pos, bc, 410_000, 2_500, 2_500)   # right neighbor
+    p, b = cut_gap(p, b, 400_000, 8_000, 2_000)      # TARGET (true 8k)
+    p, b = cut_gap(p, b, 396_000, 2_000, 2_000)      # left neighbor
+    at, printed = 400_000, 2_000
+    line_len = genome_len - 8_000 + printed
+    spans = np.array([
+        [396_000, 398_000],          # left neighbor (printed == true)
+        [at, at + printed],          # target
+        [404_000, 406_500],          # right neighbor, shifted by -6_000
+    ])
+    arrays = {0: (p, b)}
+    llens = np.array([line_len])
+    w = 10_000
+    gaps, fracs = agk.calibrate(
+        arrays, llens, {0: spans}, window=w,
+        grid=np.arange(0, 20_001, 500),
+    )
+    assert len(gaps) >= 10
+    self_span = (at, at + printed)
+    Lw = agk._skip_window(at, -1, w, spans, self_span, line_len, {})
+    Rw = agk._skip_window(at + printed, +1, w, spans, self_span, line_len, {})
+    assert Lw is not None and Rw is not None
+    # windows hop the neighbors: >1 segment each, inflation > 0
+    assert len(Lw[0]) > 1 and len(Rw[0]) > 1
+    assert Lw[1] > 0 and Rw[1] > 0
+    Lb = agk._window_bcs_multi(p, b, Lw[0], agk.MIN_POINTS)
+    Rb = agk._window_bcs_multi(p, b, Rw[0], agk.MIN_POINTS)
+    union = len(np.union1d(Lb, Rb))
+    assert union > 0
+    f = len(np.intersect1d(Lb, Rb)) / union
+    est = agk.invert_curve(gaps, fracs, f) - int(round(Lw[1] + Rw[1]))
+    assert abs(est - 8_000) <= 1_500, (est, Lw[1], Rw[1])
