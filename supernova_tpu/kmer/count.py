@@ -1053,6 +1053,91 @@ def count_readset_blocked(
 # OOM'd the one-shot merge.
 MERGE_ROWS = 48_000_000
 
+_MERGE_STATE: dict = {}
+
+
+def _merge_part_worker(pi: int):
+    was, wbs, wcs, cnts, sts, pb, mf, mb = (
+        _MERGE_STATE[k] for k in (
+            "was", "wbs", "wcs", "cnts", "sts", "pb", "mf", "mb"
+        )
+    )
+    hi_word, lo, hi, _n = pb[pi]
+
+    def cath(parts, dt):
+        return np.concatenate(
+            [p[l:h] for p, l, h in zip(parts, lo, hi)]
+        ).astype(dt, copy=False)
+
+    cols = _merge_partition_host(
+        cath(was, np.uint32), cath(wbs, np.uint32), cath(wcs, np.uint32),
+        cath(cnts, np.int32), cath(sts, np.uint32), mf, mb,
+    )
+    return pi, cols
+
+
+def _merge_partitions_host_parallel(
+    was, wbs, wcs, cnts, sts, part_bounds, min_freq: int, min_bc: int
+):
+    """Host partitions are independent (kmer-disjoint ranges), so run them
+    in forked numpy workers — partitions dominated the 100 Mb count wall
+    at ~35 s each x 68 serial (np.lexsort is single-threaded).  Fork-pool
+    hangs are bounded per-partition with a serial fallback (the
+    evaluate-pool pattern, ADVICE r4 #4)."""
+    if not part_bounds:
+        return None
+    import multiprocessing as mp
+
+    log = logging.getLogger("supernova_tpu")
+    n_parts = len(part_bounds)
+    results: list = [None] * n_parts
+
+    def run_serial(idxs):
+        for pi in idxs:
+            _, cols = _merge_part_worker(pi)
+            results[pi] = cols
+            log.info(
+                "blocked count: merge partition <%d: %d rows -> %d kept",
+                part_bounds[pi][0], part_bounds[pi][3], len(cols[0]),
+            )
+
+    workers = min(
+        int(os.environ.get("SN_MERGE_WORKERS", "6")),
+        os.cpu_count() or 1, n_parts,
+    )
+    _MERGE_STATE.update(
+        was=was, wbs=wbs, wcs=wcs, cnts=cnts, sts=sts,
+        pb=part_bounds, mf=min_freq, mb=min_bc,
+    )
+    try:
+        if workers > 1 and n_parts > 2:
+            try:
+                ctx = mp.get_context("fork")
+                with ctx.Pool(workers) as pool:
+                    it = pool.imap_unordered(_merge_part_worker, range(n_parts))
+                    for _ in range(n_parts):
+                        pi, cols = it.next(timeout=900)
+                        results[pi] = cols
+                        log.info(
+                            "blocked count: merge partition <%d: %d rows -> "
+                            "%d kept (parallel) — rss=%.1f GB",
+                            part_bounds[pi][0], part_bounds[pi][3],
+                            len(cols[0]), _rss_gb(),
+                        )
+            except Exception as e:  # noqa: BLE001 — pool wedge/failure
+                log.warning(
+                    "blocked count: parallel merge fell back to serial "
+                    "(%.80s)", repr(e),
+                )
+                run_serial([i for i, r in enumerate(results) if r is None])
+        else:
+            run_serial(range(n_parts))
+    finally:
+        _MERGE_STATE.clear()
+    return [
+        [results[i][c] for i in range(n_parts)] for c in range(7)
+    ]
+
 
 def _merge_blocks_partitioned(
     was, wbs, wcs, cnts, sts, min_freq: int, min_bc: int
@@ -1088,7 +1173,9 @@ def _merge_blocks_partitioned(
     # may be 0xFFFFFFFF), so bounds are uint64
     bounds = np.concatenate([qs.astype(np.uint64), [np.uint64(2**32)]])
 
-    out_parts = None
+    # per-partition block slice bounds, computed up front (cheap
+    # searchsorted) so host partitions can run in parallel workers
+    part_bounds = []
     lo = [0] * len(was)
     shape_rows = _round_up(min(tot, MERGE_ROWS), 8192)
     for hi_word in bounds:
@@ -1096,9 +1183,18 @@ def _merge_blocks_partitioned(
             int(np.searchsorted(a, hi_word, side="left")) for a in was
         ]
         n = sum(h - l for h, l in zip(hi, lo))
-        if n == 0:
-            lo = hi
-            continue
+        if n:
+            part_bounds.append((int(hi_word), list(lo), hi, n))
+        lo = hi
+
+    if MERGE_ON_HOST:
+        out_parts = _merge_partitions_host_parallel(
+            was, wbs, wcs, cnts, sts, part_bounds, min_freq, min_bc
+        )
+    else:
+        out_parts = None
+
+    for hi_word, lo, hi, n in (part_bounds if not MERGE_ON_HOST else ()):
         if n > shape_rows:
             # skew overflow (one `a` value dominating): widen this one
             # partition; the recompile is rare and correctness holds
@@ -1106,42 +1202,31 @@ def _merge_blocks_partitioned(
         else:
             rows = shape_rows
 
-        if MERGE_ON_HOST:
-            cath = lambda parts, dt: np.concatenate(
-                [p[l:h] for p, l, h in zip(parts, lo, hi)]
-            ).astype(dt, copy=False)
-            cols = _merge_partition_host(
-                cath(was, np.uint32), cath(wbs, np.uint32),
-                cath(wcs, np.uint32), cath(cnts, np.int32),
-                cath(sts, np.uint32), min_freq, min_bc,
-            )
-            nv = len(cols[0])
-        else:
-            def cat(parts, fill, dt):
-                buf = np.full(rows, fill, dt)
-                k = 0
-                for p, l, h in zip(parts, lo, hi):
-                    buf[k : k + h - l] = p[l:h]
-                    k += h - l
-                return jnp.asarray(buf)
+        def cat(parts, fill, dt):
+            buf = np.full(rows, fill, dt)
+            k = 0
+            for p, l, h in zip(parts, lo, hi):
+                buf[k : k + h - l] = p[l:h]
+                k += h - l
+            return jnp.asarray(buf)
 
-            t = merge_raw_blocks(
-                cat(was, kc.SENTINEL, np.uint32),
-                cat(wbs, kc.SENTINEL, np.uint32),
-                cat(wcs, kc.SENTINEL, np.uint32),
-                cat(cnts, 0, np.int32),
-                cat(sts, 0, np.uint32),
-                min_freq=min_freq,
-                min_bc=min_bc,
-            )
-            nv = int(t.n_valid)  # sync; then fetch the filtered partition
-            cols = (
-                np.asarray(t.words.a)[:nv], np.asarray(t.words.b)[:nv],
-                np.asarray(t.words.c)[:nv], np.asarray(t.count)[:nv],
-                np.asarray(t.nbc)[:nv], np.asarray(t.left_mask)[:nv],
-                np.asarray(t.right_mask)[:nv],
-            )
-            del t  # free this partition's device table before the next
+        t = merge_raw_blocks(
+            cat(was, kc.SENTINEL, np.uint32),
+            cat(wbs, kc.SENTINEL, np.uint32),
+            cat(wcs, kc.SENTINEL, np.uint32),
+            cat(cnts, 0, np.int32),
+            cat(sts, 0, np.uint32),
+            min_freq=min_freq,
+            min_bc=min_bc,
+        )
+        nv = int(t.n_valid)  # sync; then fetch the filtered partition
+        cols = (
+            np.asarray(t.words.a)[:nv], np.asarray(t.words.b)[:nv],
+            np.asarray(t.words.c)[:nv], np.asarray(t.count)[:nv],
+            np.asarray(t.nbc)[:nv], np.asarray(t.left_mask)[:nv],
+            np.asarray(t.right_mask)[:nv],
+        )
+        del t  # free this partition's device table before the next
         logging.getLogger("supernova_tpu").info(
             "blocked count: merge partition <%d: %d rows -> %d kept",
             int(hi_word), n, nv,
@@ -1151,7 +1236,6 @@ def _merge_blocks_partitioned(
             if out_parts is None
             else [acc + [c] for acc, c in zip(out_parts, cols)]
         )
-        lo = hi
 
     if out_parts is None:
         z = np.zeros(0, np.uint32)
