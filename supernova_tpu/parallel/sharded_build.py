@@ -375,6 +375,45 @@ def compact_links(tables_stacked: KmerTable, links6, pad_multiple: int = 256):
     )
 
 
+def trim_shard_tables(tables_stacked: KmerTable, n_dev: int,
+                      pad_multiple: int = 1024) -> KmerTable:
+    """Host-side stage-boundary repack of the STACKED shard tables: slice
+    every shard from the count stage's occurrence-scale capacity (4x
+    positions/device) down to a shared distinct-kmer-scale row count.
+
+    Without this, the distributed links phase inherits the count
+    capacity: its drop-free pointer gathers materialize n_dev*cap receive
+    rows per device per column, which on an 8-virtual-device shared-RAM
+    CPU mesh was the Mb-scale pipeline memory pathology (77 GB RSS at a
+    300 kb genome whose shards hold ~40k real kmers in 7.2M-row pads)."""
+    from ..dbg.build import geom_bucket
+    from .dist import host_fetch
+
+    nv = host_fetch(tables_stacked.n_valid)
+    cap = host_fetch(tables_stacked.count).shape[0] // n_dev
+    m = geom_bucket(max(1, int(np.max(nv))), pad_multiple)
+    if m >= cap:
+        return tables_stacked
+
+    def sl(x):
+        return np.ascontiguousarray(
+            host_fetch(x).reshape(n_dev, cap)[:, :m]
+        ).reshape(-1)
+
+    return KmerTable(
+        W3(
+            sl(tables_stacked.words.a),
+            sl(tables_stacked.words.b),
+            sl(tables_stacked.words.c),
+        ),
+        sl(tables_stacked.count),
+        sl(tables_stacked.nbc),
+        sl(tables_stacked.left_mask),
+        sl(tables_stacked.right_mask),
+        np.asarray(nv),
+    )
+
+
 def sharded_build_graph(mesh, tables_stacked: KmerTable, n_dev: int,
                         use_ragged: bool | None = None):
     """Host entry: sharded tables -> BaseGraph via distributed links +
@@ -382,6 +421,7 @@ def sharded_build_graph(mesh, tables_stacked: KmerTable, n_dev: int,
     from ..dbg import graph as dgraph
     from ..dbg.build import _edge_shape, _round_up, materialize_edges
 
+    tables_stacked = trim_shard_tables(tables_stacked, n_dev)
     cap = tables_stacked.count.shape[0] // n_dev  # global shape
     n2g = 2 * n_dev * cap
     steps = int(np.ceil(np.log2(max(n2g, 2)))) + 1

@@ -48,8 +48,10 @@ def _check(rng, n, n_ops, num_keys, key_max, tile_rows=8):
         (4096, 4, 4, 64),         # heavy key ties, all keys
         (40000, 5, 3, 50),        # payloads under dense ties
         (3000, 2, 1, 8),          # single key, extreme ties
-        (131072, 4, 4, 2**32),    # 128 tiles, full merge cascade
-        (99999, 5, 3, 1000),      # non-power-of-two multi-tile
+        pytest.param(131072, 4, 4, 2**32,
+                     marks=pytest.mark.slow),  # 128 tiles, full cascade
+        pytest.param(99999, 5, 3, 1000,
+                     marks=pytest.mark.slow),  # non-pow2 multi-tile
     ],
 )
 def test_matches_lexsort(rng, n, n_ops, num_keys, key_max):

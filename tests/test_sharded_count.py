@@ -131,6 +131,7 @@ def test_graft_entry_single_chip():
     assert int(out[2]) > 0
 
 
+@pytest.mark.slow  # 350 s; the driver runs the same dryrun every round
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_graft_dryrun_multichip():
     import importlib.util, pathlib

@@ -18,7 +18,10 @@ def _partition_canonical(labels):
     return sorted(tuple(v) for v in d.values())
 
 
-@pytest.mark.parametrize("seed", [2, 7])
+@pytest.mark.parametrize(
+    "seed",
+    [2, pytest.param(7, marks=pytest.mark.slow)],  # one fast representative
+)
 def test_sharded_glue_matches_device(seed):
     import jax
 
@@ -40,6 +43,7 @@ def test_sharded_glue_matches_device(seed):
     assert _partition_canonical(got) == _partition_canonical(want)
 
 
+@pytest.mark.slow  # ~230 s; seed-2 fixed-cap variant covers the fast tier
 def test_sharded_glue_matches_device_adaptive(rng):
     import jax
 
@@ -61,6 +65,7 @@ def test_sharded_glue_matches_device_adaptive(rng):
     assert _partition_canonical(got) == _partition_canonical(want)
 
 
+@pytest.mark.slow  # ~200 s; seed-2 fixed-cap variant covers the fast tier
 def test_value_sharded_glue_matches_device(rng):
     """Pod-scale variant: closure values range-sharded, extension via
     distributed gathers — same partition."""
