@@ -901,12 +901,6 @@ def count_readset_blocked(
         and bool((lens_all == lens_all[0]).all())
         and int(lens_all[0]) > K
     )
-    if packed:
-        inp = prepare_reads_packed(blocks[0], pad_to_positions=pad_pos)
-    else:
-        inp = prepare_reads(
-            blocks[0], pad_to_positions=pad_pos, pad_to_reads=pad_rd
-        )
     prep = (
         (lambda b: prepare_reads_packed(b, pad_to_positions=pad_pos))
         if packed

@@ -257,24 +257,17 @@ def test_e2e_lazy_readset_matches(tmp_path, rng, monkeypatch):
 
 
 @pytest.mark.slow
-@pytest.mark.skip(
-    reason="multi-device pipeline memory pathology: 77 GB RSS at a 300 kb "
-    "genome on the 8-virtual-device CPU mesh (93 GB at 1 Mb; OOM-killed a "
-    "concurrent rung run).  Mesh correctness is covered by the three 6 kb "
-    "identity tests + the driver dryrun; profiling the blowup (suspect: "
-    "capacity=4*nbl receive buffers x sort copies x 8 shared-RAM virtual "
-    "devices) is a round-5 item — see TODO.md."
-)
 def test_e2e_mesh_1mb_identity(tmp_path, rng):
     """Repeat-bearing genome through the FULL pipeline single-device vs
     8-virtual-device mesh: raw AND pseudohap FASTA must be identical
     (VERDICT r3 #8 — the prior mesh e2e was a 6 kb toy, raw only).
     PARANOID deep-validate is disabled here: this is an identity test, not
     an invariant test, and per-edge Python validation at this D scale
-    dominates the wall.  Scaled to 300 kb: at 1 Mb one xdist worker
-    ballooned to 93 GB and OOM-killed a concurrent rung run — the mesh
-    pipeline's memory profile at Mb scale is a round-5 investigation
-    (TODO)."""
+    dominates the wall.  Formerly skipped for a 77 GB RSS pathology at
+    300 kb: the distributed links phase inherited the count stage's
+    occurrence-scale shard capacity (fixed by
+    sharded_build.trim_shard_tables — a full 300 kb mesh run now peaks at
+    ~6 GB; see ARCHITECTURE.md round 5)."""
     from supernova_tpu.asm import supergraph as _sg
 
     old_paranoid = _sg.PARANOID
