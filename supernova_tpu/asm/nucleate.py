@@ -395,6 +395,9 @@ def nucleate_graph(
         lo = max(MIN_OVER_FLOOR_BASES - (K - 1), 1)
         p30 = int(overs[int(0.30 * (len(overs) - 1))])
         min_over = int(np.clip(p30, lo, min_over))
+    global _LAST_GATE, _LAST_CANDIDATES  # debug introspection (tests)
+    _LAST_GATE = min_over
+    _LAST_CANDIDATES = list(candidates)
     for i1, s1, i2, s2, L, over in candidates:
         if over >= min_over:
             union_match(i1, s1, i2, s2, L)

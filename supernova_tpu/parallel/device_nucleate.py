@@ -142,11 +142,19 @@ def glue_device(
     # ---- 2. per-closure tail-window seed
     pstart = seg.run_starts(ccid)
     csum = jnp.cumsum(km_pos)                  # u32; per-closure diffs exact
-    base = seg.run_broadcast_from_start(csum - km_pos, pstart)
-    pref_incl = csum - base                    # kmers[0..pos] within closure
     pend = seg.run_end_mask(pstart)
-    ctotal = _bcast_back(jnp.where(pend, pref_incl, UBIG), UBIG)
-    suf_excl = ctotal - pref_incl              # kmers strictly after pos
+    # suffix-exclusive kmer sum within the closure via the row's RUN-END
+    # position.  NOTE: _bcast_back (reverse cummin) is only valid for
+    # values that increase along the array, like positions — broadcasting
+    # run-end TOTALS with it let the pad run's 0 (and any smaller later
+    # closure total) leak backward, leaving in_window EMPTY, so the device
+    # cores selected no candidate seeds at all and glued only through
+    # long-edge matches (masked at toy scale; caught by the 300 kb mesh
+    # identity test).
+    pall = jnp.arange(km_pos.shape[0], dtype=I32)
+    rend_pos = _bcast_back(jnp.where(pend, pall, BIG), BIG)
+    csum_end = csum[jnp.clip(rend_pos, 0, km_pos.shape[0] - 1)]
+    suf_excl = csum_end - csum                 # kmers strictly after pos
     in_window = valid_pos & (suf_excl < np.uint32(min_over))
     cmin_mult = jnp.full((C,), BIG, I32).at[
         jnp.where(in_window, ccid, C)

@@ -119,11 +119,15 @@ def _sharded_glue_local(
     ).astype(U32)
     pstart = seg.run_starts(ccid)
     csum = jnp.cumsum(km_pos)
-    base = seg.run_broadcast_from_start(csum - km_pos, pstart)
-    pref_incl = csum - base
     pend = seg.run_end_mask(pstart)
-    ctotal = _bcast_back(jnp.where(pend, pref_incl, UBIG), UBIG)
-    in_window = valid_pos & ((ctotal - pref_incl) < np.uint32(min_over))
+    # suffix-exclusive kmer sum via the row's RUN-END position (see
+    # device_nucleate.py: _bcast_back over run-end TOTALS is unsound —
+    # smaller later totals / the pad run's 0 leak backward and empty the
+    # seed window)
+    pall = jnp.arange(km_pos.shape[0], dtype=I32)
+    rend_pos = _bcast_back(jnp.where(pend, pall, BIG), BIG)
+    csum_end = csum[jnp.clip(rend_pos, 0, km_pos.shape[0] - 1)]
+    in_window = valid_pos & ((csum_end - csum) < np.uint32(min_over))
 
     # per-edge distinct-closure multiplicity: ask the edge-hash owner
     e_owner = jnp.where(valid_pos, (_fnv(cvals) % np.uint32(n_dev)).astype(I32), n_dev)
