@@ -163,6 +163,11 @@ def _extend(x1, x2, j1: int, j2: int) -> Tuple[int, int, int]:
 
 
 MIN_OVER_FLOOR_BASES = 100  # adaptive gate lower bound
+
+# debug introspection (python glue path): the gate and candidate list of
+# the last nucleate_graph call — used by core-equivalence investigations
+_LAST_GATE: int | None = None
+_LAST_CANDIDATES: list = []
 # pod-scale memory honesty: range-shard the flat closure values across the
 # mesh (extension reads become distributed gathers) instead of replicating
 # them per device.  Addin: asm.nucleate.VALUE_SHARD=1.

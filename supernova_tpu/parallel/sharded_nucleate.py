@@ -136,18 +136,26 @@ def _sharded_glue_local(
         (BIG, BIG), use_ragged,
     )
     # per-row edge multiplicity (distinct closures per edge), returned in
-    # the received-row order via an iota payload
+    # the received-row order via an iota payload.  The run total broadcasts
+    # through the run-end POSITION (monotone), never through run-end
+    # COUNTS — a reverse cummin over counts leaks smaller later runs'
+    # values backward (the seed-window bug class, see device_nucleate.py)
     es2, cs2, perm2 = jax.lax.sort(
         (re_, rc_, jnp.arange(re_.shape[0], dtype=I32)),
         num_keys=2, is_stable=True,
     )
-    mult_rows = jnp.zeros((re_.shape[0],), I32).at[perm2].set(
-        jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(
-            seg.run_end_mask(seg.run_starts(es2)),
-            _seg_count_at_rows(seg.run_starts(es2, cs2), seg.run_starts(es2)),
-            BIG,
-        ))))
+    est2 = seg.run_starts(es2)
+    cnt_incl = _seg_count_at_rows(seg.run_starts(es2, cs2), est2)
+    rows2 = jnp.arange(re_.shape[0], dtype=I32)
+    rend2 = _bcast_back(
+        jnp.where(seg.run_end_mask(est2), rows2, BIG), BIG
     )
+    mult_sorted = jnp.where(
+        es2 < BIG,
+        cnt_incl[jnp.clip(rend2, 0, re_.shape[0] - 1)],
+        BIG,
+    )
+    mult_rows = jnp.zeros((re_.shape[0],), I32).at[perm2].set(mult_sorted)
     mult_pos = _return(mult_rows, ctx1, n_dev, jnp.asarray(BIG, I32))
     mult_pos = jnp.where(valid_pos, mult_pos, BIG)
 
