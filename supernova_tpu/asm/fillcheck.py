@@ -39,6 +39,51 @@ ANCHOR = 50  # bases a crossing fragment must extend past a junction
 MIN_OVERLAP = 60  # min read/J overlap for a frac to be meaningful
 
 
+MAX_KNOWN_FRAC = 0.6  # fill kmers already in the table above this -> reject
+
+
+def _sliding_words_np(codes: np.ndarray):
+    """Numpy sliding 48-mer packing: (N,) codes -> 3 x (N-K+1,) uint32."""
+    from ..core.kmer_codec import BASES_PER_WORD, K, KWORDS
+
+    n = len(codes) - K + 1
+    if n <= 0:
+        return (np.zeros(0, np.uint32),) * 3
+    c = codes.astype(np.uint32)
+    words = []
+    for w in range(KWORDS):
+        acc = np.zeros(n, np.uint32)
+        for i in range(BASES_PER_WORD):
+            off = w * BASES_PER_WORD + i
+            acc = (acc << np.uint32(2)) | c[off : off + n]
+        words.append(acc)
+    return tuple(words)
+
+
+def fill_known_frac(
+    novel: np.ndarray, ta: np.ndarray, tb: np.ndarray, tc: np.ndarray
+) -> float | None:
+    """Fraction of the fill's canonical 48-mers already present in the
+    assembly's filtered kmer table (sorted columns ta/tb/tc).
+
+    A TRUE gap fill spells sequence the assembly could NOT build (the gap
+    exists because those kmers failed min_freq/min_bc), so its kmers are
+    mostly absent from the table.  A wrong-copy or skip-genome fill
+    duplicates sequence assembled ELSEWHERE — its kmers are table members.
+    None when the fill is too short to judge (< K+8 bases)."""
+    from ..core.kmer_codec import K
+    from ..kmer.count import _canon_np, _member_sorted_np
+
+    if len(novel) < K + 8 or len(ta) == 0:
+        return None
+    a, b, c = _sliding_words_np(np.asarray(novel, np.uint8))
+    qa, qb, qc = _canon_np(a, b, c)
+    t1 = (ta.astype(np.uint64) << np.uint64(32)) | tb
+    q1 = (qa.astype(np.uint64) << np.uint64(32)) | qb
+    found = _member_sorted_np(t1, tc, q1, qc)
+    return float(found.mean())
+
+
 def _seed_index(J: np.ndarray, k: int = SEED_K) -> Dict[bytes, List[int]]:
     idx: Dict[bytes, List[int]] = {}
     jb = J.tobytes()
@@ -87,6 +132,7 @@ def verify_fill(
     rids: Sequence[int],
     min_junction_pairs: int = 1,
     frag_max: int = FRAG_MAX,
+    table_words=None,
 ) -> Tuple[bool, dict]:
     """Judge a candidate gap fill by read-pair support.
 
@@ -97,7 +143,19 @@ def verify_fill(
 
     Accept iff proper pairs cross BOTH junctions (>= min_junction_pairs
     each) and one-mate contradictions pointing into the fill do not
-    outnumber the supporting pairs.  -> (ok, info)."""
+    outnumber the supporting pairs.  With `table_words` (the assembly's
+    sorted kmer-table columns), the fill must also be NOVEL: pair checks
+    at a repeat-flanked junction cannot see a wrong copy whose repeat
+    extends past the fragment length, but that fill's kmers duplicate
+    sequence the assembly already built elsewhere — true gap content is
+    exactly what the assembly could NOT build.  -> (ok, info)."""
+    if table_words is not None:
+        kf = fill_known_frac(np.asarray(novel, np.uint8), *table_words)
+        if kf is not None and kf > MAX_KNOWN_FRAC:
+            return False, {
+                "reason": "fill duplicates assembled sequence",
+                "known_frac": round(kf, 3), "fill_len": len(novel),
+            }
     J = np.concatenate([left_ctx, novel, right_ctx]).astype(np.uint8)
     fill_lo = len(left_ctx)
     fill_hi = fill_lo + len(novel)

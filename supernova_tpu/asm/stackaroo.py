@@ -66,6 +66,7 @@ def stackaroo_gaps(
     dpaths: np.ndarray,
     dlen: np.ndarray,
     k: int = PATCH_K,
+    table_words=None,
 ):
     """Gap-edge Stackaroo: attack every canonical {-2} barcode-only gap edge
     in D with the reads placed on its flanking D-edges (+ mates); a bridging
@@ -153,7 +154,8 @@ def stackaroo_gaps(
             from . import fillcheck as afc
 
             ok, vinfo = afc.verify_fill(
-                codes_l, dna.seq_to_codes(fill[:-k]), codes_r, rs, rids
+                codes_l, dna.seq_to_codes(fill[:-k]), codes_r, rs, rids,
+                table_words=table_words,
             )
             if not ok:
                 n_rejected += 1
@@ -196,11 +198,13 @@ def stackaroo(
     dlen: np.ndarray,
     line_seqs: Dict[int, str],
     k: int = PATCH_K,
+    table_words=None,
 ) -> int:
     """Fill scaffold gaps in place (sets sc.fills[i]); -> gaps filled."""
     rbl = reads_by_line(lines, dpaths, dlen)
     linv = lines.linv
     n_filled = 0
+    n_rejected = 0
     for sc in scaffolds:
         if getattr(sc, "fills", None) is None:
             sc.fills = [None] * len(sc.gaps)
@@ -227,6 +231,31 @@ def stackaroo(
             fill = _mini_dbg_walk(seqs, left, right, k)
             if fill is None:
                 continue
+            if len(fill) > k:
+                # post-scaffold fills splice CONTINUOUS sequence into the
+                # emitted FASTA — the wrong-copy escape hatch of the 10 Mb
+                # rung (164 ungated fills; raw flavor clean, pseudohap ori
+                # 0.37%).  Same pair-content gate as the gap-edge path.
+                from ..core import dna as _dna
+                from . import fillcheck as afc
+
+                ok, _info = afc.verify_fill(
+                    _dna.seq_to_codes(left),
+                    _dna.seq_to_codes(fill[:-k]),
+                    _dna.seq_to_codes(right),
+                    rs, rids,
+                    table_words=table_words,
+                )
+                if not ok:
+                    n_rejected += 1
+                    continue
             sc.fills[i] = fill
             n_filled += 1
+    if n_rejected:
+        import logging
+
+        logging.getLogger("supernova_tpu").info(
+            "stackaroo: %d post-scaffold fills rejected by pair-content "
+            "check (gap stays open)", n_rejected,
+        )
     return n_filled

@@ -282,6 +282,30 @@ class Pipeline:
         shutil.rmtree(self.outdir / "count_spill", ignore_errors=True)
         return table
 
+    def _fill_table_words(self):
+        """Sorted kmer-table word columns for the fill-novelty gate
+        (asm/fillcheck.fill_known_frac): a candidate gap fill whose kmers
+        the assembly already holds duplicates sequence built elsewhere —
+        the wrong-copy / skip-genome signature pair checks cannot see when
+        the flanking repeat outspans the fragment length.  Loaded once per
+        run from the count checkpoint; None when unavailable."""
+        cached = getattr(self, "_ftw_cache", None)
+        if cached is None:
+            ck = self.outdir / "kmers.npz"
+            if ck.exists():
+                z = np.load(ck)
+                w = np.asarray(z["words"], np.uint32)
+                n = int(z["n_valid"])
+                cached = (
+                    np.ascontiguousarray(w[:n, 0]),
+                    np.ascontiguousarray(w[:n, 1]),
+                    np.ascontiguousarray(w[:n, 2]),
+                )
+            else:
+                cached = False
+            self._ftw_cache = cached
+        return cached or None
+
     def _glue_mesh(self):
         """Mesh for the supergraph closure glue in multi-device mode
         (parallel/sharded_nucleate.py), else None (host/device cores)."""
@@ -1260,7 +1284,10 @@ class Pipeline:
 
         def ph_stackaroo(D, lines):
             # Stackaroo: upgrade bridgeable {-2} edges to {-3} sequence
-            D, n_filled = astk.stackaroo_gaps(D, rs, self._dpaths, self._dlen)
+            D, n_filled = astk.stackaroo_gaps(
+                D, rs, self._dpaths, self._dlen,
+                table_words=self._fill_table_words(),
+            )
             if n_filled:
                 D.validate()
                 self.stats.log(
@@ -1273,7 +1300,9 @@ class Pipeline:
         def ph_unvoid(D, lines):
             # Unvoid: barcode-restricted local assembly over the {-2} gaps
             # Stackaroo left open (BuildLocal.cc:1055, CP.cc:790)
-            D2u, n_unvoid = alocal.unvoid(D, rs, ebcx)
+            D2u, n_unvoid = alocal.unvoid(
+                D, rs, ebcx, table_words=self._fill_table_words()
+            )
             if n_unvoid:
                 D = D2u
                 D.validate()
@@ -1291,7 +1320,8 @@ class Pipeline:
                 D, lines, rs, ebcx, asc.good_barcodes(rs.bc)
             )
             D2v, n_voids = alocal.unvoid_voids(
-                D, rs, ebcx, lines, line_bcs_u, llens_u
+                D, rs, ebcx, lines, line_bcs_u, llens_u,
+                table_words=self._fill_table_words(),
             )
             if n_voids:
                 D = D2v
@@ -1604,7 +1634,8 @@ class Pipeline:
                 for li in sc.line_ids
             }
             n_filled = astk.stackaroo(
-                D, lines, scaffolds, rs, self._dpaths, self._dlen, line_seqs
+                D, lines, scaffolds, rs, self._dpaths, self._dlen, line_seqs,
+                table_words=self._fill_table_words(),
             )
             if n_filled:
                 self.stats.log(

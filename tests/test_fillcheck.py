@@ -79,3 +79,39 @@ def test_long_fill_interior_pairs(rng):
     )
     assert ok, info
     assert info["interior"] >= 1
+
+
+def test_fill_known_frac_discriminates(rng):
+    """The novelty gate: a fill spelling already-assembled sequence scores
+    near 1 (wrong-copy signature); genuinely novel content scores near 0."""
+    from supernova_tpu.ingest.reads import build_readset_flat
+    from supernova_tpu.kmer import count as kcount
+
+    rl, n_reads = 150, 3000
+    g = rng.integers(0, 4, 5000).astype(np.uint8)
+    starts = rng.integers(0, len(g) - rl, n_reads)
+    codes = g[np.add.outer(starts, np.arange(rl))].reshape(-1)
+    offsets = np.arange(n_reads + 1, dtype=np.int64) * rl
+    quals = np.full(codes.shape, 37, np.uint8)
+    bc = np.sort(rng.integers(1, 50, n_reads // 2)).astype(np.int32)
+    rs = build_readset_flat(codes, offsets, quals, bc, n_barcodes=50)
+    t = kcount.count_readset(rs)
+    n = int(t.n_valid)
+    tw = (
+        np.asarray(t.words.a)[:n], np.asarray(t.words.b)[:n],
+        np.asarray(t.words.c)[:n],
+    )
+    assembled = g[1000:1600]          # spelled by the table
+    novel = rng.integers(0, 4, 600).astype(np.uint8)  # never sequenced
+    kf_known = afc.fill_known_frac(assembled, *tw)
+    kf_novel = afc.fill_known_frac(novel, *tw)
+    assert kf_known is not None and kf_known > 0.9, kf_known
+    assert kf_novel is not None and kf_novel < 0.1, kf_novel
+    # rc form is canonical too
+    kf_rc = afc.fill_known_frac(dna.revcomp(assembled), *tw)
+    assert kf_rc > 0.9
+    # verify_fill consumes it as a hard gate
+    ok, info = afc.verify_fill(
+        g[:400], assembled, g[600:1000], None, [], table_words=tw
+    )
+    assert not ok and info.get("reason", "").startswith("fill duplicates")
