@@ -39,7 +39,7 @@ ANCHOR = 50  # bases a crossing fragment must extend past a junction
 MIN_OVERLAP = 60  # min read/J overlap for a frac to be meaningful
 
 
-MAX_KNOWN_FRAC = 0.6  # fill kmers already in the table above this -> reject
+MAX_OWNED_FRAC = 0.5  # fill kmers owned by LONG placed lines -> reject
 
 
 def _sliding_words_np(codes: np.ndarray):
@@ -60,28 +60,43 @@ def _sliding_words_np(codes: np.ndarray):
     return tuple(words)
 
 
-def fill_known_frac(
-    novel: np.ndarray, ta: np.ndarray, tb: np.ndarray, tc: np.ndarray
-) -> float | None:
-    """Fraction of the fill's canonical 48-mers already present in the
-    assembly's filtered kmer table (sorted columns ta/tb/tc).
+def fill_owned_frac(novel: np.ndarray, ownership) -> float | None:
+    """Fraction of the fill's canonical 48-mers OWNED by a long placed
+    line of the assembly.
 
-    A TRUE gap fill spells sequence the assembly could NOT build (the gap
-    exists because those kmers failed min_freq/min_bc), so its kmers are
-    mostly absent from the table.  A wrong-copy or skip-genome fill
-    duplicates sequence assembled ELSEWHERE — its kmers are table members.
-    None when the fill is too short to judge (< K+8 bases)."""
+    `ownership` = (wa, wb, wc, row_long) — the graph kmer dictionary's
+    sorted word columns plus a bool per dict row marking kmers whose
+    owning base edge lives in a LONG line (>= ~20 kb).  A wrong-copy or
+    skip-genome fill duplicates the INTERIOR of a long line assembled and
+    placed elsewhere; a TRUE fill spells either novel sequence (the
+    assembly could not build it) or the content of SHORT fragments that
+    merely failed to join — both score low.  None when the fill is too
+    short to judge (< K+8 bases)."""
     from ..core.kmer_codec import K
-    from ..kmer.count import _canon_np, _member_sorted_np
+    from ..kmer.count import _canon_np
 
-    if len(novel) < K + 8 or len(ta) == 0:
+    wa, wb, wc, row_long = ownership
+    if len(novel) < K + 8 or len(wa) == 0:
         return None
     a, b, c = _sliding_words_np(np.asarray(novel, np.uint8))
     qa, qb, qc = _canon_np(a, b, c)
-    t1 = (ta.astype(np.uint64) << np.uint64(32)) | tb
+    t1 = (wa.astype(np.uint64) << np.uint64(32)) | wb
     q1 = (qa.astype(np.uint64) << np.uint64(32)) | qb
-    found = _member_sorted_np(t1, tc, q1, qc)
-    return float(found.mean())
+    # row lookup (not just membership): walk the (rare) 64-bit prefix ties
+    lo = np.searchsorted(t1, q1, side="left")
+    hi = np.searchsorted(t1, q1, side="right")
+    owned = np.zeros(len(q1), bool)
+    cur = lo.copy()
+    active = np.flatnonzero(cur < hi)
+    while len(active):
+        cv = wc[cur[active]]
+        qv = qc[active]
+        hit = cv == qv
+        owned[active[hit]] = row_long[cur[active[hit]]]
+        step = active[(~hit) & (cv < qv)]
+        cur[step] += 1
+        active = step[cur[step] < hi[step]]
+    return float(owned.mean())
 
 
 def _seed_index(J: np.ndarray, k: int = SEED_K) -> Dict[bytes, List[int]]:
@@ -132,7 +147,7 @@ def verify_fill(
     rids: Sequence[int],
     min_junction_pairs: int = 1,
     frag_max: int = FRAG_MAX,
-    table_words=None,
+    ownership=None,
 ) -> Tuple[bool, dict]:
     """Judge a candidate gap fill by read-pair support.
 
@@ -143,18 +158,18 @@ def verify_fill(
 
     Accept iff proper pairs cross BOTH junctions (>= min_junction_pairs
     each) and one-mate contradictions pointing into the fill do not
-    outnumber the supporting pairs.  With `table_words` (the assembly's
-    sorted kmer-table columns), the fill must also be NOVEL: pair checks
-    at a repeat-flanked junction cannot see a wrong copy whose repeat
-    extends past the fragment length, but that fill's kmers duplicate
-    sequence the assembly already built elsewhere — true gap content is
-    exactly what the assembly could NOT build.  -> (ok, info)."""
-    if table_words is not None:
-        kf = fill_known_frac(np.asarray(novel, np.uint8), *table_words)
-        if kf is not None and kf > MAX_KNOWN_FRAC:
+    outnumber the supporting pairs.  With `ownership` (see
+    fill_owned_frac), the fill must additionally not duplicate the
+    interior of a LONG placed line: pair checks at a repeat-flanked
+    junction cannot see a wrong copy whose repeat outspans the fragment
+    length, but that content is owned by a line living elsewhere.
+    -> (ok, info)."""
+    if ownership is not None:
+        kf = fill_owned_frac(np.asarray(novel, np.uint8), ownership)
+        if kf is not None and kf > MAX_OWNED_FRAC:
             return False, {
-                "reason": "fill duplicates assembled sequence",
-                "known_frac": round(kf, 3), "fill_len": len(novel),
+                "reason": "fill duplicates a long placed line",
+                "owned_frac": round(kf, 3), "fill_len": len(novel),
             }
     J = np.concatenate([left_ctx, novel, right_ctx]).astype(np.uint8)
     fill_lo = len(left_ctx)

@@ -546,7 +546,7 @@ def unvoid(
     ebcx,
     k: int = PATCH_K,
     max_reads: int = MAX_READS,
-    table_words=None,
+    ownership=None,
 ):
     """Close remaining {-2} gaps by barcode-restricted local assembly
     (Unvoid, BuildLocal.cc:1055-1233).  Linear closures upgrade the gap
@@ -604,7 +604,7 @@ def unvoid(
                 dna.seq_to_codes(novel_seq),
                 D.edge_head_bases(eR, 400),
                 rs, [int(r) for r in rids],
-                table_words=table_words,
+                ownership=ownership,
             )
             return ok
 
@@ -718,7 +718,7 @@ def unvoid_voids(
     line_bcs,
     llens,
     max_reads: int = MAX_READS,
-    table_words=None,
+    ownership=None,
 ):
     """First Unvoid call site (CP.cc:660-790): close VOIDS — line right
     ends that extend nowhere (no gap edge at all) — by walking the
@@ -849,7 +849,7 @@ def unvoid_voids(
                     dna.seq_to_codes(novel),
                     D.edge_head_bases(s2, 400),
                     rs, [int(r) for r in rids],
-                    table_words=table_words,
+                    ownership=ownership,
                 )
                 if not ok:
                     return None

@@ -66,7 +66,7 @@ def stackaroo_gaps(
     dpaths: np.ndarray,
     dlen: np.ndarray,
     k: int = PATCH_K,
-    table_words=None,
+    ownership=None,
 ):
     """Gap-edge Stackaroo: attack every canonical {-2} barcode-only gap edge
     in D with the reads placed on its flanking D-edges (+ mates); a bridging
@@ -155,7 +155,7 @@ def stackaroo_gaps(
 
             ok, vinfo = afc.verify_fill(
                 codes_l, dna.seq_to_codes(fill[:-k]), codes_r, rs, rids,
-                table_words=table_words,
+                ownership=ownership,
             )
             if not ok:
                 n_rejected += 1
@@ -198,7 +198,7 @@ def stackaroo(
     dlen: np.ndarray,
     line_seqs: Dict[int, str],
     k: int = PATCH_K,
-    table_words=None,
+    ownership=None,
 ) -> int:
     """Fill scaffold gaps in place (sets sc.fills[i]); -> gaps filled."""
     rbl = reads_by_line(lines, dpaths, dlen)
@@ -244,7 +244,7 @@ def stackaroo(
                     _dna.seq_to_codes(fill[:-k]),
                     _dna.seq_to_codes(right),
                     rs, rids,
-                    table_words=table_words,
+                    ownership=ownership,
                 )
                 if not ok:
                     n_rejected += 1

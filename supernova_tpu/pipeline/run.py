@@ -282,29 +282,45 @@ class Pipeline:
         shutil.rmtree(self.outdir / "count_spill", ignore_errors=True)
         return table
 
-    def _fill_table_words(self):
-        """Sorted kmer-table word columns for the fill-novelty gate
-        (asm/fillcheck.fill_known_frac): a candidate gap fill whose kmers
-        the assembly already holds duplicates sequence built elsewhere —
-        the wrong-copy / skip-genome signature pair checks cannot see when
-        the flanking repeat outspans the fragment length.  Loaded once per
-        run from the count checkpoint; None when unavailable."""
-        cached = getattr(self, "_ftw_cache", None)
-        if cached is None:
-            ck = self.outdir / "kmers.npz"
-            if ck.exists():
-                z = np.load(ck)
-                w = np.asarray(z["words"], np.uint32)
-                n = int(z["n_valid"])
-                cached = (
-                    np.ascontiguousarray(w[:n, 0]),
-                    np.ascontiguousarray(w[:n, 1]),
-                    np.ascontiguousarray(w[:n, 2]),
-                )
-            else:
-                cached = False
-            self._ftw_cache = cached
-        return cached or None
+    # lines at or above this are placed scaffolding citizens: fill content
+    # owned by one of them duplicates sequence living elsewhere
+    FILL_OWNER_LONG_LINE = 20_000
+
+    def _fill_ownership(self, D, lines):
+        """Ownership context for the fill gate (asm/fillcheck
+        fill_owned_frac): the graph kmer dictionary's sorted word columns
+        plus a per-dict-row flag marking kmers whose owning base edge
+        lives in a LONG line.  A wrong-copy / skip-genome fill duplicates
+        the interior of a long line placed elsewhere — which pair checks
+        cannot see when the flanking repeat outspans the fragment length.
+        Content of SHORT unjoined fragments stays fillable (it is often
+        exactly the missing gap piece).  None when the dictionary is
+        unavailable."""
+        bg = D.bg
+        kw = getattr(bg, "kmer_words", None)
+        ne = getattr(bg, "node_edge", None)
+        nk = int(getattr(bg, "n_kmers", 0) or 0)
+        if kw is None or ne is None or nk == 0:
+            return None
+        kw = np.asarray(kw)[:nk]
+        llens = lines.lengths(D)
+        long_base = np.zeros(bg.n_edges, bool)
+        for li, ln in enumerate(lines.lines):
+            if llens[li] < self.FILL_OWNER_LONG_LINE:
+                continue
+            for d in ln.edges():
+                row = np.asarray(D.epaths.row(int(d)), np.int64)
+                if len(row) and row[0] >= 0:
+                    long_base[row] = True
+        long_base = long_base | long_base[np.asarray(bg.inv)]
+        e_of_row = np.asarray(ne)[0::2][:nk]
+        row_long = long_base[np.clip(e_of_row, 0, bg.n_edges - 1)]
+        return (
+            np.ascontiguousarray(kw[:, 0]),
+            np.ascontiguousarray(kw[:, 1]),
+            np.ascontiguousarray(kw[:, 2]),
+            row_long,
+        )
 
     def _glue_mesh(self):
         """Mesh for the supergraph closure glue in multi-device mode
@@ -1286,7 +1302,7 @@ class Pipeline:
             # Stackaroo: upgrade bridgeable {-2} edges to {-3} sequence
             D, n_filled = astk.stackaroo_gaps(
                 D, rs, self._dpaths, self._dlen,
-                table_words=self._fill_table_words(),
+                ownership=self._fill_ownership(D, lines),
             )
             if n_filled:
                 D.validate()
@@ -1301,7 +1317,7 @@ class Pipeline:
             # Unvoid: barcode-restricted local assembly over the {-2} gaps
             # Stackaroo left open (BuildLocal.cc:1055, CP.cc:790)
             D2u, n_unvoid = alocal.unvoid(
-                D, rs, ebcx, table_words=self._fill_table_words()
+                D, rs, ebcx, ownership=self._fill_ownership(D, lines)
             )
             if n_unvoid:
                 D = D2u
@@ -1321,7 +1337,7 @@ class Pipeline:
             )
             D2v, n_voids = alocal.unvoid_voids(
                 D, rs, ebcx, lines, line_bcs_u, llens_u,
-                table_words=self._fill_table_words(),
+                ownership=self._fill_ownership(D, lines),
             )
             if n_voids:
                 D = D2v
@@ -1635,7 +1651,7 @@ class Pipeline:
             }
             n_filled = astk.stackaroo(
                 D, lines, scaffolds, rs, self._dpaths, self._dlen, line_seqs,
-                table_words=self._fill_table_words(),
+                ownership=self._fill_ownership(D, lines),
             )
             if n_filled:
                 self.stats.log(

@@ -81,9 +81,10 @@ def test_long_fill_interior_pairs(rng):
     assert info["interior"] >= 1
 
 
-def test_fill_known_frac_discriminates(rng):
-    """The novelty gate: a fill spelling already-assembled sequence scores
-    near 1 (wrong-copy signature); genuinely novel content scores near 0."""
+def test_fill_owned_frac_discriminates(rng):
+    """The ownership gate: a fill spelling the interior of a LONG placed
+    line scores near 1 (wrong-copy signature); content of short unplaced
+    fragments or genuinely novel sequence scores near 0."""
     from supernova_tpu.ingest.reads import build_readset_flat
     from supernova_tpu.kmer import count as kcount
 
@@ -97,21 +98,20 @@ def test_fill_known_frac_discriminates(rng):
     rs = build_readset_flat(codes, offsets, quals, bc, n_barcodes=50)
     t = kcount.count_readset(rs)
     n = int(t.n_valid)
-    tw = (
-        np.asarray(t.words.a)[:n], np.asarray(t.words.b)[:n],
-        np.asarray(t.words.c)[:n],
-    )
-    assembled = g[1000:1600]          # spelled by the table
+    wa = np.asarray(t.words.a)[:n]
+    wb = np.asarray(t.words.b)[:n]
+    wc = np.asarray(t.words.c)[:n]
+    own_long = (wa, wb, wc, np.ones(n, bool))   # every kmer owner is long
+    own_short = (wa, wb, wc, np.zeros(n, bool))  # owners are short lines
+    assembled = g[1000:1600]          # spelled by the dictionary
     novel = rng.integers(0, 4, 600).astype(np.uint8)  # never sequenced
-    kf_known = afc.fill_known_frac(assembled, *tw)
-    kf_novel = afc.fill_known_frac(novel, *tw)
-    assert kf_known is not None and kf_known > 0.9, kf_known
-    assert kf_novel is not None and kf_novel < 0.1, kf_novel
+    assert afc.fill_owned_frac(assembled, own_long) > 0.9
+    assert afc.fill_owned_frac(assembled, own_short) < 0.1
+    assert afc.fill_owned_frac(novel, own_long) < 0.1
     # rc form is canonical too
-    kf_rc = afc.fill_known_frac(dna.revcomp(assembled), *tw)
-    assert kf_rc > 0.9
+    assert afc.fill_owned_frac(dna.revcomp(assembled), own_long) > 0.9
     # verify_fill consumes it as a hard gate
     ok, info = afc.verify_fill(
-        g[:400], assembled, g[600:1000], None, [], table_words=tw
+        g[:400], assembled, g[600:1000], None, [], ownership=own_long
     )
     assert not ok and info.get("reason", "").startswith("fill duplicates")
