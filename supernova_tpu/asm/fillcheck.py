@@ -37,6 +37,12 @@ FRAG_MIN = 120  # proper-pair fragment bounds (sim inserts ~350;
 FRAG_MAX = 1200  # reference ideal 350-400, alarms at <300/>100 extremes)
 ANCHOR = 50  # bases a crossing fragment must extend past a junction
 MIN_OVERLAP = 60  # min read/J overlap for a frac to be meaningful
+# fills short enough that a typical (~350 bp) fragment can span them
+# flank-to-flank MUST show such a pair: at a wrong join sealed by a short
+# repeat-seam fill, both junctions verify locally (the repeat is genuinely
+# continuous in both copies) but no fragment connects the two UNIQUE
+# flanks, because in truth they sit megabases apart
+SPAN_REQ_MAX = 250
 
 
 MAX_OWNED_FRAC = 0.5  # fill kmers owned by LONG placed lines -> reject
@@ -192,6 +198,7 @@ def verify_fill(
         return placements[rid]
 
     left_cross = right_cross = interior = 0
+    full_span = 0
     contra = 0
     for p in pair_ids:
         r1, r2 = 2 * p, 2 * p + 1
@@ -209,6 +216,8 @@ def verify_fill(
                 left_cross += 1
             if s + ln >= fill_hi + ANCHOR and s <= max(fill_hi - ANCHOR, fill_lo):
                 right_cross += 1
+            if s <= fill_lo - ANCHOR and s + ln >= fill_hi + ANCHOR:
+                full_span += 1
         if m1 and m2:
             if st1 == st2:
                 continue  # same-strand: not a proper pair
@@ -226,6 +235,8 @@ def verify_fill(
             if fe >= fill_hi + ANCHOR and fs <= max(fill_hi - ANCHOR, fill_lo):
                 right_cross += 1
                 crossed = True
+            if fs <= fill_lo - ANCHOR and fe >= fill_hi + ANCHOR:
+                full_span += 1
             if not crossed and fs >= fill_lo and fe <= fill_hi:
                 interior += 1
         elif m1 != m2:
@@ -251,7 +262,10 @@ def verify_fill(
         and right_cross >= min_junction_pairs
         and contra <= max(1, support // 4)
     )
+    if len(novel) <= SPAN_REQ_MAX:
+        ok = ok and full_span >= 1
     return ok, {
         "left_cross": left_cross, "right_cross": right_cross,
-        "interior": interior, "contra": contra, "fill_len": len(novel),
+        "interior": interior, "full_span": full_span, "contra": contra,
+        "fill_len": len(novel),
     }

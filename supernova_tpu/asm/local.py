@@ -600,9 +600,9 @@ def unvoid(
             from . import fillcheck as afc
 
             ok, _info = afc.verify_fill(
-                D.edge_tail_bases(eL, 400),
+                D.edge_tail_bases(eL, 1000),
                 dna.seq_to_codes(novel_seq),
-                D.edge_head_bases(eR, 400),
+                D.edge_head_bases(eR, 1000),
                 rs, [int(r) for r in rids],
                 ownership=ownership,
             )
@@ -845,9 +845,9 @@ def unvoid_voids(
                 from . import fillcheck as afc
 
                 ok, _info = afc.verify_fill(
-                    D.edge_tail_bases(s1, 400),
+                    D.edge_tail_bases(s1, 1000),
                     dna.seq_to_codes(novel),
-                    D.edge_head_bases(s2, 400),
+                    D.edge_head_bases(s2, 1000),
                     rs, [int(r) for r in rids],
                     ownership=ownership,
                 )

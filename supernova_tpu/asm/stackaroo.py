@@ -17,6 +17,11 @@ import numpy as np
 from .patch import PATCH_K, _mini_dbg_walk
 
 FLANK_BASES = 400  # anchor context taken from each line end
+# wider context for fill VERIFICATION (not the walk): the sim's repeat
+# units (and real interspersed repeats) reach ~400 bases, so 400-base
+# flanks can be pure repeat at a seam — contradictions from flank-anchored
+# mates only fire when the UNIQUE zone beyond the repeat is inside J
+VERIFY_CTX = 1000
 MAX_GAP_READS = 400
 
 
@@ -121,6 +126,8 @@ def stackaroo_gaps(
     replacements: Dict[int, np.ndarray] = {}
     n_filled = 0
     n_rejected = 0
+    reject_reasons: List[str] = []
+    owned_fracs: List[float] = []
     for d in gap_ids:
         lefts = [e for e in into.get(int(D.from_v[d]), []) if not D.is_gap(e)]
         rights = [e for e in outof.get(int(D.to_v[d]), []) if not D.is_gap(e)]
@@ -128,8 +135,10 @@ def stackaroo_gaps(
             continue  # {-3} requires exactly one abutting edge per side
         eL, eR = lefts[0], rights[0]
         # flank-sized context only — full edge_seq is O(edge length)
-        codes_l = D.edge_tail_bases(eL, ctx)
-        codes_r = D.edge_head_bases(eR, ctx)
+        vctx_l = D.edge_tail_bases(eL, max(ctx, VERIFY_CTX))
+        vctx_r = D.edge_head_bases(eR, max(ctx, VERIFY_CTX))
+        codes_l = vctx_l[-ctx:]
+        codes_r = vctx_r[:ctx]
         seq_l = _dna.codes_to_seq(codes_l)
         seq_r = _dna.codes_to_seq(codes_r)
         if len(seq_l) < K or len(seq_r) < K:
@@ -154,11 +163,17 @@ def stackaroo_gaps(
             from . import fillcheck as afc
 
             ok, vinfo = afc.verify_fill(
-                codes_l, dna.seq_to_codes(fill[:-k]), codes_r, rs, rids,
+                vctx_l, dna.seq_to_codes(fill[:-k]), vctx_r, rs, rids,
                 ownership=ownership,
             )
+            of = afc.fill_owned_frac(
+                dna.seq_to_codes(fill[:-k]), ownership
+            ) if ownership is not None else None
+            if of is not None:
+                owned_fracs.append(round(of, 3))
             if not ok:
                 n_rejected += 1
+                reject_reasons.append(vinfo.get("reason", "pairs"))
                 continue
         # {-3} payload: starts with eL's last K-1 bases, ends with eR's
         # first K-1 (fill already ends with right[:k])
@@ -168,12 +183,22 @@ def stackaroo_gaps(
         replacements[int(D.dinv[d])] = agap.rc_gap(row)
         n_filled += 1
 
-    if n_rejected:
-        import logging
+    import logging
 
-        logging.getLogger("supernova_tpu").info(
-            "stackaroo: %d fills rejected by pair-content check (kept {-2})",
-            n_rejected,
+    _log = logging.getLogger("supernova_tpu")
+    if n_rejected:
+        from collections import Counter
+
+        _log.info(
+            "stackaroo: %d fills rejected (kept {-2}): %s",
+            n_rejected, dict(Counter(reject_reasons)),
+        )
+    if owned_fracs:
+        of = np.asarray(owned_fracs)
+        _log.info(
+            "stackaroo: owned-frac over %d judged fills: median %.3f, "
+            ">0.5: %d", len(of), float(np.median(of)),
+            int((of > 0.5).sum()),
         )
     if not replacements:
         return D, 0
@@ -240,9 +265,9 @@ def stackaroo(
                 from . import fillcheck as afc
 
                 ok, _info = afc.verify_fill(
-                    _dna.seq_to_codes(left),
+                    _dna.seq_to_codes(seq_a[-VERIFY_CTX:]),
                     _dna.seq_to_codes(fill[:-k]),
-                    _dna.seq_to_codes(right),
+                    _dna.seq_to_codes(seq_b[:VERIFY_CTX]),
                     rs, rids,
                     ownership=ownership,
                 )
