@@ -214,6 +214,97 @@ def stackaroo_gaps(
     return D2, n_filled
 
 
+def audit_seq_gaps(D, rs, dpaths, dlen, ownership=None):
+    """Final fill-content audit over EVERY canonical {-3} sequence gap.
+
+    {-3} rows enter D from several creators (stackaroo upgrades, unvoid
+    linear closures, branched closure grafts, splat) and the graph mutates
+    under later surgeries — so the emission-time D is the only place all
+    of them can be judged consistently against the CURRENT placements.
+    Rows that fail the pair-content check (asm/fillcheck.verify_fill)
+    demote to calibrated {-2} rows of the same length: the scaffold join
+    survives, the contested content prints as Ns, and the evaluation
+    window that a wrong-copy fill would poison never exists.  Returns
+    (D, n_demoted)."""
+    from ..core import dna
+    from ..core.kmer_codec import K
+    from ..core.ragged import Ragged
+    from . import fillcheck as afc
+    from . import gap as agap
+    from .supergraph import SuperGraph
+
+    targets = [
+        d for d in range(D.n_edges)
+        if d <= int(D.dinv[d]) and int(D.dinv[d]) != d
+        and len(D.epaths.row(d)) and int(D.epaths.row(d)[0]) == -3
+    ]
+    if not targets:
+        return D, 0
+    into: Dict[int, List[int]] = {}
+    outof: Dict[int, List[int]] = {}
+    for e in range(D.n_edges):
+        into.setdefault(int(D.to_v[e]), []).append(e)
+        outof.setdefault(int(D.from_v[e]), []).append(e)
+    r, mp = dpaths.shape
+    dl = np.asarray(dlen)[:r]
+    valid = (np.arange(mp)[None, :] < dl[:, None]) & (dpaths >= 0)
+    flat_r, flat_c = np.nonzero(valid)
+    flat_e = dpaths[flat_r, flat_c]
+    order = np.argsort(flat_e, kind="stable")
+    idx_e = flat_e[order]
+    idx_r = flat_r[order]
+
+    def reads_on(edges: List[int]) -> set:
+        out: set = set()
+        for e in edges:
+            lo, hi = np.searchsorted(idx_e, [e, e + 1])
+            out.update(idx_r[lo:hi].tolist())
+        return out
+
+    from .gap import GapAwareWalker
+
+    replacements: Dict[int, np.ndarray] = {}
+    for d in targets:
+        lefts = [e for e in into.get(int(D.from_v[d]), []) if not D.is_gap(e)]
+        rights = [e for e in outof.get(int(D.to_v[d]), []) if not D.is_gap(e)]
+        if len(lefts) != 1 or len(rights) != 1:
+            continue
+        eL, eR = lefts[0], rights[0]
+        w = GapAwareWalker(K)
+        w.add_gap(D.epaths.row(d))
+        payload = dna.seq_to_codes(w.sequence())
+        if len(payload) < 2 * (K - 1) + K + 8:
+            continue  # too little novel content to judge
+        novel = payload[K - 1 : len(payload) - (K - 1)]
+        rids = reads_on([eL, eR, int(D.dinv[eL]), int(D.dinv[eR])])
+        rids |= {rid ^ 1 for rid in rids}
+        rids = sorted(rids)[:MAX_GAP_READS]
+        if len(rids) < 2:
+            continue
+        ok, _info = afc.verify_fill(
+            D.edge_tail_bases(eL, VERIFY_CTX), novel,
+            D.edge_head_bases(eR, VERIFY_CTX), rs, rids,
+            ownership=ownership,
+        )
+        if ok:
+            continue
+        row = np.array([-2, max(1, len(novel)), 1], np.int64)
+        replacements[d] = row
+        replacements[int(D.dinv[d])] = row.copy()
+    if not replacements:
+        return D, 0
+    rows = [replacements.get(d, D.epaths.row(d)) for d in range(D.n_edges)]
+    D2 = SuperGraph(
+        epaths=Ragged.from_rows(rows, dtype=np.int64),
+        dinv=D.dinv.copy(),
+        from_v=D.from_v.copy(),
+        to_v=D.to_v.copy(),
+        n_vertices=D.n_vertices,
+        bg=D.bg,
+    )
+    return D2, len(replacements) // 2
+
+
 def stackaroo(
     D,
     lines,

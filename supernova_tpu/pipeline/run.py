@@ -1236,7 +1236,7 @@ class Pipeline:
     SUP_PHASES = (
         "splay", "star", "fix", "starstar", "presize", "stackaroo",
         "unvoid", "void", "patch", "mis", "invfix", "canon", "gaprika",
-        "fase",
+        "audit", "fase",
     )
 
     def _scaffold_star_phases(self, D, lines, rs, edges, plen, ebcx):
@@ -1526,6 +1526,27 @@ class Pipeline:
                 )
             return D, lines
 
+        def ph_audit(D, lines):
+            # final fill-content audit: every {-3} row (whatever created
+            # it — stackaroo, unvoid closures, grafts, splat) must still
+            # verify against the CURRENT placements; failures demote to
+            # calibrated {-2} so the contested content prints as Ns
+            # (asm/stackaroo.audit_seq_gaps)
+            D2, n_dem = astk.audit_seq_gaps(
+                D, rs, self._dpaths, self._dlen,
+                ownership=self._fill_ownership(D, lines),
+            )
+            if n_dem:
+                D = D2
+                D.validate()
+                lines = _refresh(D)
+                self.stats.log(
+                    "seq_gaps_demoted", n_dem,
+                    "{-3} fills failing the final pair-content audit "
+                    "-> calibrated {-2}", stage="scaffold",
+                )
+            return D, lines
+
         def ph_fase(D, lines):
             return D, lines  # terminal marker: snapshot only
 
@@ -1535,7 +1556,7 @@ class Pipeline:
             "stackaroo": ph_stackaroo,
             "unvoid": ph_unvoid, "void": ph_void, "patch": ph_patch,
             "mis": ph_mis, "invfix": ph_invfix, "canon": ph_canon,
-            "gaprika": ph_gaprika, "fase": ph_fase,
+            "gaprika": ph_gaprika, "audit": ph_audit, "fase": ph_fase,
         }
 
         start_idx = 0
