@@ -37,12 +37,14 @@ def test_stackaroo_fills_scaffold_gap(rng):
     D = asg.build_supergraph(bg)
     lines = alines.find_lines(D)
 
-    # gap-bridging read set: tiles the junction region of the full genome
-    bridge = [g[s : s + 150] for s in range(2700, 3300, 13)]
+    # gap-bridging read set: proper FR pairs (350 bp fragments, the sim's
+    # insert model) tiling the junction region — the fill verifier demands
+    # a full-span pair for short fills, which 350 bp fragments provide
     bridge_reads = []
-    for r in bridge:
-        bridge_reads.append(r.copy())
-        bridge_reads.append(dna.revcomp(r).copy())
+    for s in range(2600, 3300, 13):
+        frag = g[s : s + 350]
+        bridge_reads.append(frag[:150].copy())
+        bridge_reads.append(dna.revcomp(frag[-150:]).copy())
     quals = [np.full(150, 37, np.uint8) for _ in bridge_reads]
     rs_gap = build_readset(
         bridge_reads, quals, np.zeros(len(bridge_reads) // 2, np.int32),
