@@ -31,8 +31,14 @@ import numpy as np
 from ..core import dna
 
 SEED_K = 21  # mapping seed length (fills are built at PATCH_K=25)
-MIN_MAP_FRAC = 0.88  # a read "places" when >= this fraction matches
-CONTRA_FRAC = 0.60  # an expected mate matching below this contradicts
+# Thresholds separate SEQUENCING ERROR from REPEAT-COPY DIVERGENCE: a
+# 150 bp read at 1.5% error matches ~0.985 of bases, while reads of the
+# true locus laid against a ~93%-identical wrong-copy fill match ~0.93.
+# The first cut (0.88 / 0.60) tolerated divergence, so true-locus mates
+# "weakly placed" on wrong fills and contradictions never fired — the
+# exact escape of the 10 Mb diverged-repeat {-3} windows.
+MIN_MAP_FRAC = 0.96  # a read "places" when >= this fraction matches
+CONTRA_FRAC = 0.94  # an expected mate matching below this contradicts
 FRAG_MIN = 120  # proper-pair fragment bounds (sim inserts ~350;
 FRAG_MAX = 1200  # reference ideal 350-400, alarms at <300/>100 extremes)
 ANCHOR = 50  # bases a crossing fragment must extend past a junction
