@@ -264,23 +264,29 @@ def audit_seq_gaps(D, rs, dpaths, dlen, ownership=None):
     from .gap import GapAwareWalker
 
     replacements: Dict[int, np.ndarray] = {}
+    skip = {"flanks": 0, "short": 0, "reads": 0}
+    n_judged = 0
     for d in targets:
         lefts = [e for e in into.get(int(D.from_v[d]), []) if not D.is_gap(e)]
         rights = [e for e in outof.get(int(D.to_v[d]), []) if not D.is_gap(e)]
         if len(lefts) != 1 or len(rights) != 1:
+            skip["flanks"] += 1
             continue
         eL, eR = lefts[0], rights[0]
         w = GapAwareWalker(K)
         w.add_gap(D.epaths.row(d))
         payload = dna.seq_to_codes(w.sequence())
         if len(payload) < 2 * (K - 1) + K + 8:
+            skip["short"] += 1
             continue  # too little novel content to judge
         novel = payload[K - 1 : len(payload) - (K - 1)]
         rids = reads_on([eL, eR, int(D.dinv[eL]), int(D.dinv[eR])])
         rids |= {rid ^ 1 for rid in rids}
         rids = sorted(rids)[:MAX_GAP_READS]
         if len(rids) < 2:
+            skip["reads"] += 1
             continue
+        n_judged += 1
         ok, _info = afc.verify_fill(
             D.edge_tail_bases(eL, VERIFY_CTX), novel,
             D.edge_head_bases(eR, VERIFY_CTX), rs, rids,
@@ -291,6 +297,12 @@ def audit_seq_gaps(D, rs, dpaths, dlen, ownership=None):
         row = np.array([-2, max(1, len(novel)), 1], np.int64)
         replacements[d] = row
         replacements[int(D.dinv[d])] = row.copy()
+    import logging as _logging
+
+    _logging.getLogger("supernova_tpu").info(
+        "audit: %d {-3} rows, %d judged, %d demoted, skipped %s",
+        len(targets), n_judged, len(replacements) // 2, skip,
+    )
     if not replacements:
         return D, 0
     rows = [replacements.get(d, D.epaths.row(d)) for d in range(D.n_edges)]
