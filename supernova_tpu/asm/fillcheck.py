@@ -87,7 +87,10 @@ def fill_owned_frac(novel: np.ndarray, ownership) -> float | None:
     from ..core.kmer_codec import K
     from ..kmer.count import _canon_np
 
-    wa, wb, wc, row_long = ownership
+    if isinstance(ownership, dict):
+        (wa, wb, wc), row_long = ownership["words"], ownership["row_long"]
+    else:
+        wa, wb, wc, row_long = ownership
     if len(novel) < K + 8 or len(wa) == 0:
         return None
     a, b, c = _sliding_words_np(np.asarray(novel, np.uint8))
@@ -109,6 +112,60 @@ def fill_owned_frac(novel: np.ndarray, ownership) -> float | None:
         cur[step] += 1
         active = step[cur[step] < hi[step]]
     return float(owned.mean())
+
+
+MIN_CONS_COVER = 3  # votes needed before a fill position is judged
+MAX_CONS_MISMATCH = 0.03  # consensus disagreeing above this -> wrong copy
+
+
+def fill_read_consensus(
+    left_ctx: np.ndarray,
+    novel: np.ndarray,
+    right_ctx: np.ndarray,
+    rs,
+    rids: Sequence[int],
+) -> Tuple[float | None, dict]:
+    """Position-wise read consensus over the fill vs the fill itself.
+
+    The one failure class junction/contradiction statistics cannot see is
+    a fill spelling the WRONG copy of a diverged repeat pair (10 Mb r5
+    localization: a 400-base ~93%-identical pair) — the pair's identity
+    runs outspan a read, so every window statistic looks healthy.  But
+    the placement-local reads at the gap come from the TRUE locus: piling
+    them on the fill (mapped loosely, >= 0.85, so diverged reads still
+    anchor) and taking a per-position majority exposes it — the consensus
+    contradicts the fill exactly at the copy-diverged positions.
+    Returns (mismatch_frac over covered positions, info); None frac when
+    too little of the fill is read-covered to judge."""
+    J = np.concatenate([left_ctx, novel, right_ctx]).astype(np.uint8)
+    fill_lo = len(left_ctx)
+    n = len(novel)
+    if n < SEED_K + 8:
+        return None, {"reason": "fill too short"}
+    idx = _seed_index(J)
+    votes = np.zeros((n, 4), np.int32)
+    for rid in sorted({int(r) for r in rids})[:2000]:
+        read = rs.read(rid)
+        s, st, f = _best_placement(J, idx, read)
+        if f < 0.85:
+            continue
+        rc = read if st == 1 else dna.revcomp(read)
+        lo = max(0, fill_lo - s)
+        hi = min(len(rc), fill_lo + n - s)
+        if hi <= lo:
+            continue
+        pos = (s + np.arange(lo, hi)) - fill_lo
+        votes[pos, rc[lo:hi]] += 1
+    cover = votes.sum(axis=1)
+    tot_c = votes.max(axis=1)
+    judged = (cover >= MIN_CONS_COVER) & (tot_c * 3 >= cover * 2)
+    if judged.sum() < n // 2:
+        return None, {"reason": "fill under-covered", "judged": int(judged.sum())}
+    cons = votes.argmax(axis=1)
+    mism = float((cons[judged] != novel[judged]).mean())
+    return mism, {
+        "judged": int(judged.sum()), "mismatch_frac": round(mism, 4),
+    }
 
 
 def _seed_index(J: np.ndarray, k: int = SEED_K) -> Dict[bytes, List[int]]:
@@ -183,6 +240,16 @@ def verify_fill(
                 "reason": "fill duplicates a long placed line",
                 "owned_frac": round(kf, 3), "fill_len": len(novel),
             }
+        if rs is not None and len(novel) >= SEED_K + 8:
+            mism, pinfo = fill_read_consensus(
+                np.asarray(left_ctx, np.uint8), np.asarray(novel, np.uint8),
+                np.asarray(right_ctx, np.uint8), rs, rids,
+            )
+            if mism is not None and mism > MAX_CONS_MISMATCH:
+                return False, {
+                    "reason": "local read consensus contradicts the fill",
+                    **pinfo,
+                }
     J = np.concatenate([left_ctx, novel, right_ctx]).astype(np.uint8)
     fill_lo = len(left_ctx)
     fill_hi = fill_lo + len(novel)

@@ -315,12 +315,20 @@ class Pipeline:
         long_base = long_base | long_base[np.asarray(bg.inv)]
         e_of_row = np.asarray(ne)[0::2][:nk]
         row_long = long_base[np.clip(e_of_row, 0, bg.n_edges - 1)]
-        return (
-            np.ascontiguousarray(kw[:, 0]),
-            np.ascontiguousarray(kw[:, 1]),
-            np.ascontiguousarray(kw[:, 2]),
-            row_long,
-        )
+        np_rows = np.asarray(bg.node_pos)[0::2][:nk]
+        return {
+            "words": (
+                np.ascontiguousarray(kw[:, 0]),
+                np.ascontiguousarray(kw[:, 1]),
+                np.ascontiguousarray(kw[:, 2]),
+            ),
+            "row_long": row_long,
+            "row_edge": e_of_row.astype(np.int64),
+            "row_pos": np_rows.astype(np.int64),
+            # copy-preference test (asm/fillcheck.copy_preference) fetches
+            # the alternative copy's sequence lazily per fill
+            "edge_seq": lambda e: bg.edges.row(int(e)),
+        }
 
     def _glue_mesh(self):
         """Mesh for the supergraph closure glue in multi-device mode

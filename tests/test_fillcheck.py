@@ -115,3 +115,35 @@ def test_fill_owned_frac_discriminates(rng):
         g[:400], assembled, g[600:1000], None, [], ownership=own_long
     )
     assert not ok and info.get("reason", "").startswith("fill duplicates")
+
+
+def test_wrong_diverged_copy_rejected_by_consensus(rng):
+    """The 10 Mb r5 residual class: a fill spelling the WRONG copy of a
+    ~93%-identical diverged repeat pair passes every junction statistic
+    (identity runs outspan the reads) — the per-position read consensus
+    over the fill is what catches it."""
+    g = rng.integers(0, 4, 4800).astype(np.uint8)
+    left, true_fill, right = g[:2000], g[2000:2400].copy(), g[2400:]
+    wrong = true_fill.copy()
+    div = rng.choice(400, 28, replace=False)  # ~7% diverged positions
+    wrong[div] = (wrong[div] + rng.integers(1, 4, 28)) % 4
+    reads = _mk_reads(rng, g, 200)  # TRUE-locus reads
+    rsx = _FakeRS(reads)
+    mism_w, info_w = afc.fill_read_consensus(
+        left[-1000:], wrong, right[:1000], rsx, range(len(reads))
+    )
+    mism_t, info_t = afc.fill_read_consensus(
+        left[-1000:], true_fill, right[:1000], rsx, range(len(reads))
+    )
+    assert mism_t is not None and mism_t <= 0.01, info_t
+    assert mism_w is not None and mism_w > 0.03, info_w
+    ok_w, vinfo = afc.verify_fill(
+        left[-1000:], wrong, right[:1000], rsx, range(len(reads)),
+        ownership=(np.zeros(0, np.uint32),) * 3 + (np.zeros(0, bool),),
+    )
+    assert not ok_w and vinfo.get("reason", "").startswith("local read")
+    ok_t, _ = afc.verify_fill(
+        left[-1000:], true_fill, right[:1000], rsx, range(len(reads)),
+        ownership=(np.zeros(0, np.uint32),) * 3 + (np.zeros(0, bool),),
+    )
+    assert ok_t
